@@ -1,0 +1,103 @@
+"""SparkSession bootstrap + fixture table loading.
+
+Single place where the engine's scale-oriented defaults live. The
+settings mirror what we would deploy on a large cluster (AQE on, skew
+join handling on, Arrow transfers on, UTC session timezone for
+oracle-comparable timestamps); only ``master`` and the partition count
+are local-mode artifacts, overridable via env.
+
+Env knobs (driver contract):
+- ``SPARK_GRAFT_CPUS``   — local core count (default: all).
+- ``SPARK_GRAFT_SF_DIR`` — default fixture dir for ad-hoc runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: All driver-generated fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "kafka_streams_clojure_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    At cluster scale ``master`` comes from spark-submit; in this repo we
+    run ``local[N]``. ``spark.sql.shuffle.partitions`` defaults to the
+    local core count — at 100 TB you would size it to ~2-3x total cores
+    (or let AQE coalesce, which stays enabled here).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffledHashJoinFactor", "3")
+        # The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+        # vanilla Spark rejects; read as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every engine query depends on — applied defensively
+    because the driver hands us an externally-built SparkSession:
+    nanos timestamps must read as long (events.ts), and the session
+    timezone must be UTC so timestamp values compare equal to the
+    (UTC-naive) DuckDB oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+#: (nanosAsLong) and we convert to TimestampType. All fixture values are
+#: µs-aligned, so `div 1000` is lossless — and DuckDB reads the same
+#: column as a plain µs TIMESTAMP, keeping both engines identical.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (columnar parquet scan; Catalyst pushes
+    filters/projections down into the scan automatically)."""
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Read several fixture tables at once."""
+    return tuple(load_table(spark, sf_dir, n) for n in names)

@@ -1,0 +1,209 @@
+"""Transducer-style combinator layer over DataFrames.
+
+The reference makes a KStream a *transducible context*: any composable
+transducer becomes a dataflow operator over ``[key value]`` records
+(reference api.clj:36-51, README.md:58-64). Here the same contract is
+expressed Spark-first: an **xform is any function DataFrame ->
+DataFrame**, and :func:`compose` chains them left-to-right.
+
+Because every combinator only builds lazy Catalyst plan nodes, a
+composed pipeline is fused by whole-stage codegen into a single pass —
+the exact analog of transducer fusion by ``comp`` (reference
+api.clj:39), but vectorized and JVM-side instead of per-record Clojure.
+
+Order-sensitive combinators (``dedupe``, ``take``, ``drop``,
+``partition_by``, mirrors of the stateful Clojure transducers) require
+an explicit ``order_by`` — DataFrames are unordered sets, so the
+reference's implicit per-partition arrival order must be pinned to a
+column. The reference's instances are per-Kafka-partition
+(api.clj:41-45: a fresh transformer per task); we default to *global*
+semantics (more useful analytically) and note per-key variants where
+they exist.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Xform = Callable[[DataFrame], DataFrame]
+ColumnOrName = Union[Column, str]
+
+
+def compose(*xforms: Xform) -> Xform:
+    """Left-to-right composition: ``compose(f, g)(df) == g(f(df))``.
+
+    Mirrors Clojure ``(comp f g)`` transducer order, where the first
+    transducer in the ``comp`` is the first applied to each record
+    (reference README.md:80-82 composes filter -> map -> filter).
+    """
+
+    def fused(df: DataFrame) -> DataFrame:
+        for x in xforms:
+            df = x(df)
+        return df
+
+    return fused
+
+
+def transduce(df: DataFrame, *xforms: Xform) -> DataFrame:
+    """``transduce-kstream`` analog (reference api.clj:49-51): install a
+    composed pipeline on a source. Pure sugar for ``compose(...)(df)``."""
+    return compose(*xforms)(df)
+
+
+def filter_(pred: ColumnOrName) -> Xform:
+    """Keep rows matching ``pred`` (reference README.md:80: ``(filter ...)``)."""
+    return lambda df: df.filter(pred)
+
+
+def remove(pred: Column) -> Xform:
+    """Inverse filter — Clojure ``(remove pred)``."""
+    return lambda df: df.filter(~pred)
+
+
+def map_(*cols: ColumnOrName, **named: Column) -> Xform:
+    """Project to a new row shape — Clojure ``(map f)`` over ``[k v]``
+    (reference README.md:81 swaps key and value). ``named`` kwargs are
+    aliased columns: ``map_(key=F.col("value"), value=F.col("key"))``."""
+    aliased = [c.alias(n) for n, c in named.items()]
+    return lambda df: df.select(*cols, *aliased)
+
+
+def map_values(**named: Column) -> Xform:
+    """KStream ``mapValues`` parity (reference README.md:68-70): rewrite
+    some columns, keep the rest untouched (no re-key → no shuffle)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.withColumns(dict(named))
+
+    return apply
+
+
+def select_key(key_expr: Column, key_col: str = "key") -> Xform:
+    """``key-value-mapper`` re-key adapter (reference api.clj:96-100).
+    In Spark the shuffle this implies happens lazily at the next
+    key-dependent operator (join/groupBy), not eagerly."""
+    return lambda df: df.withColumn(key_col, key_expr)
+
+
+def keep(expr: Column, alias: str, *carry: ColumnOrName) -> Xform:
+    """Clojure ``(keep f)``: map then drop nulls of the mapped value."""
+    return lambda df: df.select(*carry, expr.alias(alias)).filter(F.col(alias).isNotNull())
+
+
+def flat_map(array_expr: Column, alias: str, *carry: ColumnOrName) -> Xform:
+    """``mapcat`` / KStream ``flatMap``: one row -> 0..N rows via an
+    array-valued expression + ``explode`` (stays in codegen — no UDF)."""
+    return lambda df: df.select(*carry, F.explode(array_expr).alias(alias))
+
+
+def flat_map_values(array_expr: Column, alias: str, *keys: ColumnOrName) -> Xform:
+    """KStream ``flatMapValues`` parity: explode the value, carry keys."""
+    return flat_map(array_expr, alias, *keys)
+
+
+def branch(df: DataFrame, *preds: Column, persist: bool = True) -> list[DataFrame]:
+    """Multi-way first-match split (reference api.clj:62-68).
+
+    Kafka Streams ``branch`` contract: each record goes to the FIRST
+    predicate it matches; records matching none are dropped. Expressed
+    as masked filters ``p_i & ~p_0 & ... & ~p_{i-1}`` over one parent.
+    The parent is persisted so N branches read the source once —
+    at scale this is the difference between 1 scan and N scans.
+    """
+    if persist:
+        df = df.persist()
+    out: list[DataFrame] = []
+    seen: Column | None = None
+    for p in preds:
+        mask = p if seen is None else (p & ~seen)
+        out.append(df.filter(mask))
+        seen = p if seen is None else (seen | p)
+    return out
+
+
+def branch_map(df: DataFrame, pred_map: dict[str, Column], persist: bool = True) -> dict[str, DataFrame]:
+    """Named variant (reference api.clj:70-88): ``{name: pred}`` ->
+    ``{name: DataFrame}``, same ordered first-match contract (Python
+    dicts preserve insertion order, like the reference's ordered
+    destructuring of its map literal)."""
+    names = list(pred_map)
+    branches = branch(df, *pred_map.values(), persist=persist)
+    return dict(zip(names, branches))
+
+
+def merge(*others: DataFrame) -> Xform:
+    """KStream ``merge`` parity: union by column name."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        for o in others:
+            df = df.unionByName(o)
+        return df
+
+    return apply
+
+
+def distinct(subset: Sequence[str] | None = None) -> Xform:
+    """Global de-dup — Clojure ``(distinct)`` transducer. Shuffles on
+    the dedup columns; at scale prefer a subset of low-cardinality
+    columns or ``dropDuplicatesWithinWatermark`` on streams."""
+    return lambda df: df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def dedupe(value_cols: Sequence[str], order_by: Sequence[ColumnOrName], partition_by_cols: Sequence[ColumnOrName] = ()) -> Xform:
+    """Clojure ``(dedupe)``: drop *consecutive* duplicates in
+    ``order_by`` order (optionally per partition key). Implemented with
+    ``lag`` — one shuffle+sort, no Python."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*partition_by_cols).orderBy(*order_by)
+        prev = [F.lag(c).over(w).alias(f"__prev_{c}") for c in value_cols]
+        changed = None
+        out = df.select("*", *prev)
+        for c in value_cols:
+            n = F.col(f"__prev_{c}")
+            diff = n.isNull() | (F.col(c) != n)
+            changed = diff if changed is None else (changed | diff)
+        return out.filter(changed).drop(*[f"__prev_{c}" for c in value_cols])
+
+    return apply
+
+
+def take(n: int, order_by: Sequence[ColumnOrName] = ()) -> Xform:
+    """Clojure ``(take n)``. The reference's instance is per-partition
+    (fresh transformer per task, api.clj:41-45); we implement the
+    *global* semantics — pin an explicit order for determinism."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        if order_by:
+            df = df.orderBy(*order_by)
+        return df.limit(n)
+
+    return apply
+
+
+def drop(n: int, order_by: Sequence[ColumnOrName]) -> Xform:
+    """Clojure ``(drop n)`` — skip the first n in a pinned order."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.orderBy(*order_by).offset(n)
+
+    return apply
+
+
+def partition_by(change_expr: Column, order_by: Sequence[ColumnOrName], group_col: str = "run_id", partition_cols: Sequence[ColumnOrName] = ()) -> Xform:
+    """Clojure ``(partition-by f)``: assign a run id that increments
+    whenever ``change_expr`` changes in ``order_by`` order — the
+    classic gaps-and-islands idiom (lag + running sum)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+        prev = F.lag(change_expr).over(w)
+        is_new = F.when(prev.isNull() | (change_expr != prev), F.lit(1)).otherwise(F.lit(0))
+        return df.withColumn(group_col, F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+
+    return apply
