@@ -1,0 +1,123 @@
+"""Join operators beyond vanilla ``DataFrame.join``.
+
+The reference declares join parity as its top roadmap item
+(reference README.md:30-32 "Helper transducers for stateful
+computations like joins"; api.clj:53-55 names leftJoin) and ships the
+``value-joiner`` combine adapter (api.clj:90-94). Vanilla equi/theta
+joins map 1:1 onto ``df.join`` and need no code here; this module adds
+the two KS-specific temporal shapes:
+
+- :func:`asof_join` — the batch shadow of the KStream⋈KTable
+  enrichment join (each stream record sees the *latest* table state at
+  its timestamp, README.md:30-34).
+- :func:`interval_join` — the batch shadow of the KStream⋈KStream
+  windowed join (KS ``JoinWindows``: match records within ±Δ).
+
+Scale notes: ``asof_join`` is a union + one shuffle/sort per key — no
+range explosion, no per-key cartesian; it scales like a sort-merge
+join and works identically at 100 TB. ``interval_join`` relies on the
+equi-key conjunct for the shuffle and applies the time band as a
+post-filter (Spark stream-stream joins use exactly this plan shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    how: str = "left",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For every left row, attach the newest right row of the same key
+    with ``right_ts <= left_ts`` (inclusive — DuckDB/pandas ASOF
+    semantics).
+
+    Implementation: tag and union both sides, then a single
+    ``last(..., ignorenulls)`` window over (key, ts) — one shuffle +
+    sort, linear in input size. At equal timestamps the right row
+    sorts first, making the match inclusive; callers must ensure the
+    right side is unique per (key, ts) (dedupe first) or the picked
+    row among ties is unspecified — the same contract DuckDB's
+    ASOF JOIN has.
+
+    ``tolerance``: optional max age (e.g. ``F.expr("INTERVAL 1 HOUR")``)
+    — matches older than ``left_ts - tolerance`` are nulled out.
+    """
+    lcols = left.columns
+    payload = F.struct(*[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts"))
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__probe"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType.simpleString()
+        ).alias("__r"),
+    )
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__probe"),
+        F.lit(None).cast(lhs.schema["__l"].dataType.simpleString()).alias("__l"),
+        payload.alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lhs.unionByName(rhs)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__probe") == 1)
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__rts") >= F.col("__ts").cast("timestamp") - tolerance,
+                F.col("__match"),
+            ),
+        )
+    out = matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: Column,
+    upper: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """KS ``JoinWindows`` analog: join rows of the same key whose
+    timestamps satisfy ``left_ts + lower <= right_ts <= left_ts +
+    upper``. The equi conjunct drives the shuffle; the band is a
+    post-join filter (AQE handles skewed keys)."""
+    lt, rt = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + lower)
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + upper)
+    )
+    return lt.join(rt, cond, how)

@@ -1,1 +1,231 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Join query keys (SURVEY.md §2.3).
+
+The reference ships the ``value-joiner`` combine adapter (api.clj:90-94)
+and declares the KS 1.0 join taxonomy as parity targets (README.md:30-32,
+api.clj:53-55); semi/anti/theta/cross are the `[ext]` completions that
+make the surface a full relational join algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.operators.joins import asof_join, interval_join
+from kafka_streams_clojure_spark.queries import query
+from kafka_streams_clojure_spark.queries._util import dsum, load_table, load_tables, sql_dsum
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name,
+           c_name || ':' || o_orderstatus AS joined_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join + the `value-joiner` combine step (api.clj:90-94):
+    the output carries f(v_left, v_right). Catalyst broadcasts the
+    customer side automatically (dimension-sized)."""
+    orders, cust = load_tables(spark, sf_dir, "orders", "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_name",
+        F.concat_ws(":", F.col("c_name"), F.col("o_orderstatus")).alias("joined_value"),
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """leftJoin parity — explicitly named by the reference (api.clj:55)."""
+    orders, cust = load_tables(spark, sf_dir, "orders", "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name, o.n_orders
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+    FULL OUTER JOIN
+         (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+    ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (KS outerJoin parity, README.md:68-70): nulls on
+    both sides."""
+    orders, cust = load_tables(spark, sf_dir, "orders", "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return rich.join(per_cust, rich.c_custkey == per_cust.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"), "c_name", "n_orders"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p_brand,
+           count(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalKTable-style join (KTable roadmap, README.md:33-34): the
+    dimension is explicitly broadcast — zero shuffle of the fact table
+    for the join; the only shuffle is the final small aggregation."""
+    li, part = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum(rev).alias("revenue"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 250000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence filtering (the relational form of
+    branch-by-membership)."""
+    orders, cust = load_tables(spark, sf_dir, "orders", "customer")
+    big = orders.filter(F.col("o_totalprice") > 250000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: non-existence (KTable deletion semantics analog)."""
+    orders, cust = load_tables(spark, sf_dir, "orders", "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT p_partkey, s_suppkey
+    FROM part JOIN supplier
+      ON p_retailprice > s_acctbal AND p_size < s_suppkey % 64
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join — broadcast nested loop; only sane when one
+    side is small, which Catalyst enforces by broadcasting supplier."""
+    part, supp = load_tables(spark, sf_dir, "part", "supplier")
+    cond = (part.p_retailprice > supp.s_acctbal) & (part.p_size < supp.s_suppkey % 64)
+    return part.join(supp, cond).select("p_partkey", "s_suppkey")
+
+
+@query(
+    "q_join_cross",
+    oracle="SELECT r_name, s_name FROM region CROSS JOIN supplier",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, supp = load_tables(spark, sf_dir, "region", "supplier")
+    return region.crossJoin(supp).select("r_name", "s_name")
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+           l.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 5 MINUTE
+     AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream⋈KStream windowed join, batch shadow (KS JoinWindows ±5min,
+    README.md:30-32): clicks within 5 minutes of a purchase by the same
+    user."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower=F.expr("-INTERVAL 5 MINUTE"),
+        upper=F.expr("INTERVAL 5 MINUTE"),
+    )
+    return joined.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, c.click_id, c.ts AS click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStream⋈KTable enrichment join, batch shadow (README.md:30-34):
+    each purchase sees the latest click state of its user at purchase
+    time. Right side deduped per (key, ts) so ties are well-defined —
+    the SURVEY §7 watch-list item."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id", "click_ts"],
+        how="left",
+    ).select("event_id", "user_id", "click_id", "click_ts")
