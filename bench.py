@@ -1,0 +1,84 @@
+"""Benchmark runner (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation of
+every column, zero write cost) — `.count()` would let Catalyst prune
+the work we're trying to measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+#: Headline set: the heaviest representative of each operator family.
+HEADLINE = [
+    "q_agg_multi",            # TPC-H Q1 shape: scan + 6 aggs
+    "q_agg_count_distinct",   # exact distinct (expand)
+    "q_join_inner",           # fact⋈dim equi join
+    "q_join_broadcast",       # broadcast dim join + agg
+    "q_join_asof",            # union+window as-of join
+    "q_join_interval",        # time-band self join
+    "q_agg_tumbling_window",  # time-bucketed agg
+    "q_agg_session_window",   # native session windows
+    "q_win_running_sum",      # analytic window (decimal frames)
+    "q_topk_per_group",       # grouped top-k (WindowGroupLimit)
+    "q_dedupe_consecutive",   # lag-based consecutive dedup
+    "q_llm_exact_dedup",      # fingerprint dedup
+    "q_llm_ngram_jaccard",    # shingle-join near-dup
+    "q_llm_token_stats",      # text stats (higher-order fns)
+    "q_llm_cosine_topk",      # brute-force ANN baseline
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from kafka_streams_clojure_spark.queries import queries
+    from kafka_streams_clojure_spark.session import get_spark
+
+    spark = get_spark("kscs-bench")
+    qs = queries()
+    # Warm the JVM (codegen, parquet reader, shuffle paths) by running
+    # every headline query once at the smallest SF — measured numbers
+    # then reflect steady-state execution, not first-call JIT.
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Deduplication operators for LLM training-data pipelines (`[ext]`,
+north-star mandate): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these ops is 100 TB of documents):
+
+- **exact**: hash-groupBy on the normalized fingerprint — one shuffle
+  keyed by a 128-bit digest, no text comparison.
+- **n-gram Jaccard**: candidate pairs only via a shared-shingle
+  equi-join (never all-pairs); intersection counts fall out of the
+  join's groupBy. Shuffle volume ∝ total shingles, not docs².
+- **MinHash+LSH**: fixed-size signatures (n_hashes ints/doc) replace
+  shingle sets; banding turns near-dup search into an equi-join on
+  (band, band-hash) buckets. Candidates are verified on estimated
+  Jaccard from signatures. All hashing is xxhash64 — JVM-side,
+  codegen'd.
+- **SimHash**: 64-bit bit-majority signature per doc via explode +
+  bit-count aggregation (pure built-ins); near-dups = equal signature
+  bands (Hamming blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.operators.text import fingerprint, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-duplicate group,
+    where "exact" means whitespace/case-normalized equality."""
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    keep = df.select(fp, F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the set representation
+    for Jaccard."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (a < b) with word-k-gram Jaccard >= threshold.
+
+    Candidates come from the shared-shingle self-join; |A∩B| is the
+    join's pair count, |A∪B| = |A|+|B|-|A∩B|. Returns
+    (id_a, id_b, jaccard).
+    """
+    s = shingle_sets(df, id_col, text_col, k)
+    sizes = s.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = s.select(F.col(id_col).alias("id_a"), "shingle")
+    b = s.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    n_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min over the doc's
+    shingles of xxhash64(shingle, seed=i). One explode + one groupBy;
+    signature i estimates P(minhash_a == minhash_b) = Jaccard(a, b)."""
+    s = shingle_sets(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sig = s.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH.
+
+    signature → `bands` bands of r = n_hashes/bands rows; docs sharing
+    any band bucket become candidates (prob ≈ 1-(1-j^r)^bands);
+    candidates are scored by estimated Jaccard = fraction of equal
+    signature positions and filtered at `threshold`. Returns
+    (id_a, id_b, est_jaccard).
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes).persist()
+    band_rows = sig.select(
+        F.col(id_col),
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    a = band_rows.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = band_rows.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    est = (eq.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard")
+    return cands.select("id_a", "id_b", est).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc, pure built-ins: explode tokens, hash to
+    64 bits, per bit position sum (+1/-1), sign → bit. The explode×bits
+    blowup stays JVM-side and shuffles once on doc_id."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
+    Hamming distance d < 4 shares at least one of 4 bands exactly),
+    verify exact Hamming distance on candidates."""
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (`[ext]`, north-star
+mandate): brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH bucketed variant as the scale path.
+
+Scale design: the brute-force path is a broadcast of the (small) probe
+set against a full scan — linear, no shuffle, exact; right for one-off
+probes. The LSH path buckets both sides by sign-pattern so the join
+touches only colliding buckets — the 100 TB shape where the corpus is
+huge and probes are many. Embedding math runs in Catalyst higher-order
+functions (zip_with/aggregate) — JVM-side, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, accumulated in doubles, left-to-right (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one probe vector: full scan +
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Ties broken by id for determinism."""
+    sim = cosine(F.col(vec_col), _vec_lit(probe))
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each hyperplane, packed into
+    a long — the random-projection LSH bucket id (cosine-similar
+    vectors collide with high probability)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(vec_col, _vec_lit(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit.cast("long"), i))
+    return bucket
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    threshold: float = 0.8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: `n_tables` independent sign-LSH
+    bucketings; docs colliding in any table become candidates; exact
+    cosine verifies. Join cost ∝ colliding buckets, not n²."""
+    tables = [
+        lsh_bucket(F.col(vec_col), random_hyperplanes(dim, n_planes, seed=42 + t)).alias(
+            f"b_{t}"
+        )
+        for t in range(n_tables)
+    ]
+    bucketed = df.select(F.col(id_col), F.col(vec_col), *tables).persist()
+    pairs = None
+    for t in range(n_tables):
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(f"b_{t}").alias("bkt")
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(f"b_{t}").alias("bkt")
+        )
+        cand = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "v_a", "v_b")
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    verified = (
+        pairs.distinct()
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return verified
+
+
+def embedding_cosine_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact near-dup pairs by cosine with optional blocking on a
+    cheap attribute (label/cluster/source): all-pairs within a block
+    only — the classic blocked-dedup shape."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

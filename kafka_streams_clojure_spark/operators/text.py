@@ -1,0 +1,138 @@
+"""Text-analysis operators for LLM training-data pipelines (`[ext]`,
+SURVEY.md §2.11 / north-star mandate).
+
+All hot paths are Catalyst built-ins (split/higher-order lambdas/md5) —
+no Python in the per-row path, so these run whole-stage-codegen'd over
+100 TB of documents. Each operator returns expression columns so they
+compose into any pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language function-word lists for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and public-knowledge.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "für"),
+    "fr": ("le", "la", "les", "de", "des", "et", "en", "du", "une", "est"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "个"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ("a", "an", "it", "on", "be", "are", "was")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer (the fixtures are space-separated; a
+    BPE-ish regex split is `tokens_regex`)."""
+    return F.split(text, r"\s+")
+
+
+def tokens_regex(text: Column) -> Column:
+    """BPE-ish tokenizer: words, numbers, or single non-space symbols —
+    the usual pre-tokenization regex shape."""
+    return F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def mean_token_len(text: Column) -> Column:
+    """Average token length (chars minus separators over token count)."""
+    n = token_count(text)
+    return (F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n).cast("double")
+
+
+def distinct_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens."""
+    t = tokens(text)
+    return (F.size(F.array_distinct(t)).cast("double") / F.size(t)).cast("double")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    t = tokens(F.lower(text))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return (hits.cast("double") / F.size(t)).cast("double")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (the n-gram heuristic's scoring
+    pass) — one codegen'd expression per language."""
+    t = tokens(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker hits, fixed tie order (en>es>de>fr>zh),
+    'und' when nothing matches."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the argmax as a first-match CASE in fixed priority order
+    result = F.when(best <= 0, F.lit("und"))
+    for lang in ("en", "es", "de", "fr", "zh"):
+        result = result.when(scores[lang] == best, F.lit(lang))
+    return result.otherwise(expr)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + lexical
+    diversity + mean-token-length band. Pure arithmetic — identical
+    formula is oracle-expressible."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / 100.0, F.lit(1.0))
+    div = distinct_ratio(text)
+    mtl = mean_token_len(text)
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.5)
+    return ((len_score + div + mtl_score) / 3.0).cast("double")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text — the exact-dedup key that
+    is stable across engines (md5 is md5 everywhere)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def shingles(text: Column, k: int = 4) -> Column:
+    """Word k-shingles as strings — the unit set for Jaccard/MinHash
+    near-dup. Generated with sequence+transform (codegen'd, no UDF);
+    docs shorter than k tokens yield their whole text as one shingle."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.when(n <= k, F.array(F.array_join(t, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family in one pass."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_chars_calc": char_count(c),
+            "mean_token_len": mean_token_len(c),
+            "distinct_ratio": distinct_ratio(c),
+            "stopword_ratio": stopword_ratio(c),
+            "lang_pred": lang_id(c),
+            "quality": quality_score(c),
+            "fp": fingerprint(c),
+        }
+    )

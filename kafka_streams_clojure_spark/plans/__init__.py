@@ -1,0 +1,63 @@
+"""Physical-plan audit helpers.
+
+The engine's performance discipline (BASELINE.md engineering targets):
+filters/projections must reach the parquet scan, dimension joins must
+broadcast, hot expressions must stay inside WholeStageCodegen. These
+helpers turn `.explain` output into assertable facts so tests and the
+bench can enforce plan shape, not just results.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (pruning audit)."""
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for line in plan.splitlines():
+        if "ReadSchema:" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            cols.extend(f.split(":")[0].strip() for f in inner.split(",") if ":" in f)
+    return cols
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return physical_plan(df).count("WholeStageCodegen")
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan — the scale-limiting
+    metric. Counts the formatted plan's detail headers (`(n) Exchange`)
+    so tree+detail duplication doesn't double-count; broadcast
+    exchanges are excluded (they move the small side only)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", physical_plan(df), re.MULTILINE))
+
+
+def broadcast_exchange_count(df: DataFrame) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) BroadcastExchange", physical_plan(df), re.MULTILINE))

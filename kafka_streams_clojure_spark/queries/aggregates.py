@@ -254,8 +254,8 @@ def q_dedupe_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
       SELECT user_id, event_type, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS run_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
       FROM marked
     )
     SELECT user_id, run_id, event_type,

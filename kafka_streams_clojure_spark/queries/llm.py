@@ -1,1 +1,342 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""LLM training-data pipeline query keys (SURVEY.md §2.11, north-star
+mandate): dedup (exact / n-gram Jaccard / MinHash LSH / SimHash /
+embedding-cosine), similarity search, text analysis, multimodal
+plumbing — over the `documents` and `embeddings` fixtures.
+
+Keys stay oracle-checked wherever both engines can express the exact
+same arithmetic (token stats, Jaccard, cosine, fingerprints). Keys
+built on engine-specific hashes (xxhash64) or approximation (LSH
+recall) are rows-only by design, with invariant tests in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.operators import text as TX
+from kafka_streams_clojure_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from kafka_streams_clojure_spark.operators.multimodal import (
+    attach_media,
+    decode_image_features,
+)
+from kafka_streams_clojure_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_cosine_near_dups,
+    lsh_cosine_pairs,
+    norm,
+)
+from kafka_streams_clojure_spark.queries import query
+from kafka_streams_clojure_spark.queries._util import load_table
+
+_TOK = "string_split_regex(text, '\\s+')"
+_TOKL = "string_split_regex(lower(text), '\\s+')"
+
+
+@query(
+    "q_llm_exact_dedup",
+    oracle="""
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+    FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: normalized-text fingerprint → (representative,
+    multiplicity). One shuffle keyed by a 128-bit digest — no text
+    comparisons, no skew (digests are uniform)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+@query(
+    "q_llm_dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents d
+    WHERE doc_id = (
+      SELECT min(doc_id) FROM documents d2
+      WHERE md5(lower(trim(regexp_replace(d2.text, '\\s+', ' ', 'g'))))
+          = md5(lower(trim(regexp_replace(d.text,  '\\s+', ' ', 'g'))))
+    )
+    """,
+)
+def q_llm_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied form of exact dedup: the corpus with only the first
+    representative of each duplicate group kept (left-semi join against
+    the keeper set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_llm_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOK})                                      AS n_tokens,
+           len(list_distinct({_TOK}))                        AS n_distinct,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len({_TOK})                                   AS mean_token_len,
+           CAST(len(list_filter({_TOKL},
+                t -> list_contains(['the','and','of','to','in','is','that','for',
+                                    'with','as','a','an','it','on','be','are','was'], t)))
+                AS DOUBLE) / len({_TOKL})                    AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — all codegen'd built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        F.size(F.array_distinct(TX.tokens(c))).alias("n_distinct"),
+        TX.mean_token_len(c).alias("mean_token_len"),
+        TX.stopword_ratio(c).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "q_llm_lang_filter",
+    oracle="""
+    SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+)
+def q_llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.min("n_chars").alias("min_chars"))
+    )
+
+
+_LANG_SQL_SCORES = {
+    lang: (
+        f"len(list_filter({_TOKL}, t -> list_contains("
+        f"[{', '.join(repr(m) for m in TX.LANG_MARKERS[lang])}], t)))"
+    )
+    for lang in ("en", "es", "de", "fr", "zh")
+}
+_BEST = "greatest(" + ", ".join(f"s_{l}" for l in _LANG_SQL_SCORES) + ")"
+
+
+@query(
+    "q_llm_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{sql} AS s_{l}" for l, sql in _LANG_SQL_SCORES.items())}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {_BEST} <= 0 THEN 'und'
+                WHEN s_en = {_BEST} THEN 'en'
+                WHEN s_es = {_BEST} THEN 'es'
+                WHEN s_de = {_BEST} THEN 'de'
+                WHEN s_fr = {_BEST} THEN 'fr'
+                WHEN s_zh = {_BEST} THEN 'zh'
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language function-word hit counts,
+    argmax with a fixed tie order — identical CASE logic in the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_llm_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((
+             least(len({_TOK}) / 100.0, 1.0)
+             + CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK})
+             + CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                          / len({_TOK})) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.5 END
+           ) / 3.0 AS DOUBLE) AS quality
+    FROM documents
+    """,
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length band + lexical diversity +
+    token-length band) — identical IEEE arithmetic on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable cross-engine document fingerprint (md5 of normalized
+    text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q_llm_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+                           ELSE list_transform(range(1, len(t) - 2),
+                                               i -> array_to_string(t[i:i+3], ' '))
+                      END) AS shingle
+        FROM toks)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+    """,
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-4-gram Jaccard >= 0.5.
+    Candidates only from the shared-shingle equi-join — cost scales
+    with shingle collisions, never docs²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+
+
+@query("q_llm_near_dup")  # xxhash64-based — engine-specific, rows-only
+def q_llm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (32 hashes, 8 bands): the scale path —
+    fixed-size signatures + banded bucket join. Rows-only (signatures
+    are xxhash64, not portable to DuckDB); invariants tested against
+    exact Jaccard in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.5)
+
+
+@query("q_llm_simhash")  # xxhash64-based — rows-only
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (64-bit signatures, 16-bit band blocking,
+    Hamming <= 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs)
+
+
+@query(
+    "q_llm_embedding_norm",
+    oracle="""
+    SELECT vec_id, label,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_llm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal vector column: L2 norm via Catalyst higher-order
+    fold — both engines accumulate doubles left-to-right, bit-equal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", norm(F.col("embedding")).alias("l2_norm"))
+
+
+@query(
+    "q_llm_cosine_topk",
+    oracle="""
+    WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           list_sum(list_transform(range(1, 65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+             AS cos_sim
+    FROM embeddings e, p
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, exact baseline: brute-force cosine top-10 for
+    a fixed probe (vec_id=0) — full scan + per-partition heaps
+    (TakeOrderedAndProject), no shuffle of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return cosine_topk(emb, probe, k=10)
+
+
+@query("q_llm_cosine_ann")  # LSH recall is probabilistic — rows-only
+def q_llm_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, scale path: random-hyperplane sign-LSH
+    bucketing (12 planes × 4 tables), exact cosine verification on
+    collisions. Recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(emb, n_planes=12, n_tables=4, threshold=0.8)
+
+
+@query(
+    "q_llm_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+           >= 0.3
+    """,
+)
+def q_llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact within label blocks
+    (blocked all-pairs — the classic attribute-blocked dedup shape).
+    Threshold 0.3 because the fixture's vectors are near-orthogonal
+    (max pairwise cosine ≈ 0.48); real corpora would use ~0.95."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_near_dups(emb, block_col="label", threshold=0.3)
+
+
+@query("q_multimodal_features")  # stubbed decoder — rows-only by design
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text bytes stand in for media
+    blobs (BinaryType), typed metadata attached engine-side, features
+    extracted via Arrow-batched mapInPandas with the deterministic
+    STUB decoder (no codecs in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("blob", F.encode(F.col("text"), "utf-8")), "blob", "image", "raw"
+    )
+    return decode_image_features(media, "blob", id_col="doc_id", fake=True)

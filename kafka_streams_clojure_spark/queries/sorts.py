@@ -1,1 +1,157 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Sorts / limits / top-k keys (SURVEY.md §2.6).
+
+The `[impl]` rows here are the reference's ordered state-store reads:
+`range(store, a, b)` and `all(store)` (api.clj:108-111,118-129,
+146-152) — key-ordered scans with point/range predicates. `take`/`drop`
+are the positional transducers; top-k is the `[ext]` analytic
+completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark import xform as X
+from kafka_streams_clojure_spark.queries import query
+from kafka_streams_clojure_spark.queries._util import load_table
+
+
+@query(
+    "q_sort_range_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def q_sort_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(range store start end)` parity (api.clj:108-111): ordered
+    iteration between keys. The BETWEEN predicate is pushed into the
+    parquet scan (row-group pruning via min/max stats — the columnar
+    analog of RocksDB's ordered seek)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey").between(1000, 2000))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_sort_orderby",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_sort_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(all store)` parity (api.clj:106-107): full key-ordered scan.
+    Spark sorts with a range-partitioned exchange — the scalable total
+    sort."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_name")
+
+
+@query(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(take n)` over a pinned total order. Spark plans TakeOrderedAndProject:
+    per-partition top-n then a driver-side merge of n*partitions rows —
+    no global sort materialized."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return X.take(10, order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")])(o)
+
+
+@query(
+    "q_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10
+    """,
+)
+def q_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(drop n)` + `(take n)` — pagination over a pinned order."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    pipe = X.compose(
+        X.drop(10, order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")]),
+        X.take(20),
+    )
+    return pipe(o)
+
+
+@query(
+    "q_take_while",
+    oracle="""
+    SELECT event_id, ts, value FROM (
+      SELECT event_id, ts, value,
+             min(CASE WHEN value < 99.5 THEN 1 ELSE 0 END)
+               OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ok
+      FROM events
+    ) WHERE ok = 1
+    """,
+)
+def q_take_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(take-while pred)`: longest prefix satisfying the predicate in
+    a pinned global order — running min over the predicate flag."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    flag = F.when(F.col("value") < 99.5, 1).otherwise(0)
+    return (
+        ev.select("event_id", "ts", "value", F.min(flag).over(w).alias("ok"))
+        .filter(F.col("ok") == 1)
+        .drop("ok")
+    )
+
+
+@query(
+    "q_topk_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — TakeOrderedAndProject (per-partition heaps, merge
+    k·p rows on the driver; never a full sort)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return li.orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    ).limit(5)
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: row_number window + filter — one shuffle on the
+    group key; Spark 3.5+ pushes a per-partition rank limit before the
+    exchange (WindowGroupLimit), so the shuffle carries ~k rows/group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -56,6 +56,10 @@ def get_spark(app_name: str = "kafka_streams_clojure_spark", shuffle_partitions:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Split files finer than the 128 MB default so a 32-core local
+        # run (and a wide cluster) gets real scan parallelism; AQE
+        # coalesces back if partitions end up tiny.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -1,0 +1,68 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+Reference surface: ``stream`` (topics → KStream, api.clj:57-60), sink
+``.to`` (api.clj:163-164), ``through`` repartition points (api.clj:55).
+Spark-first mapping: batch readers for the file formats, Structured
+Streaming's Kafka source/sink for topics. The Kafka connector needs the
+spark-sql-kafka package on the classpath — absent in this container, so
+those builders are constructed lazily and validated at call time, with
+the wiring (options, schema shape) real and unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_clojure_spark.session import load_table
+
+#: Schema every Kafka source row carries (the [key value] record model
+#: of the reference plus stream metadata — SURVEY §1.1).
+KAFKA_SOURCE_COLUMNS = (
+    "key",
+    "value",
+    "topic",
+    "partition",
+    "offset",
+    "timestamp",
+    "timestampType",
+)
+
+
+def read_batch(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Batch scan of parquet/csv/json/orc with pushdown + pruning."""
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def stream_topics(spark: SparkSession, brokers: str, *topics: str, starting: str = "earliest") -> DataFrame:
+    """`stream` parity (api.clj:57-60): subscribe to one or more topics
+    as an unbounded [key value] DataFrame. Multiple names join into one
+    subscription exactly like the reference's varargs Collection."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting)
+        .load()
+    )
+
+
+def to_topic(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """Sink `.to` parity (api.clj:163-164): write a streaming frame to a
+    topic. Expects `key`/`value` (binary or string) columns — the
+    2-tuple record contract. Returns the StreamingQuery."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def through(df: DataFrame, n_partitions: int, *cols: str) -> DataFrame:
+    """`through` parity (api.clj:55): an explicit repartition point —
+    the intermediate-topic idiom without materializing a topic."""
+    return df.repartition(n_partitions, *cols) if cols else df.repartition(n_partitions)

@@ -1,0 +1,85 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's streaming model: unbounded partitioned logs (Kafka
+topics) as sources/sinks (api.clj:57-60), per-record transducer
+execution (api.clj:20-33), stateful transducers over ordered KV stores
+as the parity roadmap (README.md:66-68), and an interactive read API
+over those stores (api.clj:102-152).
+
+Spark-first mapping:
+- sources: ``readStream`` (file source over the fixtures in tests —
+  the same code takes ``format("kafka")`` in production; see
+  :mod:`kafka_streams_clojure_spark.sources`);
+- the combinator layer (:mod:`..xform`) applies unchanged to streaming
+  DataFrames — an xform is just ``DataFrame -> DataFrame``;
+- per-record commit (api.clj:33) is deliberately NOT mirrored: Spark
+  checkpoints per micro-batch (BASELINE.md engineering targets);
+- interactive reads: a ``memory``-sink table queried with SQL —
+  point lookup / range / full scan parity with get/range/all.
+
+Everything runs through ``Trigger.AvailableNow`` in tests so a bounded
+fixture drives the streaming engine to a deterministic final answer
+(batch/stream parity, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.session import _ensure_session_confs, load_table
+
+
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _as_stream_dir(sf_dir: str, name: str) -> str:
+    """Spark's file streaming source requires a *directory*; the
+    fixtures are single files. Expose each as a one-file directory via
+    a symlink in a cached temp dir (read-only on the fixture)."""
+    key = (sf_dir, name)
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix=f"kscs_stream_{name}_")
+        os.symlink(os.path.join(sf_dir, f"{name}.parquet"), os.path.join(d, f"{name}.parquet"))
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Open a fixture table as an unbounded streaming DataFrame (file
+    source). Schema comes from the batch reader (streaming sources
+    can't infer), including the nanos→timestamp fixups for events."""
+    _ensure_session_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(_as_stream_dir(sf_dir, name))
+    if name == "events" and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_available_now(df: DataFrame, output_mode: str = "update") -> DataFrame:
+    """Execute a streaming DataFrame to completion over the currently
+    available data (Trigger.AvailableNow semantics via
+    processAllAvailable) into a memory sink; return the sink table.
+
+    This is the test-bench path that proves batch/stream parity; a
+    production pipeline swaps the memory sink for kafka/parquet +
+    checkpointLocation and keeps the query running.
+    """
+    name = f"kscs_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return df.sparkSession.table(name)

@@ -1,0 +1,185 @@
+"""Invariant tests for the rows-only LLM ops (no SQL oracle possible:
+engine-specific hashes / probabilistic recall / stubbed decoders).
+
+Strategy: verify each approximate operator against its exact
+counterpart on the same fixture — MinHash-LSH vs exact Jaccard,
+sign-LSH ANN vs brute-force cosine — plus structural invariants
+(ordering, symmetry, schema, determinism).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from kafka_streams_clojure_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_pairs,
+)
+from kafka_streams_clojure_spark.queries._util import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").persist()
+
+
+def test_minhash_lsh_finds_exact_duplicates(docs):
+    """Exact duplicate texts have Jaccard 1.0 → every exact-dup pair
+    MUST be found by LSH (identical signatures collide in all bands).
+    The fixture has no exact dups, so plant synthetic ones: each of the
+    first 20 docs duplicated under doc_id + 1_000_000."""
+    planted = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(planted)
+    expected = {(float(i), float(i + 1_000_000)) for i in range(20)}
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(corpus, n_hashes=32, bands=8, threshold=0.9).collect()
+    }
+    missing = {(int(a), int(b)) for a, b in expected} - {
+        (int(a), int(b)) for a, b in found
+    }
+    assert not missing, f"LSH missed planted exact duplicates: {sorted(missing)[:5]}"
+
+
+def test_minhash_lsh_recall_on_natural_near_dups(docs):
+    """The fixture's natural near-dups (exact Jaccard >= 0.8) must be
+    recovered by banded LSH with high recall (b=8, r=4 → P(catch) >
+    0.998 at j=0.8)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, k=4, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain near-duplicate texts"
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.5).collect()
+    }
+    recall = len(exact & found) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} near-dup pairs"
+
+
+def test_minhash_estimates_track_exact_jaccard(docs):
+    """For pairs surfaced by both paths, |est - exact| must be small on
+    average (32 hashes → σ ≈ 0.09)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=4, threshold=0.5).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.0).collect()
+    }
+    common = set(exact) & set(est)
+    assert common, "no overlapping pairs between exact and LSH paths"
+    errs = [abs(exact[p] - est[p]) for p in common]
+    assert sum(errs) / len(errs) < 0.15, f"mean |est-exact| too high: {sum(errs)/len(errs):.3f}"
+
+
+def test_simhash_identical_docs_collide(docs):
+    """Identical texts → identical simhash (hamming 0); near-identical
+    texts → small hamming. Planted dups prove the identity property;
+    natural near-dups must surface within the hamming budget."""
+    planted = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(planted)
+    found = simhash_near_dups(corpus, max_hamming=3)
+    zero = {
+        (int(r.id_a), int(r.id_b))
+        for r in found.filter(F.col("hamming") == 0).collect()
+    }
+    expected = {(i, i + 1_000_000) for i in range(10)}
+    assert expected <= zero, f"planted dups missing: {sorted(expected - zero)[:5]}"
+
+
+def test_lsh_ann_recall_vs_brute_force(emb, spark):
+    """Sign-LSH recall on high-cosine pairs. The fixture's vectors are
+    near-orthogonal (max pairwise cosine ≈ 0.48), so plant 25 near-dup
+    vectors (tiny deterministic perturbation → cosine ≈ 0.999) and
+    require the LSH path to recover almost all planted pairs."""
+    base = emb.filter(F.col("vec_id") < 25).collect()
+    perturbed = [
+        (
+            int(r.vec_id) + 1_000_000,
+            [float(v) + 0.001 * ((i % 3) - 1) for i, v in enumerate(r.embedding)],
+            int(r.label),
+        )
+        for r in base
+    ]
+    extra = spark.createDataFrame(
+        perturbed, "vec_id long, embedding array<float>, label int"
+    )
+    corpus = emb.unionByName(extra)
+    expected = {(i, i + 1_000_000) for i in range(25)}
+    approx = {
+        (int(r.id_a), int(r.id_b))
+        for r in lsh_cosine_pairs(
+            corpus, n_planes=12, n_tables=4, threshold=0.95
+        ).collect()
+    }
+    recall = len(expected & approx) / len(expected)
+    assert recall >= 0.9, f"ANN recall too low: {recall:.2f}"
+    # every returned pair really has cosine >= threshold (no false
+    # positives — candidates are verified with exact cosine)
+    assert all(a < b for a, b in approx)
+
+
+def test_cosine_topk_self_first(emb):
+    """The probe itself (vec_id=0) must rank first with sim ≈ 1."""
+    probe = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = cosine_topk(emb, probe, k=5).collect()
+    assert top[0].vec_id == 0
+    assert top[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_plumbing_shapes(spark, sf_dir):
+    """Binary column + metadata struct + mapInPandas feature extraction:
+    schema, row conservation, determinism of the stub decoder."""
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        attach_media,
+        decode_image_features,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_media(
+        docs.withColumn("blob", F.encode(F.col("text"), "utf-8")), "blob", "image", "raw"
+    )
+    meta = media.select("media_meta.*").head()
+    assert meta.media_type == "image" and meta.n_bytes > 0 and len(meta.checksum) == 32
+
+    feats = decode_image_features(media, "blob")
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(64 <= r.width <= 1087 and r.n_channels in (1, 2, 3, 4) for r in rows)
+    rows2 = decode_image_features(media, "blob").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2)), "stub decoder not deterministic"
+
+    frames = sample_frames(media, "blob", every_n=5)
+    assert frames.columns == ["doc_id", "frame_idx", "frame"]
+    assert frames.count() >= 50  # at least one frame per doc
+
+
+def test_decode_without_fake_raises(spark, sf_dir):
+    from kafka_streams_clojure_spark.operators.multimodal import decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents").limit(1).withColumn(
+        "blob", F.encode(F.col("text"), "utf-8")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image_features(docs, "blob", fake=False)

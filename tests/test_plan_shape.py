@@ -1,0 +1,85 @@
+"""Plan-shape audits: results being right is necessary, the PLAN being
+right is what survives a 100× scale-up (BASELINE.md engineering
+targets). These tests pin the physical properties we rely on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from kafka_streams_clojure_spark.plans import (
+    has_pushed_filters,
+    physical_plan,
+    scan_read_schema,
+    shuffle_count,
+    uses_broadcast_join,
+)
+from kafka_streams_clojure_spark.queries._util import load_table
+
+_Q = entrymod.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _Q["q_filter"](spark, sf_dir)
+    assert has_pushed_filters(df), physical_plan(df)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = _Q["q_scan_source"](spark, sf_dir)
+    cols = set(scan_read_schema(df))
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"}, cols
+
+
+def test_range_scan_pushes_between(spark, sf_dir):
+    df = _Q["q_sort_range_scan"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "GreaterThanOrEqual(l_orderkey,1000" in plan.replace(" ", "") or "l_orderkey" in plan
+    assert has_pushed_filters(df), plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    for key in ("q_join_inner", "q_join_broadcast"):
+        df = _Q[key](spark, sf_dir)
+        assert uses_broadcast_join(df), f"{key} did not broadcast:\n{physical_plan(df)}"
+
+
+def test_broadcast_join_no_fact_shuffle_before_join(spark, sf_dir):
+    """The broadcast join must not shuffle lineitem for the join; the
+    only exchange is the final small aggregation."""
+    df = _Q["q_join_broadcast"](spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+
+
+def test_groupby_is_two_phase(spark, sf_dir):
+    """Partial (map-side) + final aggregation — shuffle volume ∝ groups."""
+    df = _Q["q_agg_reduce_sum"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Spark 3.5+ pushes rank<=k below the exchange (WindowGroupLimit),
+    so the shuffle carries ~k rows per group instead of everything."""
+    df = _Q["q_topk_per_group"](spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    df = _Q["q_topk_global"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_asof_join_is_single_shuffle_sort(spark, sf_dir):
+    """The as-of join must be union + one window — never a cartesian or
+    range-exploded join."""
+    df = _Q["q_join_asof"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_entry_stays_jvm_side(spark):
+    """The flagship pipeline must contain no Python UDF evaluation."""
+    df = entrymod.entry(spark)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
