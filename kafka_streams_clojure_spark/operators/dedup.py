@@ -20,10 +20,10 @@ Scale design (the whole point of these ops is 100 TB of documents):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_clojure_spark.operators.text import fingerprint, shingles
+from kafka_streams_clojure_spark.operators.text import fingerprint
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -35,11 +35,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc — the set representation
-    for Jaccard."""
+    """(id, set_size, shingle) rows, distinct per doc — the set
+    representation for Jaccard/MinHash.
+
+    Generation is fully codegen'd: posexplode tokens, build each
+    k-shingle with window ``lead``s (higher-order array lambdas like
+    transform/slice run interpreted, ~10× slower), dedupe per doc with
+    ``collect_set`` on the same partitioning. Docs with <= k tokens
+    contribute their whole (normalized) text as one shingle — the same
+    contract as :func:`operators.text.shingles`.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), r"\s+")).alias("__n"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__tok"),
+        )
+        # Pin the window's partitioning explicitly: the exploded rows are
+        # tiny, so AQE would otherwise coalesce the window shuffle down to
+        # one partition and serialize the sort+lead stage.
+        .repartition(par, id_col)
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    shingle = F.concat_ws(
+        " ", F.col("__tok"), *[F.lead("__tok", j).over(w) for j in range(1, k)]
+    )
+    full = (
+        toks.filter(F.col("__n") > k)
+        .select(F.col(id_col), F.col("__n"), shingle.alias("shingle"), F.col("__pos"))
+        .filter(F.col("__pos") + k <= F.col("__n"))
+        .select(id_col, "shingle")
+    )
+    short = df.select(
+        F.col(id_col),
+        F.array_join(F.split(F.col(text_col), r"\s+"), " ").alias("shingle"),
+    ).filter(F.size(F.split(F.col(text_col), r"\s+")) <= k)
     return (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
-        .distinct()
+        full.unionByName(short)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+        .select(
+            F.col(id_col), F.size("sh").alias("set_size"), F.explode("sh").alias("shingle")
+        )
     )
 
 
@@ -55,28 +93,34 @@ def ngram_jaccard_pairs(
     Candidates come from the shared-shingle self-join; |A∩B| is the
     join's pair count, |A∪B| = |A|+|B|-|A∩B|. Returns
     (id_a, id_b, jaccard).
+
+    Plan shape: set sizes ride along with the exploded shingle rows, so
+    the operator is the shingle-set generation (see
+    :func:`shingle_sets`) + the shingle equi-join + one pair-count
+    aggregation. Never docs².
     """
-    s = shingle_sets(df, id_col, text_col, k)
-    sizes = s.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = s.select(F.col(id_col).alias("id_a"), "shingle")
-    b = s.select(F.col(id_col).alias("id_b"), "shingle")
+    # Materialize the sets once: they're read by both join sides and by
+    # the inferred not-null scan filter — without persist the generation
+    # runs up to 4×.
+    sets = shingle_sets(df, id_col, text_col, k).persist()
+    a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     jac = (
         F.col("n_inter").cast("double")
         / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double")
     )
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

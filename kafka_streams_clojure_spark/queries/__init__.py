@@ -61,8 +61,10 @@ def _load_all() -> None:
         joins,
         llm,
         relational,
+        reshape,
         scalar_functions,
         sorts,
+        sql_keys,
         streaming_keys,
         window_functions,
     )

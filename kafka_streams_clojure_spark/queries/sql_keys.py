@@ -1,0 +1,79 @@
+"""SQL-API query keys: classic multi-join analytics (TPC-H Q3/Q5/Q6
+shapes) executed as ONE SQL text through BOTH engines — the string
+passed to ``spark.sql`` over the registered views is byte-identical to
+the DuckDB oracle. Demonstrates the declarative surface plus dialect
+discipline (decimal-cast sums, timestamp literals, unique tiebreakers).
+
+Catalyst handles the physical side: dimension sides broadcast, join
+order reordered by CBO/AQE, fact-table filters pushed to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_clojure_spark.queries import query
+from kafka_streams_clojure_spark.sql import sql
+
+_Q3 = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE)       AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE)       AS revenue
+FROM customer
+JOIN orders   ON c_custkey   = o_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE)       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q_sql_tpch_q3", oracle=_Q3)
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join, filtered fact,
+    grouped revenue, deterministic top-10."""
+    return sql(spark, sf_dir, _Q3)
+
+
+@query("q_sql_tpch_q5", oracle=_Q5)
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-way snowflake join with
+    a cross-dimension equality (c_nationkey = s_nationkey)."""
+    return sql(spark, sf_dir, _Q5)
+
+
+@query("q_sql_tpch_q6", oracle=_Q6)
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan+filter+agg —
+    the predicate-pushdown showcase."""
+    return sql(spark, sf_dir, _Q6)

@@ -138,6 +138,141 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join_static",
+    oracle="""
+    SELECT event_id, user_id, c_name, value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static enrichment (the streaming face of the
+    KStream⋈GlobalKTable join): the dimension is re-read and broadcast
+    per micro-batch, so dimension updates are picked up — and the
+    stream side never shuffles."""
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_name", "value")
+    return run_available_now(joined, output_mode="append")
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT l.event_id AS purchase_id, r.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 5 MINUTE
+     AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM windowed join (KS JoinWindows parity on the real
+    streaming engine): both sides watermarked, join condition carries
+    the ±5 min band so Spark can bound state. Inner join emits matches
+    eagerly → one AvailableNow batch reproduces the batch answer."""
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("l")
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .alias("r")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 5 MINUTES "
+            "AND r.ts <= l.ts + INTERVAL 5 MINUTES"
+        ),
+        "inner",
+    ).select(F.col("l.event_id").alias("purchase_id"), F.col("r.event_id").alias("click_id"))
+    return run_available_now(joined, output_mode="append")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming de-duplication with bounded state
+    (`dropDuplicatesWithinWatermark` — the `distinct` transducer's
+    scalable streaming form, SURVEY §2.9): state for a key is evicted
+    once the watermark passes it, so memory is bounded by the horizon,
+    not the stream length."""
+    ev = stream_table(spark, sf_dir, "events")
+    dedup = (
+        ev.withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(dedup, output_mode="append")
+
+
+@query(
+    "q_stream_branch_sinks",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+           CASE WHEN event_type = 'error' THEN 'errors'
+                WHEN value > 90.0 THEN 'whales'
+                WHEN event_type = 'purchase' THEN 'purchases'
+           END AS branch
+    FROM events
+    WHERE event_type = 'error' OR value > 90.0 OR event_type = 'purchase'
+    """,
+)
+def q_stream_branch_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology fan-out (SURVEY §2.9): one streaming source routed to
+    MULTIPLE sinks inside a single foreachBatch — the batch is read
+    once, first-match masks route it, each branch lands in its own
+    sink (parquet dirs standing in for topics)."""
+    import shutil
+    import tempfile
+
+    from kafka_streams_clojure_spark import xform as X
+
+    ev = stream_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    preds = {
+        "errors": F.col("event_type") == "error",
+        "whales": F.col("value") > 90.0,
+        "purchases": F.col("event_type") == "purchase",
+    }
+    out_root = tempfile.mkdtemp(prefix="kscs_branch_sinks_")
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        branches = X.branch_map(batch_df, preds)
+        for name, bdf in branches.items():
+            bdf.withColumn("branch", F.lit(name)).write.mode("append").parquet(
+                f"{out_root}/{name}"
+            )
+        batch_df.unpersist()
+
+    q = ev.writeStream.foreachBatch(route).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    parts = [
+        spark.read.parquet(f"{out_root}/{name}")
+        for name in preds
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    result = spark.createDataFrame(union.collect(), union.schema)
+    shutil.rmtree(out_root, ignore_errors=True)
+    return result
+
+
+@query(
     "q_udf_scalar",
     oracle="""
     SELECT event_id, (value * 2.0 + 1.0) / 3.0 AS scaled FROM events

@@ -195,6 +195,20 @@ def drop(n: int, order_by: Sequence[ColumnOrName]) -> Xform:
     return apply
 
 
+def partition_all(n: int, order_by: Sequence[ColumnOrName], batch_col: str = "batch_id") -> Xform:
+    """Clojure ``(partition-all n)``: fixed-size batches in a pinned
+    global order — ``batch_id = floor((row_number-1)/n)``. (On streams
+    micro-batching is native; this is the batch analog.)"""
+
+    def apply(df: DataFrame) -> DataFrame:
+        w = Window.orderBy(*order_by)
+        return df.withColumn(
+            batch_col, F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(n))
+        )
+
+    return apply
+
+
 def partition_by(change_expr: Column, order_by: Sequence[ColumnOrName], group_col: str = "run_id", partition_cols: Sequence[ColumnOrName] = ()) -> Xform:
     """Clojure ``(partition-by f)``: assign a run id that increments
     whenever ``change_expr`` changes in ``order_by`` order — the
