@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the semantically subtle
+operators — the SURVEY §7 watch-list items: first-match branch routing
+under arbitrary overlapping predicates, and as-of join tie/ordering
+semantics vs pandas' reference implementation (merge_asof)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark import xform as X
+from kafka_streams_clojure_spark.operators.errors import tolerant_map_in_pandas
+from kafka_streams_clojure_spark.operators.joins import asof_join
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=60),
+    t1=st.integers(min_value=0, max_value=99),
+    t2=st.integers(min_value=0, max_value=99),
+)
+@_settings
+def test_branch_first_match_partition_property(spark, rows, t1, t2):
+    """For ANY data and ANY (overlapping) predicate pair + catch-all:
+    branches are disjoint and their union is exactly the input."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)], "id int, v int")
+    branches = X.branch(
+        df, F.col("v") < t1, F.col("v") < t2, F.lit(True), persist=False
+    )
+    collected = [sorted(r.id for r in b.select("id").collect()) for b in branches]
+    flat = [i for ids in collected for i in ids]
+    assert sorted(flat) == list(range(len(rows))), "union must equal input"
+    assert len(flat) == len(set(flat)), "branches must be disjoint"
+    # first-match: python reference routing
+    for i, v in enumerate(rows):
+        want = 0 if v < t1 else (1 if v < t2 else 2)
+        assert i in collected[want]
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=40
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=40
+    ),
+)
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas merge_asof(by=key, direction='backward') for
+    arbitrary key/ts multisets (right side deduped per (key, ts) —
+    the operator's documented contract)."""
+    lpdf = pd.DataFrame(left, columns=["k", "ts"]).reset_index(names="lid")
+    rpdf = (
+        pd.DataFrame(right, columns=["k", "ts"])
+        .drop_duplicates(["k", "ts"])
+        .reset_index(drop=True)
+        .reset_index(names="rid")
+    )
+    ldf = spark.createDataFrame(lpdf[["lid", "k", "ts"]], "lid long, k long, ts long")
+    rdf = spark.createDataFrame(rpdf[["rid", "k", "ts"]], "rid long, k long, ts long")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"]
+        ).collect()
+    }
+    expected = pd.merge_asof(
+        lpdf.sort_values(["ts", "lid"]),
+        rpdf.sort_values("ts").rename(columns={"ts": "rts"}),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+    )
+    for _, row in expected.iterrows():
+        want = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got.get(int(row["lid"])) == want, (
+            f"lid={row['lid']}: got {got.get(int(row['lid']))}, want {want}"
+        )
+
+
+def test_tolerant_map_drops_only_poison_rows(spark):
+    """Reference error contract (api.clj:21-24): a record whose
+    processing throws is dropped; everything else flows on."""
+    df = spark.createDataFrame([(i,) for i in range(20)], "id int")
+
+    def explode_on_13(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["id"] == 13).any():
+            raise ValueError("poison record")
+        return pdf.assign(doubled=pdf["id"] * 2)
+
+    out = tolerant_map_in_pandas(df, explode_on_13, "id int, doubled int")
+    rows = {r.id: r.doubled for r in out.collect()}
+    assert 13 not in rows
+    assert len(rows) == 19
+    assert all(rows[i] == 2 * i for i in rows)
+
+
+def test_tolerant_map_raise_mode(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+
+    def boom(pdf: pd.DataFrame) -> pd.DataFrame:
+        raise RuntimeError("always")
+
+    out = tolerant_map_in_pandas(df, boom, "id int", on_error="raise")
+    with pytest.raises(Exception):
+        out.collect()
