@@ -1,0 +1,131 @@
+"""Round-1 completions: remaining transducer analogs and analytic
+surface (map-indexed, grouping sets, first/last values, streaming
+session windows, sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.queries import query
+from kafka_streams_clojure_spark.queries._util import dsum, load_table, sql_dsum
+from kafka_streams_clojure_spark.sql import sql as run_sql
+from kafka_streams_clojure_spark.streaming import run_available_now, stream_table
+
+
+@query(
+    "q_map_indexed",
+    oracle="""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+    FROM events
+    """,
+)
+def q_map_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(map-indexed f)` transducer: 0-based global sequence numbers in
+    a pinned total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", (F.row_number().over(w) - F.lit(1)).cast("long").alias("idx")
+    )
+
+
+_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("q_agg_grouping_sets", oracle=_GROUPING_SETS)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): same SQL text in
+    both engines."""
+    return run_sql(spark, sf_dir, _GROUPING_SETS)
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over full-partition frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+@query(
+    "q_stream_session_window",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n,
+           {sql_dsum('value')} AS total
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the REAL streaming engine (KS SessionWindows
+    parity end-to-end): watermarked `session_window` aggregation, complete-mode
+    memory sink → final sessions equal the batch gaps-and-islands
+    oracle (update mode is unsupported for streaming session windows)."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+            "total",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@query("q_sample")  # RNG differs across engines — rows-only by design
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed (reproducible within Spark;
+    cross-engine RNG parity is impossible, hence rows-only). The
+    invariant test bounds the sample fraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

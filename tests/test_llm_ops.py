@@ -183,3 +183,17 @@ def test_decode_without_fake_raises(spark, sf_dir):
     )
     with pytest.raises(NotImplementedError):
         decode_image_features(docs, "blob", fake=False)
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    """q_sample: reproducible seeded Bernoulli sample, fraction within
+    loose binomial bounds, and deterministic across runs."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["q_sample"]
+    a = {(r.l_orderkey, r.l_linenumber) for r in q(spark, sf_dir).collect()}
+    b = {(r.l_orderkey, r.l_linenumber) for r in q(spark, sf_dir).collect()}
+    assert a == b, "seeded sample must be deterministic"
+    total = load_table(spark, sf_dir, "lineitem").count()
+    frac = len(a) / total
+    assert 0.05 < frac < 0.15, f"sample fraction {frac:.3f} out of bounds"
