@@ -1,0 +1,108 @@
+"""Multi-batch streaming: state must accumulate correctly ACROSS
+micro-batches (the single-AvailableNow-batch oracle keys can't show
+this). The fixture is split into several files and fed one file per
+trigger, so the engine processes N real micro-batches."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.queries._util import dsum, load_table
+from kafka_streams_clojure_spark.streaming.stateful import running_counter
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_dir):
+    """events split into 4 parquet files (by event_id ranges so every
+    batch has data)."""
+    d = tempfile.mkdtemp(prefix="kscs_multibatch_")
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    step = n // 4 + 1
+    for i in range(4):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, f"part_{i}"))
+        )
+    return d
+
+
+def _stream_split(spark, split_dir, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(split_dir, "part_*"))
+    )
+
+
+def test_stateful_counter_across_batches(spark, sf_dir, split_events_dir):
+    """running_counter over 4 micro-batches: the LAST emission per key
+    must equal the batch aggregate over all data — state survived and
+    accumulated across batches."""
+    batch_ev = load_table(spark, sf_dir, "events")
+    stream = _stream_split(spark, split_events_dir, batch_ev.schema)
+
+    counted = running_counter(stream, key_col="user_id", value_col="value")
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = counted.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    # last emission per key (keys can be emitted in several batches;
+    # the final n is the max since counts only grow)
+    emitted = spark.table(name).groupBy("key").agg(F.max("n").alias("n"))
+    expected = batch_ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_exp")
+    )
+    joined = emitted.join(expected, "key")
+    assert joined.count() == expected.count()
+    bad = joined.filter(F.col("n") != F.col("n_exp")).count()
+    assert bad == 0, "per-key streamed counts diverge from batch counts"
+
+
+def test_windowed_agg_across_batches(spark, sf_dir, split_events_dir):
+    """Watermarked tumbling windows fed 4 batches end at the same final
+    table as the batch query (update mode: take the last emission per
+    window/key)."""
+    batch_ev = load_table(spark, sf_dir, "events")
+    stream = _stream_split(spark, split_events_dir, batch_ev.schema)
+    agg = (
+        stream.withWatermark("ts", "40 days")  # nothing dropped: files split by id, not time
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    final = (
+        spark.table(name)
+        .groupBy("ws", "event_type")
+        .agg(F.max("n").alias("n"), F.last("total").alias("_ignore"))
+        .drop("_ignore")
+    )
+    expected = (
+        batch_ev.groupBy(F.date_trunc("day", "ts").alias("ws"), "event_type")
+        .agg(F.count("*").alias("n_exp"))
+    )
+    joined = final.join(expected, ["ws", "event_type"], "full_outer")
+    assert joined.filter(F.col("n").isNull() | F.col("n_exp").isNull()).count() == 0
+    assert joined.filter(F.col("n") != F.col("n_exp")).count() == 0
