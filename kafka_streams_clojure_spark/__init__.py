@@ -42,6 +42,7 @@ from kafka_streams_clojure_spark.xform import (
     map_,
     map_values,
     merge,
+    partition_all,
     partition_by,
     select_key,
     take,
@@ -69,6 +70,7 @@ __all__ = [
     "take",
     "drop",
     "partition_by",
+    "partition_all",
 ]
 
 __version__ = "0.1.0"

@@ -59,7 +59,7 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            month(o_orderdate)                                       AS m,
            day(o_orderdate)                                         AS d,
            date_trunc('month', o_orderdate)                         AS month_start,
-           CAST(epoch(o_orderdate) AS BIGINT)                       AS unix_s,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT)                AS unix_s,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
     FROM orders
     """,

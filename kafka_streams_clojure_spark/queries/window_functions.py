@@ -144,7 +144,7 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS hour_value
     FROM (SELECT event_id, user_id, value,
-                 CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
     """,
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
