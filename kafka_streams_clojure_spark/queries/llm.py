@@ -329,6 +329,93 @@ def q_llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_near_dups(emb, block_col="label", threshold=0.3)
 
 
+@query(
+    "q_llm_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS token FROM documents
+    )
+    SELECT token,
+           count(*)                 AS tf,
+           count(DISTINCT doc_id)   AS df
+    FROM tok
+    GROUP BY token
+    HAVING count(DISTINCT doc_id) >= 5
+    """,
+)
+def q_llm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency + document
+    frequency per token (the df table that tf-idf / stop-shingle cuts
+    are built from). One explode + one two-phase agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+    )
+
+
+@query(
+    "q_llm_pipeline",
+    oracle=f"""
+    WITH keep AS (
+      SELECT doc_id, lang, source, text FROM documents d
+      WHERE doc_id = (
+        SELECT min(doc_id) FROM documents d2
+        WHERE md5(lower(trim(regexp_replace(d2.text, '\\s+', ' ', 'g'))))
+            = md5(lower(trim(regexp_replace(d.text,  '\\s+', ' ', 'g'))))
+      )
+    ),
+    en AS (SELECT * FROM keep WHERE lang = 'en'),
+    scored AS (
+      SELECT doc_id, source,
+             len({_TOK}) AS n_tokens,
+             CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}) AS diversity
+      FROM en
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) AS total_tokens
+    FROM scored
+    WHERE n_tokens >= 20 AND diversity > 0.3
+    GROUP BY source
+    """,
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline a reference user would run:
+    exact dedup → language filter → quality gates (length + lexical
+    diversity) → per-source corpus stats. Every stage is one of the
+    engine's operators; the whole thing is one lazy Catalyst plan (the
+    transducer-`comp` idiom at corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    deduped = exact_dedup(docs)
+    en = deduped.filter(F.col("lang") == "en")
+    scored = en.select(
+        "doc_id",
+        "source",
+        TX.token_count(c).alias("n_tokens"),
+        TX.distinct_ratio(c).alias("diversity"),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 20) & (F.col("diversity") > 0.3))
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("decimal(18,4)")).cast("double").alias("total_tokens"),
+    )
+
+
+@query("q_llm_winnow")  # rolling-hash signatures — engine-side UDF, rows-only
+def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash chunk signatures,
+    Schleimer et al. SIGMOD'03): pairs of docs sharing >= 3 winnowed
+    chunks — partial/chunk-level duplication that doc-level MinHash
+    misses. Invariants in tests/test_llm_ops.py."""
+    from kafka_streams_clojure_spark.operators.winnow import winnow_shared_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_shared_chunks(docs, min_shared=3)
+
+
 @query("q_multimodal_features")  # stubbed decoder — rows-only by design
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: text bytes stand in for media

@@ -197,3 +197,38 @@ def test_sample_fraction_bounds(spark, sf_dir):
     total = load_table(spark, sf_dir, "lineitem").count()
     frac = len(a) / total
     assert 0.05 < frac < 0.15, f"sample fraction {frac:.3f} out of bounds"
+
+
+def test_winnow_detects_planted_chunk_duplication(spark, sf_dir):
+    """Two docs sharing a long substring (>= k+w-1 chars) MUST share a
+    winnowed fingerprint (the scheme's coverage guarantee); unrelated
+    short docs must not dominate with false pairs."""
+    from kafka_streams_clojure_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_shared_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # plant: copy a 120-char chunk of doc 0 into a synthetic doc
+    base_text = docs.filter(F.col("doc_id") == 0).head()["text"]
+    chunk = base_text[:120]
+    extra = spark.createDataFrame(
+        [(9_000_000, "unrelated prefix words " + chunk + " unrelated suffix")],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    pairs = {
+        (int(r.id_a), int(r.id_b))
+        for r in winnow_shared_chunks(corpus, min_shared=1).collect()
+    }
+    assert (0, 9_000_000) in pairs, "shared 120-char chunk not detected"
+    # determinism of the fingerprint set
+    fp1 = sorted(
+        (int(r.doc_id), int(r.fingerprint))
+        for r in winnow_fingerprints(extra).collect()
+    )
+    fp2 = sorted(
+        (int(r.doc_id), int(r.fingerprint))
+        for r in winnow_fingerprints(extra).collect()
+    )
+    assert fp1 == fp2 and len(fp1) > 0
