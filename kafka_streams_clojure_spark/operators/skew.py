@@ -1,0 +1,58 @@
+"""Skew-handling operators (100 TB posture, BASELINE.md).
+
+AQE's skew-join splitting handles join-side skew automatically; this
+module covers the remaining hot spot — aggregation over keys whose
+group sizes are pathological (one user = 10% of a 100 TB stream).
+
+``salted_agg`` implements the classic two-phase salt: rows get a
+random-but-deterministic salt in [0, n), phase 1 aggregates on
+(key, salt) — splitting a hot key across n reducers — phase 2 merges
+the partials per key. Works for any algebraic aggregate (sum/count/
+min/max); the helper wires sum+count so averages compose too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: dict[str, Column],
+    n_salts: int = 16,
+    count_alias: str = "n",
+) -> DataFrame:
+    """Two-phase salted aggregation: per-key count + sums, skew-proof.
+
+    ``sum_cols``: {output_name: row_expression} — each is decimal-cast
+    summed (order-independent, oracle-exact) in both phases.
+
+    The salt is ``pmod(hash(all columns), n_salts)`` — deterministic
+    per row content, uniform across a hot key's rows, and requiring no
+    extra entropy source (Spark-internal hash never reaches results).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias(
+        "__salt"
+    )
+    phase1 = (
+        df.select(*df.columns, salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(
+            F.count("*").alias("__n"),
+            *[
+                F.sum(expr.cast("decimal(18,4)")).alias(f"__s_{name}")
+                for name, expr in sum_cols.items()
+            ],
+        )
+    )
+    return phase1.groupBy(*key_cols).agg(
+        F.sum("__n").alias(count_alias),
+        *[
+            F.sum(f"__s_{name}").cast("double").alias(name)
+            for name in sum_cols
+        ],
+    )

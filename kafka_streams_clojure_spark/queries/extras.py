@@ -120,6 +120,46 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, output_mode="complete")
 
 
+@query(
+    "q_agg_salted",
+    oracle=f"""
+    SELECT user_id, count(*) AS n, {sql_dsum('value')} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase salted aggregation
+    (operators.skew.salted_agg): splits each hot key across 16 salted
+    reducers, then merges partials — results identical to the plain
+    GROUP BY (which IS the oracle)."""
+    from kafka_streams_clojure_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev, ["user_id"], {"total_value": F.col("value")}, n_salts=16
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same
+    linear-interpolation definition; `percentile_approx` is the
+    scale-path variant and stays rows-only territory)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+
+
 @query("q_sample")  # RNG differs across engines — rows-only by design
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed (reproducible within Spark;
