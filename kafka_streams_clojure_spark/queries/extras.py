@@ -160,6 +160,36 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ktable_latest",
+    oracle="""
+    SELECT user_id, event_type, value,
+           ts AS latest_ts, event_id AS latest_event_id
+    FROM (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable materialization (reference roadmap README.md:33-34): the
+    events changelog compacted to each user's latest record via
+    `max_by` over a packed order struct — a two-phase agg (shuffle ∝
+    #keys), no per-group sort. The oracle uses the row_number idiom;
+    results must be identical."""
+    from kafka_streams_clojure_spark.operators.ktable import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_type", "value"],
+    )
+
+
 @query("q_sample")  # RNG differs across engines — rows-only by design
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed (reproducible within Spark;
