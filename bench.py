@@ -60,6 +60,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # operators that persist intermediate sets (jaccard/minhash)
+        # would otherwise accumulate cached blocks across queries
+        spark.catalog.clearCache()
         # min of two runs: reports steady-state throughput, damping
         # one-off JIT/GC noise (first-run variance measured at 4-14s
         # for multi-stage shuffle plans on this box)

@@ -162,6 +162,11 @@ def minhash_lsh_pairs(
     signature positions and filtered at `threshold`. Returns
     (id_a, id_b, est_jaccard).
     """
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}); a remainder "
+            "would silently drop signature positions and lower recall"
+        )
     r = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes).persist()
     band_rows = sig.select(

@@ -82,10 +82,15 @@ def asof_join(
         .filter(F.col("__probe") == 1)
     )
     if tolerance is not None:
+        lt_type = dict(left.dtypes)[left_ts]
+        if "timestamp" not in lt_type:
+            raise ValueError(
+                f"tolerance requires timestamp ts columns; {left_ts!r} is {lt_type}"
+            )
         matched = matched.withColumn(
             "__match",
             F.when(
-                F.col("__match.__rts") >= F.col("__ts").cast("timestamp") - tolerance,
+                F.col("__match.__rts") >= F.col("__ts") - tolerance,
                 F.col("__match"),
             ),
         )

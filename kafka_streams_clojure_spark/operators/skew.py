@@ -31,13 +31,14 @@ def salted_agg(
     ``sum_cols``: {output_name: row_expression} — each is decimal-cast
     summed (order-independent, oracle-exact) in both phases.
 
-    The salt is ``pmod(hash(all columns), n_salts)`` — deterministic
-    per row content, uniform across a hot key's rows, and requiring no
-    extra entropy source (Spark-internal hash never reaches results).
+    The salt derives from ``monotonically_increasing_id()`` — unique
+    per physical row, so even a hot key consisting of IDENTICAL
+    repeated records spreads across all n salts (a content-derived
+    hash would collapse duplicates onto one reducer). The salt never
+    reaches the results, so nondeterminism is confined to partial
+    placement.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias(
-        "__salt"
-    )
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("__salt")
     phase1 = (
         df.select(*df.columns, salt)
         .groupBy(*key_cols, "__salt")

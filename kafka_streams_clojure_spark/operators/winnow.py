@@ -66,14 +66,20 @@ def winnow_fingerprints(
                     hs = _window_hashes(data, k)
                 if len(hs) == 0:
                     continue
+
+                def to_i64(v: int) -> int:
+                    # wrap uint64 → int64 without numpy casts (np.uint64
+                    # of a negative int warns on 1.26 / raises on 2.x)
+                    return v - (1 << 64) if v >= (1 << 63) else v
+
                 # winnow: min hash of each w-window, deduplicated
                 if len(hs) <= w:
-                    sel = {int(hs.min())}
+                    sel = {to_i64(int(hs.min()))}
                 else:
                     view = np.lib.stride_tricks.sliding_window_view(hs, w)
                     sel = set(view.min(axis=1).astype(np.int64).tolist())
                 ids.extend(int(doc_id) for _ in sel)
-                fps.extend(int(np.int64(np.uint64(s))) for s in sel)
+                fps.extend(int(s) for s in sel)
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 
     slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))

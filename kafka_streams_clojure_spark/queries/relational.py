@@ -270,7 +270,10 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (distinct semantics, like SQL EXCEPT)."""
     nat = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return nat.exceptAll(supp.distinct()).distinct()
+    # subtract == SQL EXCEPT (distinct, removes ALL right matches);
+    # exceptAll().distinct() would wrongly keep left values that also
+    # appear on the right whenever the left side has duplicates.
+    return nat.subtract(supp)
 
 
 @query(

@@ -82,4 +82,11 @@ def run_available_now(df: DataFrame, output_mode: str = "update") -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    # Memory-sink rows live on the driver; pin them into a standalone
+    # DataFrame and drop the sink's temp view so repeated calls don't
+    # leak one table per invocation in a long-lived session.
+    sink = spark.table(name)
+    result = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return result

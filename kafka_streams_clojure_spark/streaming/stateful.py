@@ -20,6 +20,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -49,12 +50,16 @@ def running_counter(
         state.update((n, total))
         yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
 
+    # output key type follows the input column (a hardcoded `long`
+    # would corrupt string/other keys); the value is normalized to
+    # double up front so the pandas float accumulation is well-typed.
+    key_type = dict(events.dtypes)[key_col]
     return (
-        events.select(key_col, value_col)
+        events.select(F.col(key_col), F.col(value_col).cast("double").alias(value_col))
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType="key long, n long, total double",
+            outputStructType=f"key {key_type}, n long, total double",
             stateStructType="n long, total double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

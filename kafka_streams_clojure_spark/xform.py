@@ -163,12 +163,15 @@ def dedupe(value_cols: Sequence[str], order_by: Sequence[ColumnOrName], partitio
         w = Window.partitionBy(*partition_by_cols).orderBy(*order_by)
         prev = [F.lag(c).over(w).alias(f"__prev_{c}") for c in value_cols]
         changed = None
-        out = df.select("*", *prev)
+        out = df.select("*", F.row_number().over(w).alias("__rn"), *prev)
         for c in value_cols:
-            n = F.col(f"__prev_{c}")
-            diff = n.isNull() | (F.col(c) != n)
+            # null-safe: a null value differing from its neighbor must
+            # still count as a change (plain != yields SQL NULL there,
+            # which filter() would drop — verified failure mode)
+            diff = ~F.col(c).eqNullSafe(F.col(f"__prev_{c}"))
             changed = diff if changed is None else (changed | diff)
-        return out.filter(changed).drop(*[f"__prev_{c}" for c in value_cols])
+        keep = (F.col("__rn") == 1) | changed
+        return out.filter(keep).drop("__rn", *[f"__prev_{c}" for c in value_cols])
 
     return apply
 
@@ -217,7 +220,12 @@ def partition_by(change_expr: Column, order_by: Sequence[ColumnOrName], group_co
     def apply(df: DataFrame) -> DataFrame:
         w = Window.partitionBy(*partition_cols).orderBy(*order_by)
         prev = F.lag(change_expr).over(w)
-        is_new = F.when(prev.isNull() | (change_expr != prev), F.lit(1)).otherwise(F.lit(0))
+        # null-safe change detection (plain != is NULL around null
+        # values, mis-merging runs); the first row is always a new run
+        # even when its change value is null.
+        is_new = F.when(
+            (F.row_number().over(w) == 1) | ~change_expr.eqNullSafe(prev), F.lit(1)
+        ).otherwise(F.lit(0))
         return df.withColumn(group_col, F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
 
     return apply

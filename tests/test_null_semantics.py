@@ -1,0 +1,98 @@
+"""Regression tests for null/duplicate semantics the fixtures can't
+exercise (no nulls, unique keys) — the code-review findings of round 1."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark import xform as X
+
+
+def test_dedupe_keeps_null_transitions(spark):
+    """[A, null, B] in order: all three rows survive dedupe (each
+    differs from its predecessor, null included); [A, null, null, A]
+    drops only the second null."""
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, "B")], "ord int, v string"
+    )
+    out = sorted(
+        r.ord for r in X.dedupe(["v"], order_by=[F.col("ord")])(df).collect()
+    )
+    assert out == [1, 2, 3]
+
+    df2 = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, None), (4, "A")], "ord int, v string"
+    )
+    out2 = sorted(
+        r.ord for r in X.dedupe(["v"], order_by=[F.col("ord")])(df2).collect()
+    )
+    assert out2 == [1, 2, 4]
+
+
+def test_partition_by_null_runs(spark):
+    """[A, A, null, null, A] → run ids [1, 1, 2, 2, 3]: a null run is
+    its own run; consecutive nulls share one run; first row is always
+    a new run even if its value is null."""
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, None), (4, None), (5, "A")], "ord int, v string"
+    )
+    runs = {
+        r.ord: r.run_id
+        for r in X.partition_by(F.col("v"), order_by=[F.col("ord")])(df).collect()
+    }
+    assert [runs[i] for i in range(1, 6)] == [1, 1, 2, 2, 3]
+
+    df2 = spark.createDataFrame([(1, None), (2, None)], "ord int, v string")
+    runs2 = {
+        r.ord: r.run_id
+        for r in X.partition_by(F.col("v"), order_by=[F.col("ord")])(df2).collect()
+    }
+    assert [runs2[1], runs2[2]] == [1, 1]
+
+
+def test_except_removes_all_right_matches(spark):
+    """SQL EXCEPT: a left value present on the right disappears even if
+    the left has duplicates of it (exceptAll+distinct would keep it)."""
+    left = spark.createDataFrame([(1,), (1,), (2,)], "v int")
+    right = spark.createDataFrame([(1,)], "v int")
+    assert [r.v for r in left.subtract(right).collect()] == [2]
+
+
+def test_salted_agg_splits_identical_hot_rows(spark):
+    """A hot key of IDENTICAL repeated rows must spread across salts
+    (content-derived salts would collapse them onto one reducer) and
+    still aggregate exactly."""
+    from kafka_streams_clojure_spark.operators.skew import salted_agg
+
+    hot = spark.createDataFrame([("hot", 1.0)] * 1000 + [("cold", 2.0)], "k string, v double")
+    out = {r.k: (r.n, r.total) for r in salted_agg(hot, ["k"], {"total": F.col("v")}).collect()}
+    assert out["hot"] == (1000, 1000.0)
+    assert out["cold"] == (1, 2.0)
+    # distribution check: the phase-1 salt must take many values
+    n_salts = (
+        hot.filter(F.col("k") == "hot")
+        .select(F.pmod(F.monotonically_increasing_id(), F.lit(16)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts > 4
+
+
+def test_running_counter_string_key(spark, sf_dir):
+    """Stateful counter with a non-long key column (schema is derived,
+    not hardcoded)."""
+    from kafka_streams_clojure_spark.queries._util import load_table
+    from kafka_streams_clojure_spark.streaming import run_available_now, stream_table
+    from kafka_streams_clojure_spark.streaming.stateful import running_counter
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = run_available_now(running_counter(ev, key_col="event_type"), "update")
+    got = {r.key: r.n for r in out.collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
