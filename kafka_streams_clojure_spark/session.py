@@ -105,3 +105,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Read several fixture tables at once."""
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def clear_caches(spark: SparkSession) -> None:
+    """Release every cached DataFrame in the session.
+
+    Operators that read an expensive intermediate from multiple plan
+    branches (`branch`, `ngram_jaccard_pairs`, `minhash_lsh_pairs`,
+    `simhash_near_dups`, `lsh_cosine_pairs`, `winnow_shared_chunks`)
+    persist it for the duration of their computation; the blocks stay
+    referenced until the session drops them. Long-lived sessions
+    running many such operators should call this between pipelines
+    (the bench does)."""
+    spark.catalog.clearCache()

@@ -1,0 +1,46 @@
+"""Plan lint across the ENTIRE query registry: build (don't execute)
+every key's plan and reject scale-hostile shapes — accidental
+cartesian products and Python evaluation outside the declared UDF
+keys. This is the automated form of the `.explain` discipline."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from kafka_streams_clojure_spark.plans import physical_plan
+
+_Q = entrymod.queries()
+
+#: keys whose PLAN legitimately contains a broadcast nested loop /
+#: cartesian (theta/cross are non-equi by definition)
+_NONEQUI_OK = {"q_join_theta", "q_join_cross"}
+
+#: keys that intentionally run Python (Arrow-batched UDFs)
+_PYTHON_OK = {
+    "q_udf_scalar",
+    "q_udf_grouped_map",
+    "q_udaf_grouped_agg",
+    "q_llm_winnow",
+    "q_multimodal_features",
+    "q_stream_stateful_counter",
+}
+
+#: streaming / side-effecting keys execute on call — skip plan-building
+#: them here (their shapes are covered by their own tests)
+_SKIP = {k for k in _Q if k.startswith("q_stream")} | {
+    "q_sink_roundtrip",
+    "q_store_point_lookup",
+    "q_store_range_scan_live",
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(_Q) - _SKIP))
+def test_plan_is_scale_safe(name, spark, sf_dir):
+    plan = physical_plan(_Q[name](spark, sf_dir))
+    if name not in _NONEQUI_OK:
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a BNLJ"
+    if name not in _PYTHON_OK:
+        assert "EvalPython" not in plan, f"{name} runs Python outside the UDF keys"
+        assert "FlatMapGroupsInPandas" not in plan, f"{name} unexpectedly uses pandas"
