@@ -114,3 +114,46 @@ def test_tolerant_map_raise_mode(spark):
     out = tolerant_map_in_pandas(df, boom, "id int", on_error="raise")
     with pytest.raises(Exception):
         out.collect()
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])), min_size=1, max_size=30
+    )
+)
+@_settings
+def test_dedupe_matches_python_reference(spark, vals):
+    """X.dedupe == itertools.groupby-style consecutive compaction for
+    arbitrary value sequences INCLUDING nulls."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ord int, v string"
+    )
+    got = sorted(
+        r.ord for r in X.dedupe(["v"], order_by=[F.col("ord")])(df).collect()
+    )
+    want = [i for i, v in enumerate(vals) if i == 0 or v != vals[i - 1]]
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b"])), min_size=1, max_size=30
+    )
+)
+@_settings
+def test_partition_by_matches_python_reference(spark, vals):
+    """X.partition_by run ids == Python gaps-and-islands on arbitrary
+    sequences including nulls."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ord int, v string"
+    )
+    got = {
+        r.ord: r.run_id
+        for r in X.partition_by(F.col("v"), order_by=[F.col("ord")])(df).collect()
+    }
+    run, want = 0, {}
+    for i, v in enumerate(vals):
+        if i == 0 or v != vals[i - 1]:
+            run += 1
+        want[i] = run
+    assert got == want
