@@ -245,8 +245,13 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
     Hamming distance d < 4 shares at least one of 4 bands exactly),
     verify exact Hamming distance on candidates."""
-    sig = simhash_signatures(df, id_col, text_col).persist()
     n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < 64//band_bits ({n_bands}) or the "
+            "band-blocking pigeonhole guarantee (>= one clean band per pair) breaks"
+        )
+    sig = simhash_signatures(df, id_col, text_col).persist()
     mask = (1 << band_bits) - 1
     banded = sig.select(
         id_col,

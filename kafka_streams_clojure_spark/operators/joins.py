@@ -54,6 +54,10 @@ def asof_join(
     — matches older than ``left_ts - tolerance`` are nulled out.
     """
     lcols = left.columns
+    # Null-key / null-ts right rows can never be an as-of match (ASOF
+    # equi+inequality semantics); left unfiltered, they would sort
+    # first in the window and masquerade as "oldest state".
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     payload = F.struct(*[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts"))
     lhs = left.select(
         F.col(on).alias("__k"),

@@ -82,7 +82,11 @@ def winnow_fingerprints(
                 fps.extend(int(s) for s in sel)
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 
-    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")).filter(
+        # null text would fingerprint the literal string 'None'; null id
+        # would NaN-poison the pandas int column — neither is a document
+        F.col("__id").isNotNull() & F.col("__text").isNotNull()
+    )
     return slim.mapInPandas(run, schema="doc_id long, fingerprint long")
 
 

@@ -40,7 +40,8 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+    plan = physical_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def codegen_stage_count(df: DataFrame) -> int:

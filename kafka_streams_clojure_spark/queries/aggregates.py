@@ -163,19 +163,19 @@ def q_agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_session_window",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     ),
     marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN prev_ts IS NULL
                        OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
       FROM ordered
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
@@ -245,7 +245,7 @@ def q_dedupe_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_partition_by_runs",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, event_type, ts, value,
+      SELECT user_id, event_type, ts, value, event_id,
              CASE WHEN lag(event_type) OVER w IS NULL
                        OR event_type <> lag(event_type) OVER w
                   THEN 1 ELSE 0 END AS is_new
@@ -254,7 +254,7 @@ def q_dedupe_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
       SELECT user_id, event_type, ts, value,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
       FROM marked
     )

@@ -79,19 +79,19 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session_window",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     ),
     marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN prev_ts IS NULL
                        OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
       FROM ordered
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )

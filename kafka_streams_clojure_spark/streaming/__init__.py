@@ -54,10 +54,14 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     source). Schema comes from the batch reader (streaming sources
     can't infer), including the nanos→timestamp fixups for events."""
     _ensure_session_confs(spark)
+    from kafka_streams_clojure_spark.session import _NANOS_TS_COLS
+
     batch = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_as_stream_dir(sf_dir, name))
-    if name == "events" and dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # shared nanos→µs fixups (same mapping as session.load_table)
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(stream.dtypes).get(col) == "bigint":
+            stream = stream.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return stream
 
 

@@ -120,9 +120,14 @@ def branch(df: DataFrame, *preds: Column, persist: bool = True) -> list[DataFram
     out: list[DataFrame] = []
     seen: Column | None = None
     for p in preds:
-        mask = p if seen is None else (p & ~seen)
+        # Kafka Streams treats a non-TRUE predicate as no-match; a SQL
+        # NULL predicate must therefore fall through to later branches,
+        # not poison the mask (TRUE & ~NULL = NULL would drop the row
+        # from every branch). Null-safe coercion to boolean TRUE/FALSE.
+        pt = p.eqNullSafe(F.lit(True))
+        mask = pt if seen is None else (pt & ~seen)
         out.append(df.filter(mask))
-        seen = p if seen is None else (seen | p)
+        seen = pt if seen is None else (seen | pt)
     return out
 
 

@@ -96,3 +96,39 @@ def test_running_counter_string_key(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_branch_null_predicate_falls_through(spark):
+    """A record whose earlier predicate evaluates to SQL NULL must fall
+    through to the first matching later branch (KS: non-TRUE = no
+    match), not vanish from all branches."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -5)], "id int, a int"
+    )
+    b = X.branch(df, F.col("a") > 0, F.lit(True), persist=False)
+    b0 = {r.id for r in b[0].collect()}
+    b1 = {r.id for r in b[1].collect()}
+    assert b0 == {1}
+    assert b1 == {2, 3}, "NULL-predicate row must land in the catch-all"
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """Right rows with NULL ts/key are not as-of matches (DuckDB/pandas
+    semantics): a left row older than every valid right row gets NULL,
+    not the null-ts payload."""
+    from kafka_streams_clojure_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1, 5)], "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, 100), (1, 10, 200), (None, 3, 300)],
+        "k long, ts long, payload long",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["payload"]
+    ).collect()
+    assert len(out) == 1 and out[0].payload is None
+    inner = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["payload"], how="inner",
+    ).collect()
+    assert inner == []

@@ -45,9 +45,12 @@ def test_partitioned_parquet_write_prunes(spark, sf_dir):
     pruned = spark.read.parquet(d).filter(F.col("event_type") == "click")
     from kafka_streams_clojure_spark.plans import physical_plan
 
-    assert "PartitionFilters: [isnotnull(event_type" in physical_plan(pruned).replace(
-        "#", ""
-    ) or "event_type" in physical_plan(pruned)
+    pf_lines = [
+        ln for ln in physical_plan(pruned).splitlines() if "PartitionFilters:" in ln
+    ]
+    assert pf_lines and any("event_type" in ln for ln in pf_lines), (
+        "partition filter did not reach the scan:\n" + physical_plan(pruned)
+    )
     assert pruned.count() > 0
 
 
