@@ -190,6 +190,39 @@ def q_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCALAR_SUBQ = """
+SELECT o_orderkey, o_totalprice,
+       (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey)
+         AS max_line_qty
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
+@query("q_scalar_subquery", oracle=_SCALAR_SUBQ)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst rewrites it to a left
+    outer aggregate join; same SQL text in both engines."""
+    return run_sql(spark, sf_dir, _SCALAR_SUBQ)
+
+
+@query(
+    "q_agg_collect_set",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation made deterministic: collect_set is
+    unordered, so the comparison surface is the sorted, joined string."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
 @query("q_sample")  # RNG differs across engines — rows-only by design
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed (reproducible within Spark;
