@@ -35,8 +35,11 @@ HEADLINE = [
     "q_dedupe_consecutive",   # lag-based consecutive dedup
     "q_llm_exact_dedup",      # fingerprint dedup
     "q_llm_ngram_jaccard",    # shingle-join near-dup
+    "q_llm_near_dup",         # MinHash+LSH (the scale path)
     "q_llm_token_stats",      # text stats (higher-order fns)
     "q_llm_cosine_topk",      # brute-force ANN baseline
+    "q_sql_tpch_q5",          # 6-way snowflake join (SQL surface)
+    "q_ktable_latest",        # changelog compaction (max_by)
 ]
 
 
