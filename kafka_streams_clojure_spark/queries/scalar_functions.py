@@ -52,6 +52,51 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_str_pad_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           lpad(s_name, 20, '.')   AS name_lpad,
+           rpad(s_name, 20, '.')   AS name_rpad,
+           reverse(s_name)         AS name_rev,
+           repeat('ab', 3)         AS abab,
+           replace(s_name, '#', '-') AS name_repl,
+           left(s_name, 4)         AS name_left,
+           right(s_name, 4)        AS name_right
+    FROM supplier
+    """,
+)
+def q_str_pad_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad("s_name", 20, ".").alias("name_lpad"),
+        F.rpad("s_name", 20, ".").alias("name_rpad"),
+        F.reverse("s_name").alias("name_rev"),
+        F.repeat(F.lit("ab"), 3).alias("abab"),
+        F.replace(F.col("s_name"), F.lit("#"), F.lit("-")).alias("name_repl"),
+        F.left(F.col("s_name"), F.lit(4)).alias("name_left"),
+        F.right(F.col("s_name"), F.lit(4)).alias("name_right"),
+    )
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT event_type FROM events WHERE value > 50
+    UNION
+    SELECT event_type FROM events WHERE user_id < 20
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — the set-union complement of q_union_merge's
+    bag-union."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 50).select("event_type")
+    b = ev.filter(F.col("user_id") < 20).select("event_type")
+    return a.union(b).distinct()
+
+
+@query(
     "q_date_funcs",
     oracle="""
     SELECT o_orderkey,
