@@ -404,6 +404,25 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_llm_tfidf")  # ln() is libm-divergent across engines — rows-only
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scores per (doc, token) — explicit formula (tf ·
+    ln(N/df)), all JVM-side: explode tokens → per-doc tf → join the
+    corpus df table (broadcast: vocab ≪ corpus) → score. Rows-only
+    because ln() differs in ulps between JVM and libm; invariants in
+    tests (rare tokens outrank stopword-frequency tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(df_tbl), "token")
+        .select("doc_id", "token", (F.col("tf") * idf).alias("tfidf"))
+    )
+
+
 @query("q_llm_winnow")  # rolling-hash signatures — engine-side UDF, rows-only
 def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling-hash chunk signatures,

@@ -232,3 +232,36 @@ def test_winnow_detects_planted_chunk_duplication(spark, sf_dir):
         for r in winnow_fingerprints(extra).collect()
     )
     assert fp1 == fp2 and len(fp1) > 0
+
+
+def test_tfidf_invariants(spark, sf_dir):
+    """TF-IDF sanity: scores positive for non-universal tokens, a token
+    appearing in every doc scores ~0, and for equal tf the rarer token
+    outranks the commoner one."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["q_llm_tfidf"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    rows = out.collect()
+    assert rows, "tfidf produced no rows"
+    assert all(r.tfidf >= -1e-9 for r in rows), "negative tfidf"
+    # cross-check a sample against a Python recomputation
+    tok_rows = (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).collect()
+    )
+    from collections import Counter, defaultdict
+
+    per_doc = defaultdict(Counter)
+    doc_freq = Counter()
+    for r in tok_rows:
+        per_doc[r.doc_id][r.t] += 1
+    for d, c in per_doc.items():
+        for t in c:
+            doc_freq[t] += 1
+    sample = [r for r in rows if r.doc_id in list(per_doc)[:3]]
+    for r in sample:
+        want = per_doc[r.doc_id][r.token] * math.log(n_docs / doc_freq[r.token])
+        assert abs(r.tfidf - want) < 1e-9, (r.token, r.tfidf, want)
