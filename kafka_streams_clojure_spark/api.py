@@ -27,6 +27,33 @@ from pyspark.sql import functions as F
 from kafka_streams_clojure_spark import xform as X
 
 
+def value_joiner(f, out_col: str = "joined_value", *in_cols: str):
+    """First-class combine-step adapter — ``value-joiner`` parity
+    (api.clj:90-94): lift a ``(v1, v2) -> Column`` function into a
+    post-join transform that appends its result as ``out_col``.
+
+    >>> vj = value_joiner(lambda a, b: F.concat_ws(":", a, b),
+    ...                   "pair", "left_val", "right_val")
+    >>> stream.join(table, on="key", joiner=vj)
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        args = [F.col(c) for c in in_cols]
+        return df.withColumn(out_col, f(*args))
+
+    return apply
+
+
+def key_value_mapper(key_expr: Column, *value_exprs: Column):
+    """``key-value-mapper`` parity (api.clj:96-100): a (k,v) → (k',v')
+    remap as a reusable transform."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.select(key_expr, *value_exprs)
+
+    return apply
+
+
 class KStream:
     """A fluent wrapper over a (bounded or unbounded) DataFrame."""
 
@@ -36,7 +63,25 @@ class KStream:
     # -- sources ------------------------------------------------------
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "KStream":
-        return cls(spark.read.parquet(path))
+        """Open an arbitrary parquet path. Applies the engine session
+        confs (UTC tz, nanosAsLong) and — when the path basename names a
+        known nanos-timestamp fixture table (events) — the same
+        nanos→timestamp fixup as ``load_table``, so a driver-provided
+        session reads it identically."""
+        import os as _os
+
+        from kafka_streams_clojure_spark.session import (
+            _NANOS_TS_COLS,
+            _ensure_session_confs,
+        )
+
+        _ensure_session_confs(spark)
+        df = spark.read.parquet(path)
+        name = _os.path.basename(path.rstrip("/")).removesuffix(".parquet")
+        for col in _NANOS_TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(col) == "bigint":
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        return cls(df)
 
     @classmethod
     def from_table(cls, spark: SparkSession, sf_dir: str, name: str) -> "KStream":
@@ -94,9 +139,21 @@ class KStream:
     def group_by(self, *cols):
         return self.df.groupBy(*cols)
 
-    def join(self, other: "KStream", on, how: str = "inner", broadcast_other: bool = False) -> "KStream":
+    def join(
+        self,
+        other: "KStream",
+        on,
+        how: str = "inner",
+        broadcast_other: bool = False,
+        joiner=None,
+    ) -> "KStream":
+        """Equi/expr join; ``joiner`` is an optional ``value_joiner``
+        combine step (api.clj:90-94) applied to the joined row."""
         right = F.broadcast(other.df) if broadcast_other else other.df
-        return KStream(self.df.join(right, on, how))
+        joined = self.df.join(right, on, how)
+        if joiner is not None:
+            joined = joiner(joined)
+        return KStream(joined)
 
     def asof_join(self, other: "KStream", **kwargs) -> "KStream":
         from kafka_streams_clojure_spark.operators.joins import asof_join

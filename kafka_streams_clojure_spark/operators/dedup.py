@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
 from kafka_streams_clojure_spark.operators.text import fingerprint
 
 
@@ -102,7 +104,7 @@ def ngram_jaccard_pairs(
     # Materialize the sets once: they're read by both join sides and by
     # the inferred not-null scan filter — without persist the generation
     # runs up to 4×.
-    sets = shingle_sets(df, id_col, text_col, k).persist()
+    sets = persist_if_uncached(shingle_sets(df, id_col, text_col, k))
     a = sets.select(
         F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
     )
@@ -168,7 +170,7 @@ def minhash_lsh_pairs(
             "would silently drop signature positions and lower recall"
         )
     r = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes).persist()
+    sig = persist_if_uncached(minhash_signatures(df, id_col, text_col, k, n_hashes))
     band_rows = sig.select(
         F.col(id_col),
         "signature",
@@ -251,7 +253,7 @@ def simhash_near_dups(
             f"max_hamming ({max_hamming}) must be < 64//band_bits ({n_bands}) or the "
             "band-blocking pigeonhole guarantee (>= one clean band per pair) breaks"
         )
-    sig = simhash_signatures(df, id_col, text_col).persist()
+    sig = persist_if_uncached(simhash_signatures(df, id_col, text_col))
     mask = (1 << band_bits) - 1
     banded = sig.select(
         id_col,

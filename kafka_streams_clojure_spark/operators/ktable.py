@@ -35,11 +35,19 @@ def latest_by_key(
     (a tombstone only deletes if it is the newest record).
     """
     order = F.struct(*[F.col(c) for c in order_cols])
-    picked = [F.max_by(F.col(c), order).alias(c) for c in value_cols]
-    compacted = df.groupBy(*key_cols).agg(*picked, F.max(order).alias("__ord"))
-    out = compacted.select(*key_cols, *value_cols, *[
-        F.col("__ord")[c].alias(f"latest_{c}") for c in order_cols
-    ])
+    # ONE max_by over a packed payload struct: even if order_cols tie
+    # within a key, all value columns come from the SAME winning row —
+    # independent per-column max_by calls could stitch tied rows into a
+    # row that never existed.
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    compacted = df.groupBy(*key_cols).agg(
+        F.max_by(payload, order).alias("__val"), F.max(order).alias("__ord")
+    )
+    out = compacted.select(
+        *key_cols,
+        *[F.col("__val")[c].alias(c) for c in value_cols],
+        *[F.col("__ord")[c].alias(f"latest_{c}") for c in order_cols],
+    )
     if drop_tombstones is not None:
         out = out.filter(F.col(drop_tombstones).isNotNull())
     return out

@@ -1,0 +1,116 @@
+"""Scale-safe global-order primitives (the zipWithIndex idiom in
+DataFrame form).
+
+A bare ``Window.orderBy(...)`` with no ``partitionBy`` funnels the
+WHOLE table through one task — fine for a 10k-row report, fatal at
+100 TB. These helpers keep a pinned global total order while staying
+parallel:
+
+1. ``repartitionByRange`` on the order key → a parallel range sort
+   (each partition holds a contiguous key range, sorted within);
+2. per-partition local indexes from ``monotonically_increasing_id``
+   (pid << 33 | local_counter — no window, fully codegen);
+3. a tiny per-partition summary (counts / flag-mins — one row per
+   partition) prefix-scanned and broadcast back.
+
+The range-partitioned intermediate is consumed by two plan branches
+(the rows and the per-partition summary). Range partitioning samples
+its child to pick boundaries, so two independent exchanges could pick
+DIFFERENT boundaries — the intermediate is therefore persisted so both
+branches read the SAME partitioning (at cluster scale swap persist for
+localCheckpoint if memory is tight; the summary is one row per
+partition either way).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+ColumnOrName = Column | str
+
+#: mask for the per-partition counter bits of monotonically_increasing_id
+_MID_MASK = (1 << 33) - 1
+
+
+def _ranged(
+    df: DataFrame,
+    order_by: Sequence[ColumnOrName],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition + sort on the order key, stamp partition id and
+    the per-partition 0-based local index. Persisted (see module doc).
+    ``order_by`` must totally order rows (include a unique tiebreaker)."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local_idx", F.col("__mid").bitwiseAND(F.lit(_MID_MASK)))
+        .drop("__mid")
+    )
+    return persist_if_uncached(d)
+
+
+def global_index(
+    df: DataFrame,
+    order_by: Sequence[ColumnOrName],
+    idx_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based dense global sequence numbers in a pinned total order,
+    without a single-task sort: local index + broadcast prefix counts.
+    Equivalent to ``row_number() OVER (ORDER BY ...) - 1``."""
+    d = _ranged(df, order_by, num_partitions)
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # one row per partition — the unpartitioned window here is over
+    # #partitions rows, not the data
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(idx_col, (F.col("__local_idx") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local_idx", "__off")
+    )
+
+
+def take_while_global(
+    df: DataFrame,
+    pred: Column,
+    order_by: Sequence[ColumnOrName],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Longest prefix satisfying ``pred`` in a pinned total order —
+    ``(take-while pred)`` — as a parallel two-phase prefix scan:
+    running min of the predicate flag within each range partition,
+    AND-ed with the broadcast min over all EARLIER partitions."""
+    d = _ranged(df, order_by, num_partitions)
+    flag = F.when(pred, F.lit(1)).otherwise(F.lit(0))
+    wp = Window.partitionBy("__pid").orderBy("__local_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    prior = (
+        d.groupBy("__pid")
+        .agg(F.min(flag).alias("__pmin"))
+        .withColumn(
+            "__prior_ok", F.coalesce(F.min("__pmin").over(w_prefix), F.lit(1))
+        )
+        .select("__pid", "__prior_ok")
+    )
+    return (
+        d.withColumn("__run_ok", F.min(flag).over(wp))
+        .join(F.broadcast(prior), "__pid")
+        .filter((F.col("__run_ok") == 1) & (F.col("__prior_ok") == 1))
+        .drop("__pid", "__local_idx", "__run_ok", "__prior_ok")
+    )

@@ -18,6 +18,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
 
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
@@ -62,6 +64,60 @@ def cosine_topk(
     )
 
 
+def cosine_topk_probe(
+    df: DataFrame,
+    probe_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k against a 1-row probe DataFrame, fully in-plan (no
+    driver-side .head(): the probe is broadcast as a tiny side of a
+    cross join — at 100 TB the corpus never moves, and the probe fetch
+    is part of the same lazy plan)."""
+    p = F.broadcast(probe_df.select(F.col(vec_col).alias("_probe_vec")).limit(1))
+    sim = cosine(F.col(vec_col), F.col("_probe_vec"))
+    return (
+        df.crossJoin(p)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_multi(
+    df: DataFrame,
+    probes_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k per probe for a *set* of probes — the "many probes"
+    batch-inference shape: broadcast the probe set (small) against the
+    corpus scan (huge), rank within each probe. One corpus pass total
+    regardless of probe count; shuffle carries only (probe, corpus-row)
+    scored pairs, pruned to k per probe by the ranking window."""
+    probes = F.broadcast(
+        probes_df.select(
+            F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_probe_vec")
+        )
+    )
+    scored = df.crossJoin(probes).select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_probe_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rnd = random.Random(seed)
@@ -97,7 +153,7 @@ def lsh_cosine_pairs(
         )
         for t in range(n_tables)
     ]
-    bucketed = df.select(F.col(id_col), F.col(vec_col), *tables).persist()
+    bucketed = persist_if_uncached(df.select(F.col(id_col), F.col(vec_col), *tables))
     pairs = None
     for t in range(n_tables):
         a = bucketed.select(
@@ -125,7 +181,13 @@ def embedding_cosine_near_dups(
 ) -> DataFrame:
     """Exact near-dup pairs by cosine with optional blocking on a
     cheap attribute (label/cluster/source): all-pairs within a block
-    only — the classic blocked-dedup shape."""
+    only — the classic blocked-dedup shape.
+
+    WARNING — quadratic within a block: cost is Σ |block|². Safe when
+    blocks are bounded (≲10⁵ rows); a skewed block (one label holding
+    10% of a 100 TB corpus) makes this the wrong tool — use
+    :func:`lsh_cosine_pairs` (bucketed, never all-pairs) as the scale
+    path, or pre-split oversized blocks."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
     return (

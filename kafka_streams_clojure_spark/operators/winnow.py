@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
 _BASE = np.uint64(257)
 
 
@@ -95,7 +97,7 @@ def winnow_shared_chunks(
 ) -> DataFrame:
     """Pairs of documents sharing >= min_shared winnowed fingerprints —
     chunk-level near-dup candidates via one equi-join on the signature."""
-    fp = winnow_fingerprints(df, id_col, text_col).persist()
+    fp = persist_if_uncached(winnow_fingerprints(df, id_col, text_col))
     a = fp.select(F.col("doc_id").alias("id_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("id_b"), "fingerprint")
     return (

@@ -62,3 +62,20 @@ def broadcast_exchange_count(df: DataFrame) -> int:
     import re
 
     return len(re.findall(r"^\(\d+\) BroadcastExchange", physical_plan(df), re.MULTILINE))
+
+
+def unpartitioned_window_cols(df: DataFrame) -> list[str]:
+    """First ORDER BY column of every window spec that has NO
+    partitionBy — the single-task-sort red flag at scale.
+
+    In the analyzed plan a spec prints as
+    ``windowspecdefinition(part..., order ASC/DESC..., frame)``;
+    when the FIRST argument already carries a sort direction there are
+    no partition columns. Returns the offending first order columns
+    (deduped) so lints can allowlist windows over tiny inputs (e.g.
+    per-range-partition summaries ordered by ``__pid``)."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    hits = re.findall(r"windowspecdefinition\(([^,()]+?) (?:ASC|DESC)", plan)
+    return sorted({h.split("#")[0].strip() for h in hits})

@@ -139,7 +139,11 @@ def q_agg_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_sliding_window",
     oracle=f"""
     WITH offs AS (SELECT unnest([0, 1]) AS i)
-    SELECT to_timestamp((CAST(floor(epoch(ts) / 43200) AS BIGINT) - i) * 43200)
+    -- make_timestamp(us) yields a naive TIMESTAMP matching Spark's
+    -- window().start; to_timestamp() would yield TIMESTAMPTZ (schema
+    -- mismatch vs Spark, value shift on non-UTC sessions).
+    SELECT make_timestamp(
+             ((CAST(floor(epoch(ts) / 43200) AS BIGINT) - i) * 43200) * 1000000)
              AS window_start,
            count(*)            AS n,
            {sql_dsum('value')} AS total

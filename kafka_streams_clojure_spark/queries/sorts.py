@@ -83,6 +83,27 @@ def q_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_take_per_key",
+    oracle="""
+    SELECT event_id, user_id, ts FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_take_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(take n)` with the REFERENCE's per-partition semantics: its
+    stateful transducers get a fresh transformer per Kafka partition
+    (api.clj:41-45), so `take 3` keeps 3 records per key-partition.
+    One shuffle on the key; WindowGroupLimit prunes to n rows/group
+    before the exchange."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return X.take(3, order_by=["ts", "event_id"], per_partition_key=["user_id"])(ev)
+
+
+@query(
     "q_take_while",
     oracle="""
     SELECT event_id, ts, value FROM (
@@ -95,15 +116,13 @@ def q_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_take_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`(take-while pred)`: longest prefix satisfying the predicate in
-    a pinned global order — running min over the predicate flag."""
-    ev = load_table(spark, sf_dir, "events")
-    w = W.orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    flag = F.when(F.col("value") < 99.5, 1).otherwise(0)
-    return (
-        ev.select("event_id", "ts", "value", F.min(flag).over(w).alias("ok"))
-        .filter(F.col("ok") == 1)
-        .drop("ok")
-    )
+    a pinned global order — parallel two-phase prefix scan (running min
+    within range partitions AND broadcast min of earlier partitions),
+    never a single-task global window."""
+    from kafka_streams_clojure_spark.operators.order import take_while_global
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    return take_while_global(ev, F.col("value") < 99.5, ["ts", "event_id"])
 
 
 @query(

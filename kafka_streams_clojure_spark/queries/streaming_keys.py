@@ -10,16 +10,17 @@ stays rows-only ONLY when the semantics are genuinely non-SQL
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_clojure_spark.queries import query
 from kafka_streams_clojure_spark.queries._util import dsum, load_table, sql_dsum
-from kafka_streams_clojure_spark.streaming import run_available_now, stream_table
+from kafka_streams_clojure_spark.streaming import (
+    run_available_now,
+    scratch_dir,
+    stream_table,
+)
 from kafka_streams_clojure_spark.streaming.stateful import running_counter
 
 
@@ -126,15 +127,12 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
-    out = tempfile.mkdtemp(prefix="kscs_sink_")
-    try:
-        ev.write.mode("overwrite").parquet(out)
-        roundtrip = spark.read.parquet(out)
-        # materialize before the temp dir disappears
-        roundtrip = spark.createDataFrame(roundtrip.collect(), roundtrip.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-    return roundtrip
+    # Stable session-scoped path (removed atexit) → the result is a
+    # LAZY parquet scan; nothing is collected to the driver. At 100 TB
+    # this is write-shuffle-free and the read side prunes/pushes down.
+    out = scratch_dir("kscs_sink_")
+    ev.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
 
 
 @query(
@@ -233,9 +231,6 @@ def q_stream_branch_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     MULTIPLE sinks inside a single foreachBatch — the batch is read
     once, first-match masks route it, each branch lands in its own
     sink (parquet dirs standing in for topics)."""
-    import shutil
-    import tempfile
-
     from kafka_streams_clojure_spark import xform as X
 
     ev = stream_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
@@ -244,7 +239,7 @@ def q_stream_branch_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "whales": F.col("value") > 90.0,
         "purchases": F.col("event_type") == "purchase",
     }
-    out_root = tempfile.mkdtemp(prefix="kscs_branch_sinks_")
+    out_root = scratch_dir("kscs_branch_sinks_")
 
     def route(batch_df: DataFrame, epoch_id: int) -> None:
         branches = X.branch_map(batch_df, preds)
@@ -260,16 +255,13 @@ def q_stream_branch_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
-    parts = [
-        spark.read.parquet(f"{out_root}/{name}")
-        for name in preds
-    ]
+    # Lazy read-back from the session-scoped sink dirs — no driver
+    # collect; the union is a plain multi-scan plan.
+    parts = [spark.read.parquet(f"{out_root}/{name}") for name in preds]
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
-    result = spark.createDataFrame(union.collect(), union.schema)
-    shutil.rmtree(out_root, ignore_errors=True)
-    return result
+    return union
 
 
 @query(

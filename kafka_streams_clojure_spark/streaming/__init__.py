@@ -24,7 +24,9 @@ fixture drives the streaming engine to a deterministic final answer
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -34,16 +36,31 @@ from pyspark.sql import functions as F
 from kafka_streams_clojure_spark.session import _ensure_session_confs, load_table
 
 
+_SCRATCH_ROOT: list[str] = []  # lazily created, removed at interpreter exit
+
+
+def scratch_dir(prefix: str = "kscs_") -> str:
+    """A temp dir under a single session-scoped root that is removed
+    atexit — sink/roundtrip keys can write here and hand back *lazy*
+    readers without racing a per-call rmtree."""
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="kscs_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
+
+
 _STREAM_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _as_stream_dir(sf_dir: str, name: str) -> str:
     """Spark's file streaming source requires a *directory*; the
     fixtures are single files. Expose each as a one-file directory via
-    a symlink in a cached temp dir (read-only on the fixture)."""
+    a symlink in a cached temp dir (read-only on the fixture; removed
+    atexit via the shared scratch root)."""
     key = (sf_dir, name)
     if key not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix=f"kscs_stream_{name}_")
+        d = scratch_dir(f"kscs_stream_{name}_")
         os.symlink(os.path.join(sf_dir, f"{name}.parquet"), os.path.join(d, f"{name}.parquet"))
         _STREAM_DIRS[key] = d
     return _STREAM_DIRS[key]
@@ -65,7 +82,11 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return stream
 
 
-def run_available_now(df: DataFrame, output_mode: str = "update") -> DataFrame:
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "update",
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
     available data (Trigger.AvailableNow semantics via
     processAllAvailable) into a memory sink; return the sink table.
@@ -73,20 +94,34 @@ def run_available_now(df: DataFrame, output_mode: str = "update") -> DataFrame:
     This is the test-bench path that proves batch/stream parity; a
     production pipeline swaps the memory sink for kafka/parquet +
     checkpointLocation and keeps the query running.
+
+    ``state_partitions`` caps ``spark.sql.shuffle.partitions`` for this
+    query only (restored after): a streaming aggregate creates one
+    state store per shuffle partition, and over a small bounded fixture
+    the store setup dominates runtime (measured ~2× at 32 vs 8 over
+    10k rows). Results are partition-count-independent. Pass ``None``
+    in production and size the session conf to the cluster instead —
+    the cap exists so a 100-key correctness sweep stays cheap.
     """
-    name = f"kscs_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None and int(prev) > state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    name = f"kscs_{uuid.uuid4().hex[:12]}"
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Memory-sink rows live on the driver; pin them into a standalone
     # DataFrame and drop the sink's temp view so repeated calls don't
     # leak one table per invocation in a long-lived session.

@@ -29,6 +29,8 @@ from typing import Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
 Xform = Callable[[DataFrame], DataFrame]
 ColumnOrName = Union[Column, str]
 
@@ -116,7 +118,7 @@ def branch(df: DataFrame, *preds: Column, persist: bool = True) -> list[DataFram
     at scale this is the difference between 1 scan and N scans.
     """
     if persist:
-        df = df.persist()
+        df = persist_if_uncached(df)
     out: list[DataFrame] = []
     seen: Column | None = None
     for p in preds:
@@ -181,12 +183,30 @@ def dedupe(value_cols: Sequence[str], order_by: Sequence[ColumnOrName], partitio
     return apply
 
 
-def take(n: int, order_by: Sequence[ColumnOrName] = ()) -> Xform:
-    """Clojure ``(take n)``. The reference's instance is per-partition
-    (fresh transformer per task, api.clj:41-45); we implement the
-    *global* semantics — pin an explicit order for determinism."""
+def take(
+    n: int,
+    order_by: Sequence[ColumnOrName] = (),
+    per_partition_key: Sequence[ColumnOrName] = (),
+) -> Xform:
+    """Clojure ``(take n)``. Two fidelity modes:
+
+    - global (default): first n rows in a pinned order — orderBy+limit
+      (TakeOrderedAndProject: per-partition heaps, never a full sort);
+    - ``per_partition_key``: the REFERENCE's semantics — its stateful
+      transducers run fresh per Kafka partition (api.clj:41-45), i.e.
+      n records *per key-partition*. Implemented as a ranking window
+      partitioned by the key: one shuffle on the key, and Spark's
+      WindowGroupLimit prunes to n rows per group before the exchange.
+    """
 
     def apply(df: DataFrame) -> DataFrame:
+        if per_partition_key:
+            w = Window.partitionBy(*per_partition_key).orderBy(*order_by)
+            return (
+                df.withColumn("__take_rn", F.row_number().over(w))
+                .filter(F.col("__take_rn") <= n)
+                .drop("__take_rn")
+            )
         if order_by:
             df = df.orderBy(*order_by)
         return df.limit(n)
@@ -205,14 +225,18 @@ def drop(n: int, order_by: Sequence[ColumnOrName]) -> Xform:
 
 def partition_all(n: int, order_by: Sequence[ColumnOrName], batch_col: str = "batch_id") -> Xform:
     """Clojure ``(partition-all n)``: fixed-size batches in a pinned
-    global order — ``batch_id = floor((row_number-1)/n)``. (On streams
+    global order — ``batch_id = floor(global_index/n)``. Uses the
+    parallel zipWithIndex idiom (range partition + broadcast prefix
+    counts), not a single-task global window sort. (On streams
     micro-batching is native; this is the batch analog.)"""
 
     def apply(df: DataFrame) -> DataFrame:
-        w = Window.orderBy(*order_by)
-        return df.withColumn(
-            batch_col, F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(n))
-        )
+        from kafka_streams_clojure_spark.operators.order import global_index
+
+        indexed = global_index(df, order_by, idx_col="__gidx")
+        return indexed.withColumn(
+            batch_col, F.floor(F.col("__gidx") / F.lit(n))
+        ).drop("__gidx")
 
     return apply
 

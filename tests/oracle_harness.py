@@ -15,6 +15,16 @@ import pandas as pd
 _NULL = "\0NULL"
 
 
+def _tz_aware(s: pd.Series) -> bool:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return getattr(s.dtype, "tz", None) is not None
+    if s.dtype == object:
+        for v in s:
+            if isinstance(v, pd.Timestamp):
+                return v.tzinfo is not None
+    return False
+
+
 def _canon_col(s: pd.Series) -> pd.Series:
     """Canonical string representation, identical across engines for
     semantically identical values (int64 vs hugeint, ts dtypes, ...)."""
@@ -67,6 +77,17 @@ def compare(spark_df, duck_rel, name: str = "") -> None:
         f"{name}: column mismatch spark={sorted(sp.columns)} duck={sorted(du.columns)}"
     )
     assert len(sp) == len(du), f"{name}: row count spark={len(sp)} duck={len(du)}"
+    # Driver-strict: a tz-aware oracle column vs a naive Spark column is a
+    # SCHEMA mismatch (the driver fails it) — refuse to normalize it away.
+    sp_tz = {c.lower(): _tz_aware(sp[c]) for c in sp.columns}
+    du_tz = {c.lower(): _tz_aware(du[c]) for c in du.columns}
+    for c in sp_tz:
+        assert sp_tz[c] == du_tz.get(c, sp_tz[c]), (
+            f"{name}: tz-awareness mismatch on column {c!r}: "
+            f"spark tz-aware={sp_tz[c]} oracle tz-aware={du_tz.get(c)} "
+            f"(use a naive TIMESTAMP in the oracle, e.g. make_timestamp/"
+            f"date_trunc, not to_timestamp which yields TIMESTAMPTZ)"
+        )
     nsp, ndu = normalize_frame(sp), normalize_frame(du)
     for c in nsp.columns:
         a, b = nsp[c].to_numpy(), ndu[c].to_numpy()

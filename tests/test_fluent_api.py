@@ -60,3 +60,49 @@ def test_merge_and_through(spark, sf_dir):
     merged = a.merge(b).through(8, "user_id")
     assert merged.to_df().count() == a.to_df().count() + b.to_df().count()
     assert merged.to_df().rdd.getNumPartitions() == 8
+
+
+def test_value_joiner_combine_step(spark, sf_dir):
+    """value-joiner parity (api.clj:90-94): an explicit combine step
+    installed on KStream.join appends the combined column."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.api import KStream, value_joiner
+
+    ev = KStream.from_table(spark, sf_dir, "events")
+    cust = KStream.from_table(spark, sf_dir, "customer")
+    vj = value_joiner(
+        lambda name, val: F.concat_ws("=", name, val.cast("string")),
+        "joined_value",
+        "c_name",
+        "value",
+    )
+    out = ev.join(
+        cust, ev.df.user_id == cust.df.c_custkey, broadcast_other=True, joiner=vj
+    ).to_df()
+    row = out.filter(out.joined_value.isNotNull()).head()
+    assert row is not None
+    assert row["joined_value"] == f"{row['c_name']}={row['value']}"
+
+
+def test_take_per_partition_semantics(spark, sf_dir):
+    """Reference per-partition take (api.clj:41-45): exactly min(n,
+    group size) rows per key, and they are the earliest by the pinned
+    order."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark import xform as X
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    took = X.take(2, order_by=["ts", "event_id"], per_partition_key=["user_id"])(ev)
+    counts = took.groupBy("user_id").count().collect()
+    assert counts and all(r["count"] <= 2 for r in counts)
+    # the kept rows per key are exactly the 2 earliest
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", F.col("m.event_id").alias("event_id"))
+    )
+    missing = first.join(took, ["user_id", "event_id"], "left_anti")
+    assert missing.count() == 0

@@ -265,3 +265,30 @@ def test_tfidf_invariants(spark, sf_dir):
     for r in sample:
         want = per_doc[r.doc_id][r.token] * math.log(n_docs / doc_freq[r.token])
         assert abs(r.tfidf - want) < 1e-9, (r.token, r.tfidf, want)
+
+
+def test_ann_key_nonempty_on_natural_fixture(spark, sf_dir):
+    """The registered ANN key must demonstrate itself on the UNPLANTED
+    fixture (near-orthogonal vectors, max cosine ≈ 0.48 → threshold
+    0.4): nonzero verified pairs, all meeting the threshold."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_llm_cosine_ann"](spark, sf_dir).collect()
+    assert len(rows) > 0, "ANN returned no pairs on the natural fixture"
+    assert all(r.cos_sim >= 0.4 for r in rows)
+
+
+def test_topk_multi_probe_self_first(emb):
+    """Each probe must rank itself first with cos ≈ 1 in the
+    multi-probe exact top-k."""
+    from kafka_streams_clojure_spark.operators.similarity import cosine_topk_multi
+
+    out = cosine_topk_multi(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(int(r.probe_id), []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: (-r.cos_sim, r.vec_id))
+        assert int(rs[0].vec_id) == pid
+        assert rs[0].cos_sim == pytest.approx(1.0, abs=1e-6)

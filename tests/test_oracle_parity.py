@@ -28,3 +28,30 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+class _FakeSparkDF:
+    """Minimal stand-in exposing toPandas(), for harness unit tests."""
+
+    def __init__(self, pdf):
+        self._pdf = pdf
+
+    def toPandas(self):
+        return self._pdf
+
+
+def test_harness_rejects_tz_aware_vs_naive(duck):
+    """Regression for the round-1 q_agg_sliding_window blind spot: a
+    tz-aware oracle column vs a naive Spark column must FAIL (the driver
+    treats it as a schema mismatch), not be normalized to UTC-naive."""
+    import pandas as pd
+
+    naive = _FakeSparkDF(
+        pd.DataFrame({"w": pd.to_datetime(["2001-01-01 00:00:00"])})
+    )
+    tz_rel = duck.sql("SELECT to_timestamp(978307200) AS w")  # TIMESTAMPTZ
+    with pytest.raises(AssertionError, match="tz-awareness mismatch"):
+        compare(naive, tz_rel, "tz_guard")
+    # and the naive equivalent passes
+    naive_rel = duck.sql("SELECT make_timestamp(978307200000000::BIGINT) AS w")
+    compare(naive, naive_rel, "tz_guard_naive")

@@ -8,13 +8,29 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from kafka_streams_clojure_spark.plans import physical_plan
+from kafka_streams_clojure_spark.plans import physical_plan, unpartitioned_window_cols
 
 _Q = entrymod.queries()
 
 #: keys whose PLAN legitimately contains a broadcast nested loop /
-#: cartesian (theta/cross are non-equi by definition)
-_NONEQUI_OK = {"q_join_theta", "q_join_cross"}
+#: cartesian — non-equi joins by definition (theta/cross), or a
+#: deliberate crossJoin of a broadcast ≤1-row side (scalar probe /
+#: corpus-count attachment: the BNLJ side is a single row)
+_NONEQUI_OK = {
+    "q_join_theta",
+    "q_join_cross",
+    "q_llm_cosine_topk",
+    "q_llm_topk_multi",
+    "q_llm_tfidf",
+}
+
+#: keys allowed an unpartitioned (single-task-sort) window: documented
+#: report-scale outputs only
+_GLOBAL_WINDOW_OK = {"q_win_ntile"}
+
+#: tiny-input order columns: windows over one-row-per-partition
+#: summaries (the zipWithIndex idiom in operators/order.py)
+_TINY_WINDOW_COLS = {"__pid"}
 
 #: keys that intentionally run Python (Arrow-batched UDFs)
 _PYTHON_OK = {
@@ -44,3 +60,17 @@ def test_plan_is_scale_safe(name, spark, sf_dir):
     if name not in _PYTHON_OK:
         assert "EvalPython" not in plan, f"{name} runs Python outside the UDF keys"
         assert "FlatMapGroupsInPandas" not in plan, f"{name} unexpectedly uses pandas"
+
+
+@pytest.mark.parametrize("name", sorted(set(_Q) - _SKIP - _GLOBAL_WINDOW_OK))
+def test_no_unpartitioned_windows(name, spark, sf_dir):
+    """A Window.orderBy with no partitionBy is a single-task sort of
+    the whole input — allowed only over tiny per-partition summaries
+    (ordered by __pid) or in explicitly report-scale keys."""
+    cols = unpartitioned_window_cols(_Q[name](spark, sf_dir))
+    bad = [c for c in cols if c not in _TINY_WINDOW_COLS]
+    assert not bad, (
+        f"{name} has unpartitioned window(s) ordered by {bad} — use "
+        f"operators/order.py (global_index/take_while_global) or "
+        f"partitionBy, or allowlist as report-scale"
+    )
