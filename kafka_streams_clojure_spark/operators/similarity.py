@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import random
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -170,6 +171,145 @@ def lsh_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
     )
     return verified
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² — squared L2 distance, doubles, left-to-right.
+    Squares written as x*x (pow() is libm-divergent across engines)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column, pure
+    DataFrame ops — the IVF coarse quantizer build.
+
+    Init: the k smallest ``id_col`` vectors (deterministic, no RNG).
+    Each iteration: broadcast the k centroids, assign every vector to
+    its nearest (argmin over a posexploded centroid join — one shuffle-
+    free pass), then groupBy-average per cell. Distributed cost per
+    iteration is one corpus scan + one #cells-sized aggregate; the
+    centroid table itself (k×dim doubles) always fits in a broadcast.
+
+    Returns ``(cell, centroid array<double>)``. Iterative refinement is
+    genuinely non-SQL-expressible → consumers are rows-only keys with
+    invariant tests.
+    """
+    # deterministic seeds: the k lowest-id vectors; the seed's own id is
+    # the cell label (labels only need to be stable, not dense — and
+    # this avoids a global row_number window entirely)
+    cents = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("int").alias("cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(df, cents, vec_col=vec_col)
+        sums = [
+            F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}") for i in range(dim)
+        ]
+        cents = (
+            assigned.groupBy("cell")
+            .agg(F.count("*").alias("n"), *sums)
+            .select(
+                "cell",
+                F.array(
+                    *[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]
+                ).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Attach the ``n_probe`` nearest cell ids to every row: broadcast
+    the centroid table, score all cells per row, keep the best n_probe
+    by a per-row ranking window. The corpus never shuffles for
+    assignment (the window partitions by the row's own id)."""
+    keys = list(id_cols) if id_cols else [c for c in df.columns if c != vec_col]
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        *keys,
+        vec_col,
+        "cell",
+        sq_l2(F.col(vec_col), F.col("centroid")).alias("__d2"),
+    )
+    if n_probe == 1:
+        best = scored.groupBy(*keys).agg(
+            F.min_by(F.col("cell"), F.struct(F.col("__d2"), F.col("cell"))).alias("cell")
+        )
+        return df.join(best, keys)
+    w = Window.partitionBy(*keys).orderBy(F.col("__d2"), F.col("cell"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .drop("__d2", "__r")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    probes_df: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest
+    centroid cell; each probe searches only its ``n_probe`` nearest
+    cells — the inverted-file ANN shape (cf. FAISS IVF-Flat). Search
+    cost ∝ n_probe/k_cells of the corpus instead of all of it; the
+    cell equi-join replaces the brute-force cross join, and exact
+    cosine ranks the candidates."""
+    corpus = _assign_cells(df, centroids, vec_col=vec_col, id_cols=[id_col])
+    probes = _assign_cells(
+        probes_df.select(
+            F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pv")
+        ),
+        centroids,
+        vec_col="_pv",
+        n_probe=n_probe,
+        id_cols=[probe_id_col],
+    )
+    cand = corpus.join(F.broadcast(probes), "cell").select(
+        probe_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_pv")).alias("cos_sim"),
+    ).dropDuplicates([probe_id_col, id_col])
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
 
 
 def embedding_cosine_near_dups(

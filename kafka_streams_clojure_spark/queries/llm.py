@@ -324,6 +324,24 @@ def q_llm_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_multi(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+@query("q_llm_ivf_topk")  # iterative k-means quantizer — rows-only
+def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (the FAISS-style inverted-file shape, second scale
+    path besides sign-LSH): deterministic Lloyd's k-means coarse
+    quantizer (3 iterations, pure DataFrame ops), corpus bucketed by
+    nearest cell, probes search their n_probe nearest cells only.
+    Rows-only: the quantizer is iterative (non-SQL); recall + pruning
+    invariants in tests/test_llm_ops.py."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(kmeans_centroids(emb, k=16, iters=3))
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, n_probe=4)
+
+
 @query("q_llm_cosine_ann")  # LSH recall is probabilistic — rows-only
 def q_llm_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, scale path: random-hyperplane sign-LSH

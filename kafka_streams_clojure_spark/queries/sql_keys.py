@@ -136,3 +136,381 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape (forecast revenue change): pure scan+filter+agg —
     the predicate-pushdown showcase."""
     return sql(spark, sf_dir, _Q6)
+
+
+_Q7 = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)
+"""
+
+
+@query("q_sql_tpch_q7", oracle=_Q7)
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the SAME dimension joined
+    twice under different roles (supplier nation vs customer nation)
+    with a symmetric pair predicate, grouped by shipment year."""
+    return sql(spark, sf_dir, _Q7)
+
+
+_Q8 = """
+SELECT o_year,
+       CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice, l_discount, s_nationkey
+  FROM lineitem
+  JOIN part     ON p_partkey  = l_partkey
+  JOIN supplier ON s_suppkey  = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey  = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+) flat
+JOIN nation n2 ON flat.s_nationkey = n2.n_nationkey
+GROUP BY o_year
+"""
+
+
+@query("q_sql_tpch_q8", oracle=_Q8)
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 7-way join feeding a
+    conditional-sum / total-sum ratio per year (both sums decimal-cast;
+    the final division is a single IEEE double op, engine-identical)."""
+    return sql(spark, sf_dir, _Q8)
+
+
+_Q9 = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) - l_quantity * l_tax
+                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey  = l_partkey
+JOIN supplier ON s_suppkey  = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+"""
+
+
+@query("q_sql_tpch_q9", oracle=_Q9)
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part join,
+    per-row profit expression, nation×year rollup. (No partsupp table
+    in the fixtures — profit omits supplycost, keeping the shape.)"""
+    return sql(spark, sf_dir, _Q9)
+
+
+_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q_sql_tpch_q10", oracle=_Q10)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue of returns per
+    customer, deterministic top-20 (c_custkey tiebreaker)."""
+    return sql(spark, sf_dir, _Q10)
+
+
+_Q11 = """
+SELECT s_nationkey,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS nation_bal
+FROM supplier
+GROUP BY s_nationkey
+HAVING CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) >
+       (SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) * 0.04
+        FROM supplier)
+"""
+
+
+@query("q_sql_tpch_q11", oracle=_Q11)
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): GROUP BY ... HAVING against
+    an uncorrelated scalar-subquery fraction of the global total. (No
+    partsupp table — supplier account balances keep the shape.)"""
+    return sql(spark, sf_dir, _Q11)
+
+
+_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("q_sql_tpch_q13", oracle=_Q13)
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT JOIN with an extra join
+    predicate, two stacked aggregations — count(nullable) counts only
+    matched orders, zero-order customers stay via the outer join."""
+    return sql(spark, sf_dir, _Q13)
+
+
+_Q14 = """
+SELECT 100.00 *
+       CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@query("q_sql_tpch_q14", oracle=_Q14)
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional-revenue percentage —
+    one fact⋈dim join, two decimal-cast sums, one double division."""
+    return sql(spark, sf_dir, _Q14)
+
+
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("q_sql_tpch_q15", oracle=_Q15)
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): CTE consumed twice — once joined, once
+    reduced to a scalar max subquery. Decimal-cast revenue makes the
+    equality comparison exact in both engines."""
+    return sql(spark, sf_dir, _Q15)
+
+
+_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_type <> 'PROMO'
+  AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 100.0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q_sql_tpch_q16", oracle=_Q16)
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationship count): negated
+    predicates + IN list + NOT IN subquery + COUNT DISTINCT. (lineitem
+    is the part↔supplier bridge — the fixtures carry no partsupp.)"""
+    return sql(spark, sf_dir, _Q16)
+
+
+_Q17 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND p_type = 'SMALL'
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(l2.l_quantity))
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@query("q_sql_tpch_q17", oracle=_Q17)
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG
+    subquery per part — Catalyst rewrites it to an aggregate + join;
+    the 0.2×avg threshold is decimal-exact then one double multiply."""
+    return sql(spark, sf_dir, _Q17)
+
+
+_Q19 = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("q_sql_tpch_q19", oracle=_Q19)
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): disjunction of conjunctive
+    band predicates across BOTH join sides — the OR-pushdown stressor."""
+    return sql(spark, sf_dir, _Q19)
+
+
+_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_11'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 50
+  )
+"""
+
+
+@query("q_sql_tpch_q20", oracle=_Q20)
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): semi-join against an
+    aggregated + HAVING subquery over a LIKE-filtered join. (lineitem
+    shipment volume stands in for partsupp availability.)"""
+    return sql(spark, sf_dir, _Q20)
+
+
+_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+"""
+
+
+@query("q_sql_tpch_q21", oracle=_Q21)
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting): correlated EXISTS
+    + NOT EXISTS on the same fact under different aliases — the only
+    supplier at fault in a multi-supplier order. (l_returnflag stands
+    in for the missing receipt/commit dates.)"""
+    return sql(spark, sf_dir, _Q21)
+
+
+_Q22 = """
+SELECT cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT substr(c_name, 18, 1) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE substr(c_name, 18, 1) IN ('1', '2', '3', '4', '5')
+    AND c_acctbal > (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             / count(c_acctbal)
+      FROM customer
+      WHERE c_acctbal > 0.0 AND substr(c_name, 18, 1) IN ('1','2','3','4','5')
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+) custsale
+GROUP BY cntrycode
+"""
+
+
+@query("q_sql_tpch_q22", oracle=_Q22)
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): uncorrelated scalar AVG
+    filter + anti-join (NOT EXISTS urgent orders — plain no-orders is empty at
+    fixture density) + substring country-code rollup. (c_name digits
+    stand in for the missing phone column.)"""
+    return sql(spark, sf_dir, _Q22)
+
+
+_Q2 = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part
+JOIN lineitem  ON l_partkey = p_partkey
+JOIN supplier  ON s_suppkey = l_suppkey
+JOIN nation    ON s_nationkey = n_nationkey
+JOIN region    ON n_regionkey = r_regionkey
+WHERE p_size = 11
+  AND r_name = 'EUROPE'
+  AND s_acctbal = (
+    SELECT min(s2.s_acctbal)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation   n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region   r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+GROUP BY s_acctbal, s_name, n_name, p_partkey, p_name
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q2", oracle=_Q2)
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
+    subquery repeating the outer join chain under fresh aliases.
+    (lineitem bridges part↔supplier; s_acctbal stands in for the
+    missing ps_supplycost, min-acctbal supplier per part in-region.)"""
+    return sql(spark, sf_dir, _Q2)

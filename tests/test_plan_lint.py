@@ -14,14 +14,15 @@ _Q = entrymod.queries()
 
 #: keys whose PLAN legitimately contains a broadcast nested loop /
 #: cartesian — non-equi joins by definition (theta/cross), or a
-#: deliberate crossJoin of a broadcast ≤1-row side (scalar probe /
-#: corpus-count attachment: the BNLJ side is a single row)
+#: deliberate crossJoin of a tiny broadcast side (scalar probe /
+#: corpus-count attachment / the k-row IVF centroid table)
 _NONEQUI_OK = {
     "q_join_theta",
     "q_join_cross",
     "q_llm_cosine_topk",
     "q_llm_topk_multi",
     "q_llm_tfidf",
+    "q_llm_ivf_topk",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window: documented
