@@ -1,0 +1,91 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pairwise near-dup detection (Jaccard / MinHash / SimHash / cosine)
+yields EDGES; an actual dedup decision needs the transitive closure —
+if A≈B and B≈C, all three are one cluster with one canonical survivor.
+This is the step that turns "pairs" into "keep/drop lists" in a
+training-data pipeline.
+
+Spark-first shape: iterative min-label propagation (the GraphX/Pregel
+connected-components algorithm expressed in DataFrame ops). Each
+iteration is one equi-join (labels⋈edges) + one groupBy-min — shuffle
+∝ |E|, label state ∝ |V|; rounds ∝ graph diameter (near-dup clusters
+are near-cliques, so 2-4 rounds in practice, bounded by ``max_iter``).
+The per-round convergence check is a deliberate driver-side action —
+iterative fixpoints are the one place a driver loop is the right tool
+(same as any Pregel superstep loop); everything inside a round is a
+lazy Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every vertex of the undirected pair graph with the MIN
+    vertex id of its connected component (deterministic fixpoint).
+
+    Returns ``(id, component)``. Converges in O(diameter) rounds; stops
+    early when a round changes nothing.
+    """
+    und = persist_if_uncached(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
+    )
+    labels = labels.persist()
+    try:
+        for _ in range(max_iter):
+            nbr = und.join(
+                labels.withColumnRenamed("id", "b"), "b"
+            ).select(F.col("a").alias("id"), "component")
+            new_labels = (
+                labels.select("id", "component")
+                .union(nbr)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            ).persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        und.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs → ``(doc_id, canonical_id, is_canonical)``: one
+    row per clustered document; the cluster's min id survives. Docs in
+    no pair are untouched (join this result back with a left-anti /
+    left join to build the final keep-list)."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

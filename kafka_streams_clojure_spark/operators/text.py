@@ -136,3 +136,16 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp": fingerprint(c),
         }
     )
+
+
+def scrub(text: Column) -> Column:
+    """PII/noise scrubbing for training text: mask emails, then URLs,
+    then standalone long digit runs (6+, i.e. ids/phones — applied
+    after emails/URLs so their digits are already masked). Pure
+    `regexp_replace` chain — codegen'd, and the same patterns/order run
+    verbatim in the DuckDB oracle ('g' flag = Spark's replace-all
+    default)."""
+    t = F.regexp_replace(text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    t = F.regexp_replace(t, r"https?://[^\s]+", "<URL>")
+    t = F.regexp_replace(t, r"\b[0-9]{6,}\b", "<NUM>")
+    return t

@@ -200,10 +200,10 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
-@query(
-    "q_llm_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (
+#: CTE chain producing the word-4-gram Jaccard>=0.5 pair table — shared
+#: by the pair key and the cluster key so their oracles can't drift.
+_JACCARD_CTES = f"""
+    toks AS (
       SELECT doc_id, {_TOK} AS t FROM documents
     ),
     sh AS (
@@ -220,13 +220,24 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
     )
-    SELECT id_a, id_b,
-           CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+"""
+
+
+@query(
+    "q_llm_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT id_a, id_b, jaccard FROM jpairs
     """,
 )
 def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,6 +246,41 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with shingle collisions, never docs²."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+
+
+@query(
+    "q_llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION
+      SELECT id_b, id_a FROM jpairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id,
+           min(r) AS canonical_id,
+           (id = min(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: transitive closure of the Jaccard pair graph
+    via iterative min-label propagation (operators/graph.py — the
+    Pregel connected-components loop in DataFrame ops), picking the min
+    doc_id as each cluster's canonical survivor. The oracle computes
+    the same closure with a recursive CTE — per-pair dedup decisions
+    become per-CLUSTER keep/drop lists, which is what a real pipeline
+    executes."""
+    from kafka_streams_clojure_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    return dedup_clusters(pairs)
 
 
 @query("q_llm_near_dup")  # xxhash64-based — engine-specific, rows-only
@@ -501,3 +547,55 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("blob", F.encode(F.col("text"), "utf-8")), "blob", "image", "raw"
     )
     return decode_image_features(media, "blob", id_col="doc_id", fake=True)
+
+
+@query(
+    "q_llm_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+             '\b[0-9]{6,}\b', '<NUM>', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def q_llm_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing (emails → URLs → long digit runs, in that
+    order): the mandatory sanitization pass of a training-data
+    pipeline, as a pure codegen regexp_replace chain — no Python in
+    the row path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.scrub(F.col("text")).alias("clean_text"))
+
+
+@query(
+    "q_error_swallow",
+    oracle="""
+    SELECT event_id, value * 2.0 AS doubled
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def q_error_swallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record error tolerance (reference api.clj:21-24: failing
+    records are dropped, the stream survives): user logic that RAISES
+    on poison records ('error'-type events) runs inside
+    tolerant_map_in_pandas — Arrow-batched happy path, row-isolated
+    fallback; survivors match the oracle's clean subset exactly."""
+    import pandas as pd
+
+    from kafka_streams_clojure_spark.operators.errors import tolerant_map_in_pandas
+
+    def double_or_die(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["event_type"] == "error").any():
+            raise ValueError("poison record")
+        out = pdf[["event_id"]].copy()
+        out["doubled"] = pdf["value"] * 2.0
+        return out
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return tolerant_map_in_pandas(
+        ev, double_or_die, schema="event_id long, doubled double"
+    )

@@ -336,3 +336,25 @@ def test_kmeans_centroids_deterministic_and_shaped(emb):
     cb = {int(r.cell): list(r.centroid) for r in b}
     assert set(ca) <= set(range(8)) and ca == cb
     assert all(len(v) == 64 for v in ca.values())
+
+
+def test_connected_components_transitive_chain(spark):
+    """A path graph A-B-C-D plus a separate pair must collapse to two
+    components labeled by their min ids — proves transitivity beyond
+    direct pairs (diameter 3 > 1 iteration)."""
+    from kafka_streams_clojure_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        int(r.id): int(r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    cl = dedup_clusters(edges).collect()
+    canon = {int(r.doc_id): bool(r.is_canonical) for r in cl}
+    assert canon == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}

@@ -41,6 +41,7 @@ _PYTHON_OK = {
     "q_llm_winnow",
     "q_multimodal_features",
     "q_stream_stateful_counter",
+    "q_error_swallow",
 }
 
 #: streaming / side-effecting keys execute on call — skip plan-building
