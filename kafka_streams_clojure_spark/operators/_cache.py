@@ -22,3 +22,13 @@ def persist_if_uncached(df: DataFrame) -> DataFrame:
     if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
         df = df.persist()
     return df
+
+
+def persist_scoped(df: DataFrame) -> tuple[DataFrame, bool]:
+    """Like :func:`persist_if_uncached`, but reports whether THIS call
+    created the cache entry. Operators that unpersist on exit must use
+    this — unconditionally unpersisting after a skipped persist would
+    evict a cache entry the *caller* created (and still relies on)."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return df, False
+    return df.persist(), True

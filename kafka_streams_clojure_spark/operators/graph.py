@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+from kafka_streams_clojure_spark.operators._cache import persist_scoped
 
 
 def connected_components(
@@ -35,9 +35,13 @@ def connected_components(
     vertex id of its connected component (deterministic fixpoint).
 
     Returns ``(id, component)``. Converges in O(diameter) rounds; stops
-    early when a round changes nothing.
+    early when a round changes nothing. Raises ``RuntimeError`` if the
+    fixpoint is not reached within ``max_iter`` rounds — unconverged
+    labels would silently split one real cluster into several, so a
+    too-small budget must fail loudly, never return wrong keep/drop
+    lists.
     """
-    und = persist_if_uncached(
+    und, we_cached = persist_scoped(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
@@ -47,6 +51,7 @@ def connected_components(
     )
     labels = labels.persist()
     try:
+        converged = False
         for _ in range(max_iter):
             nbr = und.join(
                 labels.withColumnRenamed("id", "b"), "b"
@@ -67,9 +72,17 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            labels.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                "raise max_iter (rounds needed ~ component diameter)"
+            )
     finally:
-        und.unpersist()
+        if we_cached:
+            und.unpersist()
     return labels
 
 

@@ -201,10 +201,14 @@ def kmeans_centroids(
 
     Init: the k smallest ``id_col`` vectors (deterministic, no RNG).
     Each iteration: broadcast the k centroids, assign every vector to
-    its nearest (argmin over a posexploded centroid join — one shuffle-
-    free pass), then groupBy-average per cell. Distributed cost per
-    iteration is one corpus scan + one #cells-sized aggregate; the
-    centroid table itself (k×dim doubles) always fits in a broadcast.
+    its nearest (min_by over the broadcast cross join — one shuffle on
+    the row id), then groupBy-average per cell. Per-element sums go
+    through DECIMAL(38,18) so the centroid means are exact — plain
+    double sums are partial-agg-order dependent, and a ulp of centroid
+    drift can flip a Voronoi-boundary assignment between runs.
+    Distributed cost per iteration is one corpus scan + two aggregates;
+    the centroid table itself (k×dim doubles) always fits in a
+    broadcast.
 
     Returns ``(cell, centroid array<double>)``. Iterative refinement is
     genuinely non-SQL-expressible → consumers are rows-only keys with
@@ -225,7 +229,8 @@ def kmeans_centroids(
     for _ in range(iters):
         assigned = _assign_cells(df, cents, vec_col=vec_col)
         sums = [
-            F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}") for i in range(dim)
+            F.sum(F.col(vec_col)[i].cast("decimal(38,18)")).alias(f"s{i}")
+            for i in range(dim)
         ]
         cents = (
             assigned.groupBy("cell")
@@ -233,7 +238,10 @@ def kmeans_centroids(
             .select(
                 "cell",
                 F.array(
-                    *[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]
+                    *[
+                        (F.col(f"s{i}").cast("double") / F.col("n"))
+                        for i in range(dim)
+                    ]
                 ).alias("centroid"),
             )
         )
@@ -248,9 +256,10 @@ def _assign_cells(
     id_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest cell ids to every row: broadcast
-    the centroid table, score all cells per row, keep the best n_probe
-    by a per-row ranking window. The corpus never shuffles for
-    assignment (the window partitions by the row's own id)."""
+    the centroid table, score all cells per row, keep the best n_probe.
+    Exactly ONE shuffle keyed by the row id (min_by aggregate for
+    n_probe=1, ranking window otherwise) — the vector rides inside the
+    min_by struct, so there is no join back to the corpus."""
     keys = list(id_cols) if id_cols else [c for c in df.columns if c != vec_col]
     scored = df.crossJoin(F.broadcast(centroids)).select(
         *keys,
@@ -260,9 +269,16 @@ def _assign_cells(
     )
     if n_probe == 1:
         best = scored.groupBy(*keys).agg(
-            F.min_by(F.col("cell"), F.struct(F.col("__d2"), F.col("cell"))).alias("cell")
+            F.min_by(
+                F.struct(F.col("cell"), F.col(vec_col)),
+                F.struct(F.col("__d2"), F.col("cell")),
+            ).alias("__best")
         )
-        return df.join(best, keys)
+        return best.select(
+            *keys,
+            F.col("__best.cell").alias("cell"),
+            F.col(f"__best.{vec_col}").alias(vec_col),
+        )
     w = Window.partitionBy(*keys).orderBy(F.col("__d2"), F.col("cell"))
     return (
         scored.withColumn("__r", F.row_number().over(w))
@@ -297,11 +313,15 @@ def ivf_topk(
         n_probe=n_probe,
         id_cols=[probe_id_col],
     )
+    # no dedup needed: each corpus row sits in exactly one cell and a
+    # probe's n_probe cells are distinct, so the cell equi-join emits
+    # each (probe, vec) pair at most once — a dropDuplicates here would
+    # be a pure extra shuffle of the whole candidate set
     cand = corpus.join(F.broadcast(probes), "cell").select(
         probe_id_col,
         id_col,
         cosine(F.col(vec_col), F.col("_pv")).alias("cos_sim"),
-    ).dropDuplicates([probe_id_col, id_col])
+    )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
     )

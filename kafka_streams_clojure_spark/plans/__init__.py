@@ -71,11 +71,41 @@ def unpartitioned_window_cols(df: DataFrame) -> list[str]:
     In the analyzed plan a spec prints as
     ``windowspecdefinition(part..., order ASC/DESC..., frame)``;
     when the FIRST argument already carries a sort direction there are
-    no partition columns. Returns the offending first order columns
+    no partition columns. The first argument is extracted with a
+    balanced-paren scan (NOT a bare-identifier regex) so expression
+    order keys — ``cast(v#1 as date) ASC`` — cannot slip past the lint.
+    Returns the offending first order keys with expr-ids stripped
     (deduped) so lints can allowlist windows over tiny inputs (e.g.
     per-range-partition summaries ordered by ``__pid``)."""
     import re
 
     plan = df._jdf.queryExecution().analyzed().toString()
-    hits = re.findall(r"windowspecdefinition\(([^,()]+?) (?:ASC|DESC)", plan)
-    return sorted({h.split("#")[0].strip() for h in hits})
+    needle = "windowspecdefinition("
+    out: set[str] = set()
+    pos = 0
+    while True:
+        start = plan.find(needle, pos)
+        if start < 0:
+            break
+        # scan the FIRST top-level argument of the spec
+        depth = 0
+        first = []
+        i = start + len(needle)
+        while i < len(plan):
+            ch = plan[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            first.append(ch)
+            i += 1
+        arg = "".join(first).strip()
+        m = re.search(r"\s(?:ASC|DESC)\b", arg)
+        if m:  # first arg is an ORDER key -> no partition columns
+            out.add(re.sub(r"#\d+", "", arg[: m.start()]).strip())
+        pos = i
+    return sorted(out)

@@ -58,6 +58,7 @@ def _load_all() -> None:
         return
     from kafka_streams_clojure_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         extras,
         joins,
         llm,

@@ -1,0 +1,138 @@
+"""Event-analytics query keys: funnel conversion and cohort retention
+over the ``events`` fixture — the classic product-analytics shapes a
+streaming-events engine (reference: kafka-streams topology consumers,
+api.clj:96-140) is used for downstream of ingestion.
+
+Both keys are pure multi-stage aggregations over ``user_id`` — every
+shuffle is keyed by the user, so at 100 TB they scale with the user
+cardinality, not the event count, after the first map-side-combined
+aggregate. No driver actions, no windows without partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.queries import query
+from kafka_streams_clojure_spark.queries._util import load_table
+
+# Funnel stages: first 'view', then first 'click' AFTER that view,
+# then first 'purchase' AFTER that click — strict event-order funnel,
+# not a bag-of-events intersection.
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(stage AS VARCHAR) AS stage, CAST(users AS BIGINT) AS users
+FROM (
+  SELECT 'view' AS stage, count(*) AS users FROM s1
+  UNION ALL SELECT 'view>click', count(*) FROM s2
+  UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
+)
+"""
+
+
+@query("q_events_funnel", oracle=_FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (view → click → purchase): each stage keeps
+    users whose first stage-N event happens AFTER their first
+    stage-(N-1) event.
+
+    Plan shape: three per-user min aggregates chained by user_id
+    equi-joins. Every exchange is hash(user_id) — AQE reuses the
+    partitioning across stages, and each stage's input shrinks
+    monotonically (funnel property), so the joins get cheaper as the
+    chain deepens."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count("*").cast("bigint").alias("users")
+        )
+
+    return (
+        stage(s1, "view")
+        .unionAll(stage(s2, "view>click"))
+        .unionAll(stage(s3, "view>click>purchase"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM activity a JOIN first_day f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+@query("q_events_retention", oracle=_RETENTION_ORACLE)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their first active
+    day; for each (cohort_day, day_offset) the count of users from
+    that cohort active offset days later.
+
+    Plan shape: distinct (user, day) pairs and the per-user min-day
+    both shuffle on user_id; the final matrix aggregate shuffles on
+    (cohort, offset) — tiny (days²) output. ``activity`` is already
+    one row per (user, day), so the final count(*) needs no
+    count-distinct. cohort_day is emitted as a naive TIMESTAMP (not
+    DATE): the two engines' pandas bridges render DATE differently
+    (datetime64 vs datetime.date), which the value-hash comparison
+    would flag even though the dates are identical."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("active_day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+    )

@@ -599,3 +599,137 @@ def q_error_swallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tolerant_map_in_pandas(
         ev, double_or_die, schema="event_id long, doubled double"
     )
+
+
+@query(
+    "q_llm_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(u.s AS INT)            AS chunk_start,
+           substr(text, CAST(u.s AS INT), 64) AS chunk_text,
+           CAST(length(substr(text, CAST(u.s AS INT), 64)) AS INT) AS chunk_len
+    FROM documents, unnest(generate_series(1, CAST(n_chars AS INT), 48)) AS u(s)
+    """,
+)
+def q_llm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (window 64 chars,
+    stride 48 — the context-window packing prep step; real pipelines
+    use token windows, same plan shape).
+
+    Plan shape: pure map-side — sequence() + explode + substring, all
+    codegen, zero shuffles. Output grows by the overlap factor
+    (64/48 ≈ 1.3×) but each task streams its own split; at 100 TB this
+    is exactly as parallel as the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_chars").cast("int"), F.lit(48))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.expr("substring(text, chunk_start, 64)").alias("chunk_text"),
+            F.length(F.expr("substring(text, chunk_start, 64)"))
+            .cast("int")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "q_llm_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, bucket
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+    """,
+)
+def q_llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: md5(doc_id)-derived bucket in
+    [0,100), per-stratum keep-rate (downsample the dominant language —
+    the data-mixture rebalancing step of corpus curation).
+
+    Engine-portable hash: both engines parse the first 8 hex chars of
+    md5 into the same uint32 (Spark ``conv(,16,10)``, DuckDB
+    ``'0x'||…`` cast), so the SAMPLE ITSELF is reproducible across
+    engines and runs — sample membership is a pure function of the
+    stable doc_id, never of partitioning or RNG state. Map-side only,
+    no shuffle; the filter is codegen and pushes nothing to Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@query(
+    "q_llm_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens
+                - 512 * floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents into fixed-token-budget
+    (512) training sequences, contiguous-greedy within each source
+    shard — each doc gets (pack_id, pack_offset) addressing its slot.
+
+    Plan shape: one shuffle on ``source`` (the shard key), a running
+    sum inside each shard (integer arithmetic — exact, order pinned by
+    unique doc_id), then pure map-side bucket math. Packing is
+    per-shard by design: at 100 TB a GLOBAL greedy pack would be a
+    single sequential scan, while per-source packing parallelizes
+    across shards exactly like the real thing (each worker packs its
+    own file group)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    pack_id = F.floor(start / F.lit(512.0)).cast("bigint")
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        pack_id.alias("pack_id"),
+        (start - F.lit(512) * pack_id).cast("bigint").alias("pack_offset"),
+    )

@@ -91,7 +91,7 @@ JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderkey IN (
   SELECT l_orderkey FROM lineitem
   GROUP BY l_orderkey
-  HAVING sum(l_quantity) > 150
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150
 )
 GROUP BY c_name, o_orderkey, o_totalprice
 """
@@ -409,7 +409,7 @@ WHERE n_name = 'NATION_11'
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_suppkey
-    HAVING sum(l_quantity) > 50
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 50
   )
 """
 

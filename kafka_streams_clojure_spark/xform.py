@@ -201,6 +201,12 @@ def take(
 
     def apply(df: DataFrame) -> DataFrame:
         if per_partition_key:
+            if not order_by:
+                raise ValueError(
+                    "take(per_partition_key=...) requires order_by: 'first n "
+                    "per key' is undefined without a deterministic row order "
+                    "(row_number needs ORDER BY)"
+                )
             w = Window.partitionBy(*per_partition_key).orderBy(*order_by)
             return (
                 df.withColumn("__take_rn", F.row_number().over(w))

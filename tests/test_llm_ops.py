@@ -322,6 +322,28 @@ def test_ivf_topk_recall_and_pruning(emb, spark):
     approx_pairs = {(int(r.probe_id), int(r.vec_id)) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5, f"IVF recall too low even for near-orthogonal data: {recall}"
+
+    # (c) pruning: every probe scores strictly fewer candidates than the
+    # corpus — degenerate assignment (all rows in the probed cells)
+    # would silently turn IVF back into brute force
+    from kafka_streams_clojure_spark.operators.similarity import _assign_cells
+
+    corpus = _assign_cells(emb, cents, id_cols=["vec_id"])
+    pr = _assign_cells(
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pv")),
+        cents,
+        vec_col="_pv",
+        n_probe=4,
+        id_cols=["probe_id"],
+    )
+    n_docs = emb.count()
+    per_probe = {
+        int(r.probe_id): int(r.n)
+        for r in corpus.join(pr, "cell").groupBy("probe_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_probe and all(n < 0.9 * n_docs for n in per_probe.values()), (
+        f"IVF candidate sets not pruned: {per_probe} vs corpus {n_docs}"
+    )
     cents.unpersist()
 
 
