@@ -284,3 +284,35 @@ def simhash_near_dups(
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: for every training doc, count how many
+    of its distinct word-k-grams also appear anywhere in the benchmark
+    (eval) corpus. Docs with ``n_hits > 0`` are contamination suspects
+    a real pipeline drops or audits before training.
+
+    Scale shape: real eval sets are tiny relative to 100 TB of training
+    text, so the benchmark's distinct-shingle table is BROADCAST — the
+    training corpus never shuffles for the membership probe; the only
+    exchange is the per-doc hit count keyed by ``id_col``. (If the
+    benchmark ever outgrows the broadcast threshold Spark falls back to
+    a shuffled hash join on the shingle — same semantics.)
+
+    Returns ``(id_col, n_hits)`` for contaminated docs only.
+    """
+    bench_sh = F.broadcast(
+        shingle_sets(bench, id_col, text_col, k).select("shingle").distinct()
+    )
+    train_sh = shingle_sets(train, id_col, text_col, k)
+    return (
+        train_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

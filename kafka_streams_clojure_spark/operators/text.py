@@ -9,7 +9,7 @@ compose into any pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language function-word lists for the n-gram/stopword
@@ -149,3 +149,63 @@ def scrub(text: Column) -> Column:
     t = F.regexp_replace(t, r"https?://[^\s]+", "<URL>")
     t = F.regexp_replace(t, r"\b[0-9]{6,}\b", "<NUM>")
     return t
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition scores (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — public paper): per doc,
+
+    - ``dup_token_ratio``  = 1 - distinct_tokens / n_tokens
+    - ``top_bigram_frac``  = count of the most frequent word-2-gram /
+      total bigrams (ties on count don't matter: only the max count is
+      used, never which bigram attains it)
+
+    Docs with < 2 tokens have no bigrams and are excluded (the
+    filter-by-threshold consumer treats missing as "keep").
+
+    Plan shape: one posexplode of the token stream, ONE shuffle keyed
+    by ``id_col`` (pinned repartition — the exploded rows are tiny and
+    AQE would coalesce the window sort to one partition), then two
+    same-key aggregates Catalyst plans without a further exchange.
+    Bigrams use the codegen window-``lead`` idiom, not interpreted
+    array lambdas. All ratios are exact-integer counts divided once in
+    IEEE double — engine-portable."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), r"\s+")).alias("__n"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__tok"),
+        )
+        .filter(F.col("__n") >= 2)
+        .repartition(par, id_col)
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    bigram = F.concat_ws(" ", F.col("__tok"), F.lead("__tok", 1).over(w))
+    per_bigram = (
+        toks.select(
+            F.col(id_col), F.col("__pos"), F.col("__n"), bigram.alias("bg")
+        )
+        .filter(F.col("__pos") + 2 <= F.col("__n"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bg_stats = per_bigram.groupBy(id_col).agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("total_bg")
+    )
+    tok_stats = toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        F.count_distinct("__tok").alias("n_distinct"),
+    )
+    return tok_stats.join(bg_stats, id_col).select(
+        id_col,
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_tok").cast("double")
+        ).alias("dup_token_ratio"),
+        (
+            F.col("top_cnt").cast("double") / F.col("total_bg").cast("double")
+        ).alias("top_bigram_frac"),
+    )

@@ -733,3 +733,102 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_id.alias("pack_id"),
         (start - F.lit(512) * pack_id).cast("bigint").alias("pack_offset"),
     )
+
+
+def _sh_unnest(rel: str) -> str:
+    """DuckDB word-4-gram shingle SQL over a (doc_id, t) relation —
+    same contract as operators/dedup.shingle_sets (docs with <= 4
+    tokens contribute their whole text as one shingle)."""
+    return f"""
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+                           ELSE list_transform(range(1, len(t) - 2),
+                                               i -> array_to_string(t[i:i+3], ' '))
+                      END) AS shingle
+        FROM {rel})
+    """
+
+
+@query(
+    "q_llm_decontaminate",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    ),
+    bt AS (SELECT doc_id, {_TOK} AS t FROM b WHERE bucket < 5),
+    tt AS (SELECT doc_id, {_TOK} AS t FROM b WHERE bucket >= 5),
+    bsh AS (SELECT DISTINCT shingle FROM ({_sh_unnest('bt')})),
+    tsh AS ({_sh_unnest('tt')})
+    SELECT doc_id, count(*) AS n_hits
+    FROM tsh JOIN bsh USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    word-4-gram with the held-out eval slice (the deterministic 5%
+    md5-bucket sample — same engine-portable bucket as
+    q_llm_hash_sample, so both engines agree on the SPLIT as well as
+    the overlap counts). Real pipelines run exactly this before
+    training (eval sets are public text — they leak into crawls).
+
+    Scale shape: the eval side's distinct shingles are broadcast
+    (eval sets are tiny vs 100 TB of training text); the training
+    corpus never shuffles for the probe — the only exchange is the
+    per-doc hit count. See operators/dedup.decontaminate."""
+    from kafka_streams_clojure_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    ).alias("bucket")
+    with_b = docs.select("doc_id", "text", bucket)
+    bench = with_b.filter(F.col("bucket") < 5)
+    train = with_b.filter(F.col("bucket") >= 5)
+    return decontaminate(train, bench)
+
+
+@query(
+    "q_llm_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS tk FROM toks WHERE len(t) >= 2
+    ),
+    tstats AS (
+      SELECT doc_id, count(*) AS n_tok, count(DISTINCT tk) AS n_distinct
+      FROM tok GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+    bgs AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total_bg
+            FROM bgc GROUP BY doc_id)
+    SELECT t.doc_id,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)
+             AS dup_token_ratio,
+           CAST(top_cnt AS DOUBLE) / CAST(total_bg AS DOUBLE)
+             AS top_bigram_frac
+    FROM tstats t JOIN bgs USING (doc_id)
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scores (Gopher quality rules):
+    duplicate-token ratio and most-frequent-bigram fraction per doc —
+    the standard "is this doc degenerate boilerplate?" filter signals.
+    See operators/text.repetition_stats for the plan shape (one
+    explode, one pinned shuffle on doc_id, codegen bigrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs)

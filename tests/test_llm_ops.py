@@ -380,3 +380,46 @@ def test_connected_components_transitive_chain(spark):
     cl = dedup_clusters(edges).collect()
     canon = {int(r.doc_id): bool(r.is_canonical) for r in cl}
     assert canon == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc that quotes a 4-gram from the benchmark is
+    flagged with the right hit count; disjoint docs are not flagged."""
+    from kafka_streams_clojure_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps" + 2 more bench 4-grams
+            (10, "she saw the quick brown fox jumps over a fence"),
+            (11, "completely unrelated words in this sentence here"),
+            (12, "tiny doc"),  # <=4 tokens -> whole-text shingle, no hit
+        ],
+        "doc_id long, text string",
+    )
+    hits = {int(r.doc_id): int(r.n_hits) for r in decontaminate(train, bench).collect()}
+    assert 10 in hits and hits[10] >= 1
+    assert 11 not in hits and 12 not in hits
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed dup-token ratio and top-bigram fraction."""
+    from kafka_streams_clojure_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 5 toks, 2 distinct; bigrams: ab,ba,ab,ba -> top 2/4
+            (2, "x y z"),       # 3 toks distinct; bigrams xy,yz -> top 1/2
+            (3, "solo"),        # 1 token -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {int(r.doc_id): r for r in repetition_stats(df).collect()}
+    assert set(out) == {1, 2}
+    assert abs(out[1].dup_token_ratio - (1 - 2 / 5)) < 1e-12
+    assert abs(out[1].top_bigram_frac - 2 / 4) < 1e-12
+    assert abs(out[2].dup_token_ratio - 0.0) < 1e-12
+    assert abs(out[2].top_bigram_frac - 1 / 2) < 1e-12
