@@ -66,3 +66,50 @@ def through(df: DataFrame, n_partitions: int, *cols: str) -> DataFrame:
     """`through` parity (api.clj:55): an explicit repartition point —
     the intermediate-topic idiom without materializing a topic."""
     return df.repartition(n_partitions, *cols) if cols else df.repartition(n_partitions)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] | list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned sink: one directory per partition-column
+    value. The 100 TB reason: readers filtering on the partition column
+    prune entire directories at PLANNING time (PartitionFilters in the
+    scan node) — a date- or source-partitioned corpus makes
+    "yesterday's crawl only" read 1/N of the data instead of scanning
+    and discarding. Dynamic overwrite replaces only touched partitions
+    (incremental daily loads don't clobber history)."""
+    (
+        df.write.format(fmt)
+        .mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .save(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: tuple[str, ...] | list[str],
+    n_buckets: int,
+    sort_by: tuple[str, ...] | list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (`through` taken to storage): rows are
+    hash-clustered into ``n_buckets`` files per partition by
+    ``bucket_by``, so two tables bucketed the same way equi-join with
+    ZERO shuffles — the join reads co-located buckets directly. This is
+    the batch analog of the reference's co-partitioned topics
+    (repartition through an intermediate topic, api.clj:55): pay the
+    clustering once at write time, reuse it across every downstream
+    join/agg on the key. ``sort_by`` additionally orders within
+    buckets (sort-merge join without the sort step)."""
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

@@ -1,0 +1,75 @@
+"""Partitioned and bucketed storage layouts (SURVEY §2.1 sinks, 100 TB
+posture): partition pruning must happen at planning time and same-key
+bucketed joins must run with zero exchanges. Results are cross-checked
+against the unpartitioned/unbucketed plans so layout never changes
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.queries._util import load_table
+from kafka_streams_clojure_spark.sources import write_bucketed, write_partitioned
+
+
+def test_partitioned_write_prunes_at_planning(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    scan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in scan, scan[:800]
+    # pruned read returns exactly the filtered original
+    expect = docs.filter(F.col("lang") == "en")
+    assert back.count() == expect.count()
+    assert (
+        sorted(r.doc_id for r in back.select("doc_id").collect())
+        == sorted(r.doc_id for r in expect.select("doc_id").collect())
+    )
+
+
+@pytest.fixture()
+def warehouse_tables(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    by_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    write_bucketed(by_user, "t_user_events", ["user_id"], 8)
+    write_bucketed(purchases, "t_user_purchases", ["user_id"], 8)
+    yield "t_user_events", "t_user_purchases"
+    for t in ("t_user_events", "t_user_purchases"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_zero_shuffles(spark, warehouse_tables, sf_dir):
+    ta, tb = warehouse_tables
+    a, b = spark.table(ta), spark.table(tb)
+    # disable broadcast so the only shuffle-free path is the bucket layout
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1200]
+        # same results as the unbucketed join
+        ev = load_table(spark, sf_dir, "events")
+        expect = (
+            ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+            .join(
+                ev.filter(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.count("*").alias("n_purchases")),
+                "user_id",
+            )
+        )
+        got = {(r.user_id, r.n_events, r.n_purchases) for r in joined.collect()}
+        want = {(r.user_id, r.n_events, r.n_purchases) for r in expect.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
