@@ -832,3 +832,102 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, one pinned shuffle on doc_id, codegen bigrams)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.repetition_stats(docs)
+
+
+@query(
+    "q_llm_curation",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, source, text,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    ),
+    -- stage 1: exact dedup, min doc_id survives its fingerprint group
+    keep1 AS (
+      SELECT b.* FROM b
+      JOIN (SELECT fp, min(doc_id) AS doc_id FROM b GROUP BY fp) k
+        USING (fp, doc_id)
+    ),
+    -- stage 2: repetition filter (dup-token ratio <= 0.3; <2-token docs kept)
+    tok AS (
+      SELECT doc_id, unnest(t) AS tk, len(t) AS n
+      FROM (SELECT doc_id, {_TOK} AS t FROM keep1)
+    ),
+    rep AS (
+      SELECT doc_id,
+             1.0 - CAST(count(DISTINCT tk) AS DOUBLE) / count(*) AS dup_ratio
+      FROM tok WHERE n >= 2 GROUP BY doc_id
+    ),
+    keep2 AS (
+      SELECT keep1.* FROM keep1 LEFT JOIN rep USING (doc_id)
+      WHERE rep.dup_ratio IS NULL OR rep.dup_ratio <= 0.3
+    ),
+    -- stage 3: decontamination vs the bucket<5 eval slice
+    bt AS (SELECT doc_id, {_TOK} AS t FROM b WHERE bucket < 5),
+    tt AS (SELECT doc_id, {_TOK} AS t FROM keep2 WHERE bucket >= 5),
+    bsh AS (SELECT DISTINCT shingle FROM ({_sh_unnest('bt')})),
+    tsh AS ({_sh_unnest('tt')}),
+    dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (shingle)),
+    keep3 AS (
+      SELECT keep2.* FROM keep2
+      WHERE bucket >= 5 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    -- stage 4: stratified sample (en keeps bucket<50, others all)
+    keep4 AS (
+      SELECT * FROM keep3 WHERE lang <> 'en' OR bucket < 50
+    )
+    -- stage 5: per-lang corpus stats
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens
+    FROM keep4 GROUP BY lang
+    """,
+)
+def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data CURATION pipeline, composed from the
+    individual operators and lazily planned as ONE Catalyst job:
+    exact dedup (keep-first) → repetition filter (dup-token ratio
+    <= 0.3) → benchmark decontamination (drop docs overlapping the
+    md5-bucket eval slice, and the slice itself) → deterministic
+    stratified downsample of the dominant language → per-language
+    corpus stats.
+
+    Every stage is the SAME operator its standalone key checks
+    (operators/dedup.exact_dedup, text.repetition_stats,
+    dedup.decontaminate, the hash-sample bucket) — this key proves they
+    compose. Scale shape: stages communicate by doc_id semi/anti joins
+    (16-byte keys), text rides through untouched until the final token
+    count; the eval shingle side broadcasts; nothing collects."""
+    from kafka_streams_clojure_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    ).alias("bucket")
+    base = docs.select("doc_id", "lang", "source", "text", bucket)
+
+    # stage 1: exact dedup keep-first
+    keep1 = exact_dedup(base)
+    # stage 2: repetition filter (null-safe: short docs have no score)
+    rep = TX.repetition_stats(keep1).select("doc_id", "dup_token_ratio")
+    keep2 = keep1.join(rep, "doc_id", "left").filter(
+        F.col("dup_token_ratio").isNull() | (F.col("dup_token_ratio") <= 0.3)
+    ).drop("dup_token_ratio")
+    # stage 3: decontaminate against the eval slice (drop slice + hits)
+    bench = base.filter(F.col("bucket") < 5)
+    train = keep2.filter(F.col("bucket") >= 5)
+    hits = decontaminate(train, bench).select("doc_id")
+    keep3 = train.join(hits, "doc_id", "left_anti")
+    # stage 4: stratified downsample of 'en'
+    keep4 = keep3.filter((F.col("lang") != "en") | (F.col("bucket") < 50))
+    # stage 5: per-lang stats
+    return keep4.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("bigint"))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
