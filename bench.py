@@ -42,6 +42,7 @@ HEADLINE = [
     "q_sql_tpch_q5",          # 6-way snowflake join (SQL surface)
     "q_sql_tpch_q18",         # semi-join-heavy (large-order customers)
     "q_ktable_latest",        # changelog compaction (max_by)
+    "q_llm_curation",         # composed curation pipeline (flagship)
 ]
 
 

@@ -899,7 +899,12 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.decontaminate, the hash-sample bucket) — this key proves they
     compose. Scale shape: stages communicate by doc_id semi/anti joins
     (16-byte keys), text rides through untouched until the final token
-    count; the eval shingle side broadcasts; nothing collects."""
+    count; the eval shingle side broadcasts; nothing collects.
+    ``keep1`` and ``train`` are each consumed by two downstream
+    branches (stats + join / probe + anti-join), so both are persisted
+    — without it the dedup+repetition prefix executes twice (measured
+    2× wall at sf0.1)."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
     from kafka_streams_clojure_spark.operators.dedup import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
@@ -911,7 +916,7 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "lang", "source", "text", bucket)
 
     # stage 1: exact dedup keep-first
-    keep1 = exact_dedup(base)
+    keep1 = persist_if_uncached(exact_dedup(base))
     # stage 2: repetition filter (null-safe: short docs have no score)
     rep = TX.repetition_stats(keep1).select("doc_id", "dup_token_ratio")
     keep2 = keep1.join(rep, "doc_id", "left").filter(
@@ -919,7 +924,7 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("dup_token_ratio")
     # stage 3: decontaminate against the eval slice (drop slice + hits)
     bench = base.filter(F.col("bucket") < 5)
-    train = keep2.filter(F.col("bucket") >= 5)
+    train = persist_if_uncached(keep2.filter(F.col("bucket") >= 5))
     hits = decontaminate(train, bench).select("doc_id")
     keep3 = train.join(hits, "doc_id", "left_anti")
     # stage 4: stratified downsample of 'en'
