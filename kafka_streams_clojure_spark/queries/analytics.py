@@ -136,3 +136,71 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").cast("bigint").alias("active_users"))
     )
+
+
+@query(
+    "q_events_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+               AS mean_v,
+             CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS meansq
+      FROM events GROUP BY event_type
+    ),
+    s2 AS (
+      SELECT event_type, mean_v,
+             sqrt(meansq - mean_v * mean_v) AS std_v
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mean_v) / s.std_v AS z
+    FROM events e JOIN s2 s USING (event_type)
+    WHERE abs(e.value - s.mean_v) > 3 * s.std_v
+    """,
+)
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier detection: flag events whose value
+    deviates more than 3 standard deviations from their event_type's
+    mean — the monitoring/anomaly shape run over metric streams.
+
+    Numeric discipline: mean and mean-of-squares go through exact
+    DECIMAL(18,4) sums (partial-agg order independent); variance,
+    sqrt, and the z-score itself are per-row IEEE double ops that both
+    engines compute identically (sqrt is correctly-rounded — never
+    libm-divergent pow/ln/exp).
+
+    Scale shape: the per-type stats table is tiny (#event_types rows)
+    and BROADCAST back onto the stream — the fact table is scanned
+    twice (once for stats, once for scoring) but never shuffled for
+    the join; at 100 TB the second scan reuses parquet column pruning
+    (event_id, event_type, value only)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"))
+        .alias("mean_v"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast("decimal(18,4)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("meansq"),
+    )
+    s2 = stats.select(
+        "event_type",
+        "mean_v",
+        F.sqrt(F.col("meansq") - F.col("mean_v") * F.col("mean_v")).alias("std_v"),
+    )
+    return (
+        ev.join(F.broadcast(s2), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("mean_v")) > F.lit(3) * F.col("std_v")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - F.col("mean_v")) / F.col("std_v")).alias("z"),
+        )
+    )
