@@ -152,7 +152,10 @@ def scrub(text: Column) -> Column:
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool = True,
 ) -> DataFrame:
     """Gopher-style intra-document repetition scores (Rae et al. 2021,
     arXiv:2112.11446 §A1.1 — public paper): per doc,
@@ -171,7 +174,12 @@ def repetition_stats(
     same-key aggregates Catalyst plans without a further exchange.
     Bigrams use the codegen window-``lead`` idiom, not interpreted
     array lambdas. All ratios are exact-integer counts divided once in
-    IEEE double — engine-portable."""
+    IEEE double — engine-portable.
+
+    ``bigrams=False`` returns only ``dup_token_ratio`` and skips the
+    whole per-(doc, bigram) aggregate — consumers that filter on the
+    token ratio alone (the curation pipeline) shouldn't pay for a
+    window + two aggregates Catalyst cannot prune out of the join."""
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.select(
@@ -182,6 +190,16 @@ def repetition_stats(
         .filter(F.col("__n") >= 2)
         .repartition(par, id_col)
     )
+    dup_ratio = (
+        F.lit(1.0)
+        - F.col("n_distinct").cast("double") / F.col("n_tok").cast("double")
+    ).alias("dup_token_ratio")
+    tok_stats = toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        F.count_distinct("__tok").alias("n_distinct"),
+    )
+    if not bigrams:
+        return tok_stats.select(id_col, dup_ratio)
     w = Window.partitionBy(id_col).orderBy("__pos")
     bigram = F.concat_ws(" ", F.col("__tok"), F.lead("__tok", 1).over(w))
     per_bigram = (
@@ -195,16 +213,9 @@ def repetition_stats(
     bg_stats = per_bigram.groupBy(id_col).agg(
         F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("total_bg")
     )
-    tok_stats = toks.groupBy(id_col).agg(
-        F.count("*").alias("n_tok"),
-        F.count_distinct("__tok").alias("n_distinct"),
-    )
     return tok_stats.join(bg_stats, id_col).select(
         id_col,
-        (
-            F.lit(1.0)
-            - F.col("n_distinct").cast("double") / F.col("n_tok").cast("double")
-        ).alias("dup_token_ratio"),
+        dup_ratio,
         (
             F.col("top_cnt").cast("double") / F.col("total_bg").cast("double")
         ).alias("top_bigram_frac"),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_clojure_spark.queries import query
-from kafka_streams_clojure_spark.queries._util import load_table
+from kafka_streams_clojure_spark.queries._util import davg, load_table, sql_davg
 
 # Funnel stages: first 'view', then first 'click' AFTER that view,
 # then first 'purchase' AFTER that click — strict event-order funnel,
@@ -56,14 +56,19 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins. Every exchange is hash(user_id) — AQE reuses the
     partitioning across stages, and each stage's input shrinks
     monotonically (funnel property), so the joins get cheaper as the
-    chain deepens."""
+    chain deepens. ``s1``/``s2`` are each read twice (their stage
+    count + the next stage's join), so both are persisted — exchange
+    reuse across the union branches is plan-shape sensitive and must
+    not be relied on to avoid a 3× events scan."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
     ev = load_table(spark, sf_dir, "events")
-    s1 = (
+    s1 = persist_if_uncached(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    s2 = (
+    s2 = persist_if_uncached(
         ev.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
@@ -140,13 +145,11 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_events_outliers",
-    oracle="""
+    oracle=f"""
     WITH stats AS (
       SELECT event_type,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
-               AS mean_v,
-             CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE)
-               / count(*) AS meansq
+             {sql_davg('value')} AS mean_v,
+             {sql_davg('value * value')} AS meansq
       FROM events GROUP BY event_type
     ),
     s2 AS (
@@ -165,8 +168,9 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviates more than 3 standard deviations from their event_type's
     mean — the monitoring/anomaly shape run over metric streams.
 
-    Numeric discipline: mean and mean-of-squares go through exact
-    DECIMAL(18,4) sums (partial-agg order independent); variance,
+    Numeric discipline: mean and mean-of-squares use the shared
+    ``davg``/``sql_davg`` decimal-cast helpers (partial-agg order
+    independent, one definition on both engines); variance,
     sqrt, and the z-score itself are per-row IEEE double ops that both
     engines compute identically (sqrt is correctly-rounded — never
     libm-divergent pow/ln/exp).
@@ -178,14 +182,8 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_id, event_type, value only)."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"))
-        .alias("mean_v"),
-        (
-            F.sum((F.col("value") * F.col("value")).cast("decimal(18,4)")).cast(
-                "double"
-            )
-            / F.count("*")
-        ).alias("meansq"),
+        davg(F.col("value")).alias("mean_v"),
+        davg(F.col("value") * F.col("value")).alias("meansq"),
     )
     s2 = stats.select(
         "event_type",

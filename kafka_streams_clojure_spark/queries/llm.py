@@ -41,6 +41,24 @@ from kafka_streams_clojure_spark.queries._util import load_table
 _TOK = "string_split_regex(text, '\\s+')"
 _TOKL = "string_split_regex(lower(text), '\\s+')"
 
+#: Engine-portable deterministic bucket in [0,100): both engines parse
+#: the first 8 hex chars of md5(doc_id) into the same uint32. ONE
+#: definition each side — q_llm_hash_sample, q_llm_decontaminate and
+#: q_llm_curation must agree on the SPLIT itself, so they all call
+#: these two twins.
+_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _bucket() -> "F.Column":
+    """Spark twin of :data:`_SQL_BUCKET`."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
 
 @query(
     "q_llm_exact_dedup",
@@ -619,10 +637,16 @@ def q_llm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: pure map-side — sequence() + explode + substring, all
     codegen, zero shuffles. Output grows by the overlap factor
     (64/48 ≈ 1.3×) but each task streams its own split; at 100 TB this
-    is exactly as parallel as the parquet scan."""
+    is exactly as parallel as the parquet scan.
+
+    Empty docs are filtered BEFORE the explode: ``sequence(1, 0)``
+    throws in Spark while DuckDB's ``generate_series(1, 0)`` is
+    silently empty — both engines must emit zero chunks for them, not
+    one crash and one empty set."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
+        docs.filter(F.col("n_chars") >= 1)
+        .select(
             "doc_id",
             "text",
             F.explode(
@@ -642,12 +666,10 @@ def q_llm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_hash_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, bucket
     FROM (
-      SELECT doc_id, lang,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 100 AS bucket
+      SELECT doc_id, lang, {_SQL_BUCKET} AS bucket
       FROM documents
     )
     WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
@@ -665,11 +687,7 @@ def q_llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable doc_id, never of partitioning or RNG state. Map-side only,
     no shuffle; the filter is codegen and pushes nothing to Python."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = _bucket()
     rate = F.when(F.col("lang") == "en", 10).otherwise(50)
     return (
         docs.select("doc_id", "lang", bucket.alias("bucket"))
@@ -754,9 +772,7 @@ def _sh_unnest(rel: str) -> str:
     "q_llm_decontaminate",
     oracle=f"""
     WITH b AS (
-      SELECT doc_id, text,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 100 AS bucket
+      SELECT doc_id, text, {_SQL_BUCKET} AS bucket
       FROM documents
     ),
     bt AS (SELECT doc_id, {_TOK} AS t FROM b WHERE bucket < 5),
@@ -783,12 +799,7 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_clojure_spark.operators.dedup import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    ).alias("bucket")
-    with_b = docs.select("doc_id", "text", bucket)
+    with_b = docs.select("doc_id", "text", _bucket().alias("bucket"))
     bench = with_b.filter(F.col("bucket") < 5)
     train = with_b.filter(F.col("bucket") >= 5)
     return decontaminate(train, bench)
@@ -840,8 +851,7 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT doc_id, lang, source, text,
              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 100 AS bucket
+             {_SQL_BUCKET} AS bucket
       FROM documents
     ),
     -- stage 1: exact dedup, min doc_id survives its fingerprint group
@@ -908,17 +918,14 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_clojure_spark.operators.dedup import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    ).alias("bucket")
-    base = docs.select("doc_id", "lang", "source", "text", bucket)
+    base = docs.select("doc_id", "lang", "source", "text", _bucket().alias("bucket"))
 
     # stage 1: exact dedup keep-first
     keep1 = persist_if_uncached(exact_dedup(base))
-    # stage 2: repetition filter (null-safe: short docs have no score)
-    rep = TX.repetition_stats(keep1).select("doc_id", "dup_token_ratio")
+    # stage 2: repetition filter (null-safe: short docs have no score;
+    # bigrams=False — only the dup-token ratio is consumed, and Catalyst
+    # can't prune the bigram aggregate out of the inner join itself)
+    rep = TX.repetition_stats(keep1, bigrams=False)
     keep2 = keep1.join(rep, "doc_id", "left").filter(
         F.col("dup_token_ratio").isNull() | (F.col("dup_token_ratio") <= 0.3)
     ).drop("dup_token_ratio")

@@ -132,3 +132,39 @@ def test_asof_join_ignores_null_right_ts(spark):
         right_cols=["payload"], how="inner",
     ).collect()
     assert inner == []
+
+
+def test_decontaminate_null_text_is_clean(spark):
+    """A null-text training doc has no shingles (split(null) -> null,
+    the short path's array_join yields a null shingle collect_set
+    drops) — it must be ABSENT from the hit list (treated as clean),
+    never crash or match the null shingle of a null bench doc."""
+    from kafka_streams_clojure_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, None)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(10, None), (11, "a doc with the quick brown fox jumps inside")],
+        "doc_id long, text string",
+    )
+    hits = {int(r.doc_id) for r in decontaminate(train, bench).collect()}
+    assert hits == {11}
+
+
+def test_repetition_stats_null_text_excluded(spark):
+    """Null text tokenizes to nothing (size -> -1 < 2) — the doc is
+    excluded from the output exactly like a <2-token doc, not emitted
+    with null/NaN ratios."""
+    from kafka_streams_clojure_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b a")], "doc_id long, text string"
+    )
+    out = {int(r.doc_id) for r in repetition_stats(df).collect()}
+    assert out == {2}
+    out_tok_only = {
+        int(r.doc_id) for r in repetition_stats(df, bigrams=False).collect()
+    }
+    assert out_tok_only == {2}
