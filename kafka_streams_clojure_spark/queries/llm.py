@@ -943,3 +943,52 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_tokens"),
     )
+
+
+@query(
+    "q_llm_domain_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS all_tokens FROM per)
+    SELECT source, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / all_tokens AS token_share,
+           sqrt(CAST(total_tokens AS DOUBLE) / all_tokens) AS sample_rate
+    FROM per, tot
+    """,
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing stats: per-source doc/token counts,
+    token share, and a temperature-scaled sampling rate ∝ sqrt(share)
+    (inverse-temperature T=2 up-weights rare domains — the standard
+    multilingual/multi-domain mixture heuristic, e.g. XLM-R, public).
+
+    Rates are deliberately UN-normalized: the normalizer is a sum of
+    per-row doubles (sqrt outputs), which is partial-agg-order
+    dependent — the per-source table is tiny (#sources rows), so
+    consumers normalize it wherever they consume it. Everything summed
+    here is an exact integer; share and sqrt are per-row IEEE ops.
+
+    Scale shape: one map-side-combined aggregate keyed by source, then
+    a broadcast of the 1-row total folded into the plan (no
+    driver-side count — VERDICT r1 item 5's rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("bigint"))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+    tot = per.agg(F.sum("total_tokens").cast("bigint").alias("all_tokens"))
+    share = F.col("total_tokens").cast("double") / F.col("all_tokens")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        share.alias("token_share"),
+        F.sqrt(share).alias("sample_rate"),
+    )
