@@ -1,0 +1,23 @@
+"""The examples/ scripts must actually run — they are the migration
+documentation, and a doc that crashes is worse than none. Each runs in
+a subprocess (own SparkSession, exactly as a user would invoke it)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("script", ["pipeline.py", "curation.py"])
+def test_example_runs(script):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
