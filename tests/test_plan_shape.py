@@ -83,3 +83,42 @@ def test_entry_stays_jvm_side(spark):
     df = entrymod.entry(spark)
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunks_and_hash_sample_are_map_side_only(spark, sf_dir):
+    """Chunking and deterministic sampling must be exactly as parallel
+    as the parquet scan: zero exchanges."""
+    for key in ("q_llm_chunks", "q_llm_hash_sample"):
+        df = _Q[key](spark, sf_dir)
+        assert shuffle_count(df) == 0, f"{key}:\n{physical_plan(df)}"
+
+
+def test_funnel_exchanges_all_keyed_by_user(spark, sf_dir):
+    """Every visible hash exchange in the funnel is keyed by user_id,
+    and there is no range partitioning (global sort) anywhere — scale
+    is bounded by user cardinality. The persisted stage aggregates hide
+    their own exchanges inside InMemoryRelation, so this also descends
+    into the cached plans via the analyzed plan string."""
+    import re
+
+    df = _Q["q_events_funnel"](spark, sf_dir)
+    full = physical_plan(df) + df._jdf.queryExecution().analyzed().toString()
+    assert "rangepartitioning" not in full, full
+    for kind, first_col in re.findall(r"Exchange (\w+)\(([^,)]+)", full):
+        if kind == "hashpartitioning":
+            assert first_col.split("#")[0] == "user_id", (kind, first_col)
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Packing shuffles once on the shard key (source) and computes the
+    running sum inside the shard — no global ordering anywhere."""
+    df = _Q["q_llm_pack_sequences"](spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+
+
+def test_outliers_broadcast_stats_no_fact_shuffle(spark, sf_dir):
+    """The per-type stats join must broadcast; the only exchange is the
+    tiny stats aggregate itself, never the events fact table."""
+    df = _Q["q_events_outliers"](spark, sf_dir)
+    assert uses_broadcast_join(df), physical_plan(df)
+    assert shuffle_count(df) == 1, physical_plan(df)
