@@ -992,3 +992,48 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("token_share"),
         F.sqrt(share).alias("sample_rate"),
     )
+
+
+@query(
+    "q_llm_length_hist",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(len({_TOK}) / 16) * 16 AS BIGINT) AS bucket_lo
+      FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
+    SELECT bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / n_total AS share
+    FROM b, tot
+    GROUP BY bucket_lo, n_total
+    """,
+)
+def q_llm_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram (bucket width 16): the corpus length
+    distribution every curation run starts by eyeballing — truncation
+    and boilerplate both show up as spikes.
+
+    Plan shape: map-side bucket math, one aggregate keyed by bucket
+    (bounded output: #buckets rows), corpus total folded in as a
+    broadcast 1-row aggregate — same no-driver-count pattern as
+    q_llm_domain_mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        (
+            F.floor(F.size(F.split(F.col("text"), r"\s+")) / 16) * 16
+        )
+        .cast("bigint")
+        .alias("bucket_lo")
+    )
+    tot = b.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("bucket_lo", "n_total")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            "bucket_lo",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias("share"),
+        )
+    )

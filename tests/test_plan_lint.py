@@ -26,6 +26,7 @@ _NONEQUI_OK = {
     # crossJoin of a broadcast 1-ROW aggregate (corpus total folded
     # in-plan) — a BNLJ whose build side is a single row is bounded
     "q_llm_domain_mix",
+    "q_llm_length_hist",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window: documented
