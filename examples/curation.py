@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from kafka_streams_clojure_spark import get_spark
+from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 from kafka_streams_clojure_spark.operators.dedup import decontaminate, exact_dedup
 from kafka_streams_clojure_spark.operators.text import repetition_stats
 from kafka_streams_clojure_spark.queries import queries
@@ -39,11 +40,16 @@ def main(sf_dir: str, stop: bool = True) -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # 1. Exact dedup (keep-first) + repetition gate.
+    # 1. Exact dedup (keep-first) + repetition gate. `clean` feeds
+    #    several downstream actions — persist it (the repo's rule for
+    #    multi-consumed subplans; without it this prefix re-executes
+    #    for every count/join below).
     deduped = exact_dedup(docs)
     rep = repetition_stats(deduped, bigrams=False)
-    clean = deduped.join(rep, "doc_id", "left").filter(
-        F.col("dup_token_ratio").isNull() | (F.col("dup_token_ratio") <= 0.3)
+    clean = persist_if_uncached(
+        deduped.join(rep, "doc_id", "left").filter(
+            F.col("dup_token_ratio").isNull() | (F.col("dup_token_ratio") <= 0.3)
+        )
     )
     print(f"after dedup + repetition gate: {clean.count()} docs")
 
@@ -53,8 +59,8 @@ def main(sf_dir: str, stop: bool = True) -> None:
     ).cast("bigint") % 100
     with_b = clean.withColumn("bucket", bucket)
     bench = with_b.filter(F.col("bucket") < 5)
-    train = with_b.filter(F.col("bucket") >= 5)
-    dirty = decontaminate(train, bench)
+    train = persist_if_uncached(with_b.filter(F.col("bucket") >= 5))
+    dirty = persist_if_uncached(decontaminate(train, bench))
     kept = train.join(dirty.select("doc_id"), "doc_id", "left_anti")
     print(f"after decontamination: {kept.count()} training docs "
           f"({dirty.count()} dropped as contaminated)")

@@ -963,9 +963,9 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalancing stats: per-source doc/token counts,
-    token share, and a temperature-scaled sampling rate ∝ sqrt(share)
-    (inverse-temperature T=2 up-weights rare domains — the standard
-    multilingual/multi-domain mixture heuristic, e.g. XLM-R, public).
+    token share, and a temperature-scaled sampling rate ∝ sqrt(share),
+    i.e. share^(1/T) at temperature T=2, which up-weights rare domains
+    — the standard multilingual mixture heuristic (e.g. XLM-R, public).
 
     Rates are deliberately UN-normalized: the normalizer is a sum of
     per-row doubles (sqrt outputs), which is partial-agg-order
@@ -973,15 +973,22 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers normalize it wherever they consume it. Everything summed
     here is an exact integer; share and sqrt are per-row IEEE ops.
 
-    Scale shape: one map-side-combined aggregate keyed by source, then
-    a broadcast of the 1-row total folded into the plan (no
-    driver-side count — VERDICT r1 item 5's rule)."""
+    Scale shape: ONE map-side-combined aggregate keyed by source —
+    persisted, because both the 1-row total and the final select read
+    it (without the persist the corpus scan+tokenize runs twice; the
+    two aggregate subtrees prune differently so exchange reuse never
+    fires) — then a broadcast of the 1-row total folded into the plan
+    (no driver-side count — VERDICT r1 item 5's rule)."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("bigint"))
-        .cast("bigint")
-        .alias("total_tokens"),
+    per = persist_if_uncached(
+        docs.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("bigint"))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
     )
     tot = per.agg(F.sum("total_tokens").cast("bigint").alias("all_tokens"))
     share = F.col("total_tokens").cast("double") / F.col("all_tokens")
@@ -1014,26 +1021,26 @@ def q_llm_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution every curation run starts by eyeballing — truncation
     and boilerplate both show up as spikes.
 
-    Plan shape: map-side bucket math, one aggregate keyed by bucket
-    (bounded output: #buckets rows), corpus total folded in as a
-    broadcast 1-row aggregate — same no-driver-count pattern as
-    q_llm_domain_mix."""
+    Plan shape: map-side bucket math, ONE aggregate keyed by bucket
+    (bounded output: #buckets rows, persisted), then the total derived
+    from the tiny BUCKET table itself — exact integer sum, broadcast
+    back as one row. The corpus is scanned exactly once; the cross
+    join runs per bucket row, never per document."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
     docs = load_table(spark, sf_dir, "documents")
-    b = docs.select(
-        (
-            F.floor(F.size(F.split(F.col("text"), r"\s+")) / 16) * 16
+    per = persist_if_uncached(
+        docs.select(
+            (F.floor(F.size(F.split(F.col("text"), r"\s+")) / 16) * 16)
+            .cast("bigint")
+            .alias("bucket_lo")
         )
-        .cast("bigint")
-        .alias("bucket_lo")
-    )
-    tot = b.agg(F.count("*").cast("bigint").alias("n_total"))
-    return (
-        b.crossJoin(F.broadcast(tot))
-        .groupBy("bucket_lo", "n_total")
+        .groupBy("bucket_lo")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
-        .select(
-            "bucket_lo",
-            "n_docs",
-            (F.col("n_docs").cast("double") / F.col("n_total")).alias("share"),
-        )
+    )
+    tot = per.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket_lo",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("share"),
     )

@@ -13,11 +13,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
 @pytest.mark.parametrize("script", ["pipeline.py", "curation.py"])
 def test_example_runs(script):
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "examples", script),
-         "/root/testdata/sf0.001"],
+        [sys.executable, os.path.join(REPO, "examples", script), SF_DIR],
         capture_output=True, text=True, timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]

@@ -104,6 +104,12 @@ def test_funnel_exchanges_all_keyed_by_user(spark, sf_dir):
     df = _Q["q_events_funnel"](spark, sf_dir)
     full = physical_plan(df) + df._jdf.queryExecution().analyzed().toString()
     assert "rangepartitioning" not in full, full
+    kinds = re.findall(r"Exchange (\w+)", full)
+    for kind in kinds:
+        # SinglePartition only ever carries the partial-agg outputs of
+        # the three 1-row stage counts (bounded: one row per task) —
+        # every data-bearing exchange must be hashpartitioning
+        assert kind in ("hashpartitioning", "SinglePartition"), (kind, full)
     for kind, first_col in re.findall(r"Exchange (\w+)\(([^,)]+)", full):
         if kind == "hashpartitioning":
             assert first_col.split("#")[0] == "user_id", (kind, first_col)
