@@ -1044,3 +1044,53 @@ def q_llm_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.col("n_total")).alias("share"),
     )
+
+
+@query(
+    "q_llm_tfidf_linear",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfv AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df,
+           tf * (CAST(n_docs AS DOUBLE) / df) AS score
+    FROM tf JOIN dfv USING (token), tot
+    """,
+)
+def q_llm_tfidf_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with LINEAR idf (tf · N/df, no logarithm): the
+    oracle-checkable twin of q_llm_tfidf — ln() is libm-divergent
+    across engines, plain division is IEEE-exact, so this variant
+    closes the exact-diff gap the log variant must leave open (same
+    ranking within a document: x ↦ ln(x) is monotone).
+
+    Plan shape, improved over the log key: the df table derives from
+    the ALREADY-AGGREGATED tf table (rows per (doc, token) → count per
+    token), so the token explode is scanned once and shuffled once —
+    the log key's tok.distinct() pass is gone. tf is persisted (read
+    by both the output join and the df aggregate); N folds in as a
+    broadcast 1-row aggregate."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.broadcast(docs.agg(F.count("*").cast("bigint").alias("_n_docs")))
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = persist_if_uncached(
+        tok.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfv = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    return (
+        tf.join(dfv, "token")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf") * (F.col("_n_docs").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )

@@ -27,6 +27,7 @@ _NONEQUI_OK = {
     # in-plan) — a BNLJ whose build side is a single row is bounded
     "q_llm_domain_mix",
     "q_llm_length_hist",
+    "q_llm_tfidf_linear",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window: documented
