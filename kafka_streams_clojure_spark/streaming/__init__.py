@@ -28,7 +28,6 @@ import atexit
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,11 +88,20 @@ def run_available_now(
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
     available data (Trigger.AvailableNow semantics via
-    processAllAvailable) into a memory sink; return the sink table.
+    processAllAvailable) into a ``foreachBatch`` → parquet store;
+    return a LAZY reader over that store.
 
-    This is the test-bench path that proves batch/stream parity; a
-    production pipeline swaps the memory sink for kafka/parquet +
-    checkpointLocation and keeps the query running.
+    Scale shape: results never touch the driver — each micro-batch is
+    written executor-side to a session-scoped parquet store
+    (``complete`` mode overwrites the store each epoch, the
+    materialized-view shape; ``append``/``update`` append). The
+    returned DataFrame is a plain parquet scan, so interactive reads
+    over the store get predicate pushdown and column pruning like any
+    batch table. A production deployment swaps the store path for a
+    durable location (and an upsert/Delta MERGE for multi-epoch
+    ``update`` streams) and keeps the query running; the single
+    AvailableNow pass used in tests makes append ≡ update ≡ the batch
+    answer, which the oracles check.
 
     ``state_partitions`` caps ``spark.sql.shuffle.partitions`` for this
     query only (restored after): a streaming aggregate creates one
@@ -107,14 +115,15 @@ def run_available_now(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None and int(prev) > state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    name = f"kscs_{uuid.uuid4().hex[:12]}"
+    store = scratch_dir("kscs_store_")
+    schema = df.schema
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _to_store(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(store)
+
     try:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+        q = df.writeStream.outputMode(output_mode).foreachBatch(_to_store).start()
         try:
             q.processAllAvailable()
         finally:
@@ -122,10 +131,6 @@ def run_available_now(
             q.awaitTermination(30)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # Memory-sink rows live on the driver; pin them into a standalone
-    # DataFrame and drop the sink's temp view so repeated calls don't
-    # leak one table per invocation in a long-lived session.
-    sink = spark.table(name)
-    result = spark.createDataFrame(sink.collect(), sink.schema)
-    spark.catalog.dropTempView(name)
-    return result
+    # Explicit schema: a zero-row stream leaves an empty store dir, and
+    # the batch reader must still return the declared shape.
+    return spark.read.schema(schema).parquet(store)
