@@ -64,23 +64,27 @@ class KStream:
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "KStream":
         """Open an arbitrary parquet path. Applies the engine session
-        confs (UTC tz, nanosAsLong) and — when the path basename names a
-        known nanos-timestamp fixture table (events) — the same
-        nanos→timestamp fixup as ``load_table``, so a driver-provided
-        session reads it identically."""
+        confs (UTC tz, nanosAsLong) and the same event-time fixups as
+        ``load_table``: declared fixture event-time columns get the
+        bigint-nanos/NTZ→TimestampType coercion, and any OTHER
+        ``timestamp_ntz`` column is relabeled ``timestamp`` too (the
+        session is forced UTC so the cast is value-identical) — so a
+        KStream built from any parquet can always be watermarked."""
         import os as _os
 
         from kafka_streams_clojure_spark.session import (
-            _NANOS_TS_COLS,
+            _EVENT_TIME_COLS,
             _ensure_session_confs,
+            normalize_event_time,
         )
 
         _ensure_session_confs(spark)
         df = spark.read.parquet(path)
         name = _os.path.basename(path.rstrip("/")).removesuffix(".parquet")
-        for col in _NANOS_TS_COLS.get(name, ()):
-            if dict(df.dtypes).get(col) == "bigint":
-                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        declared = _EVENT_TIME_COLS.get(name, ())
+        df = normalize_event_time(df, declared)
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz" and c not in declared]
+        df = normalize_event_time(df, ntz)
         return cls(df)
 
     @classmethod

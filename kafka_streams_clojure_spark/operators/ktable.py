@@ -4,7 +4,7 @@ README.md:33-34; ordered state stores api.clj:102-152).
 A KTable is the latest-state view of a changelog: per key, the newest
 record wins (log compaction). Batch form: ``latest_by_key`` — one
 shuffle, max_by on a (ts, tiebreak) struct, no window sort. Streaming
-form: the memory-sink store tables of queries/streaming_keys (point/
+form: the parquet store tables of queries/streaming_keys (point/
 range reads); deletes (tombstones) are null-value records filtered
 after compaction, mirroring Kafka's tombstone contract.
 """

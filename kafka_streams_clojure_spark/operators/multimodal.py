@@ -5,18 +5,24 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators so each task streams batches
 of blobs without ever materializing a partition in Python memory.
 
-The container has no image/audio codecs, so the actual byte→pixels
-step is STUBBED (clearly marked below): `decode_image` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by the blob's bytes) produces
-stable metadata/features. Everything Spark-side — schemas, batch
-iteration, partitioning, UDF signatures — is real and tested; swapping
-the stub for Pillow/ffmpeg is a pure function replacement.
+Decode support (pure stdlib — the container has no Pillow/ffmpeg):
+
+- **BMP** (uncompressed BITMAPINFOHEADER, 8/24/32 bpp) via ``struct``;
+- **netpbm** P5 (PGM) / P6 (PPM) binary rasters;
+- **WAV** (PCM) via the stdlib ``wave`` module (audio features).
+
+Compressed formats (JPEG/PNG/MP4) would need real codec libraries;
+those still raise a clear ``ValueError`` from the dispatcher. The
+historical deterministic fake decoder is kept behind ``fake=True``
+for plumbing tests that don't care about pixels.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
@@ -55,8 +61,8 @@ def attach_media(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> D
 
 
 def _fake_decode(blob: bytes) -> tuple[int, int, int, float]:
-    """STUB decoder: deterministic pseudo-image properties derived from
-    the blob bytes (replace with Pillow in a codec-enabled image).
+    """Deterministic pseudo-image properties derived from the blob
+    bytes — kept for plumbing tests that don't need real pixels.
     Returns (width, height, channels, mean_luma)."""
     h = zlib.crc32(blob)
     width = 64 + (h & 0x3FF)           # 64..1087
@@ -66,23 +72,195 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_luma
 
 
+# --- real pure-stdlib decoders -------------------------------------------
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (pure ``struct``): packs
+    ``width*height*3`` pixel bytes (BGR, top-down input) into a valid
+    BITMAPINFOHEADER file. Used to turn fixture text bytes into real
+    image blobs so the decode path is exercised end-to-end without
+    codec libraries; also the write half of a resize/re-encode op."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} pixel bytes, got {len(pixels)}")
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    # BMP rows are stored bottom-up, each padded to a 4-byte boundary
+    rows = [
+        pixels[y * row_raw : (y + 1) * row_raw] + b"\x00" * pad
+        for y in range(height - 1, -1, -1)
+    ]
+    data = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + dib + data
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, float]:
+    """Parse an uncompressed BITMAPINFOHEADER BMP (8/24/32 bpp) with
+    the stdlib only. Returns (width, height, channels, mean_luma) where
+    mean_luma is the mean of all pixel-channel bytes / 255."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    dib_size = struct.unpack_from("<I", blob, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported bit depth {bpp}")
+    channels = bpp // 8
+    top_down = height < 0
+    height = abs(height)
+    row_raw = width * channels
+    stride = (row_raw + 3) & ~3
+    total = 0
+    count = 0
+    for y in range(height):
+        start = data_off + y * stride
+        row = blob[start : start + row_raw]
+        if len(row) != row_raw:
+            raise ValueError("truncated BMP pixel data")
+        total += sum(row)
+        count += len(row)
+    del top_down  # orientation doesn't change aggregate stats
+    mean_luma = (total / count / 255.0) if count else 0.0
+    return width, height, channels, mean_luma
+
+
+def decode_netpbm(blob: bytes) -> tuple[int, int, int, float]:
+    """Parse binary netpbm P5 (PGM, 1 channel) / P6 (PPM, 3 channels).
+    Returns (width, height, channels, mean_luma)."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm (P5/P6) blob")
+    channels = 1 if blob[:2] == b"P5" else 3
+    # header: magic, width, height, maxval as whitespace-separated
+    # ASCII tokens; '#' comments run to end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm unsupported")
+    n = width * height * channels
+    raster = blob[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError("truncated netpbm raster")
+    mean_luma = (sum(raster) / n / maxval) if n else 0.0
+    return width, height, channels, mean_luma
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int, float]:
+    """Dispatch on magic bytes to a real pure-stdlib decoder. Formats
+    needing codec libraries (JPEG/PNG/...) raise ValueError with the
+    detected format named."""
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:2] in (b"P5", b"P6"):
+        return decode_netpbm(blob)
+    known = {
+        b"\x89PNG": "png",
+        b"\xff\xd8\xff": "jpeg",
+        b"GIF8": "gif",
+    }
+    for magic, name in known.items():
+        if blob[: len(magic)] == magic:
+            raise ValueError(
+                f"{name} requires a codec library (Pillow); "
+                "stdlib decode supports BMP and netpbm P5/P6"
+            )
+    raise ValueError("unrecognized image format")
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, n_channels int, sample_rate int, "
+    "n_frames long, duration_s double, rms double"
+)
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, float]:
+    """Parse a PCM WAV via the stdlib ``wave`` module. Returns
+    (n_channels, sample_rate, n_frames, rms) with rms normalized to
+    [0, 1] by the sample width's full scale."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        sw = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    if sw == 2:
+        vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+        scale = 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned, centered at 128
+        vals = [b - 128 for b in frames]
+        scale = 128.0
+    else:
+        raise ValueError(f"sample width {sw} unsupported (8/16-bit PCM only)")
+    if vals:
+        rms = (sum(v * v for v in vals) / len(vals)) ** 0.5 / scale
+    else:
+        rms = 0.0
+    return n_channels, rate, n_frames, rms
+
+
+def decode_audio_features(
+    df: DataFrame, binary_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """WAV feature extraction (channels, rate, duration, RMS) via the
+    same Arrow-batched mapInPandas shape as images."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_bytes", "n_channels", "sample_rate",
+                "n_frames", "duration_s", "rms",
+            )}
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                ch, rate, nf, rms = decode_wav(blob)
+                rows["doc_id"].append(i)
+                rows["n_bytes"].append(len(blob))
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(nf)
+                rows["duration_s"].append(nf / rate if rate else 0.0)
+                rows["rms"].append(rms)
+            yield pd.DataFrame(rows)
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
+    return slim.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def decode_image_features(
-    df: DataFrame, binary_col: str, id_col: str = "doc_id", fake: bool = True
+    df: DataFrame, binary_col: str, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:
     """Decode + feature-extract over media blobs via mapInPandas: each
     Arrow batch of blobs yields one row of features per blob. The
     iterator contract keeps peak memory at one batch, independent of
     partition size — the 100 TB-safe shape for fat binary columns.
+
+    ``fake=False`` (default) runs the REAL pure-stdlib decoders
+    (:func:`decode_image`: BMP / netpbm); ``fake=True`` keeps the
+    deterministic pseudo-decoder for plumbing-only tests.
     """
-    if not fake:
-        # STUB: no codec libraries in this container (north-star brief).
-        raise NotImplementedError(
-            "real image decoding needs Pillow/opencv; run with fake=True"
-        )
+    decode = _fake_decode if fake else decode_image
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(b) for b in pdf["__blob"]]
+            feats = [decode(b) for b in pdf["__blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["__id"].values,
@@ -97,6 +275,57 @@ def decode_image_features(
 
     slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
     return slim.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def text_to_bmp_blobs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 32
+) -> DataFrame:
+    """Deterministically re-encode text bytes as REAL 24-bit BMP blobs
+    (fixture generator for codec-less containers, and the write half of
+    a re-encode op): utf-8 bytes zero-padded to a ``width × h × 3``
+    raster. Same Arrow-batched mapInPandas shape as the decoders."""
+    row_bytes = width * 3
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, txt in zip(pdf["__id"], pdf["__t"]):
+                raw = (txt or "").encode("utf-8") or b"\x00"
+                h = -(-len(raw) // row_bytes)  # ceil
+                raw = raw.ljust(h * row_bytes, b"\x00")
+                ids.append(i)
+                blobs.append(encode_bmp(raw, width, h))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    return slim.mapInPandas(encode, schema="doc_id long, blob binary")
+
+
+def text_to_wav_blobs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", rate: int = 8000
+) -> DataFrame:
+    """Deterministically re-encode text bytes as REAL 16-bit mono PCM
+    WAV blobs (stdlib ``wave`` writer): each utf-8 byte becomes one
+    centered 16-bit sample."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, txt in zip(pdf["__id"], pdf["__t"]):
+                raw = (txt or "").encode("utf-8") or b"\x00"
+                samples = struct.pack(f"<{len(raw)}h", *((b - 128) * 256 for b in raw))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(samples)
+                ids.append(i)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    return slim.mapInPandas(encode, schema="doc_id long, blob binary")
 
 
 def sample_frames(

@@ -155,18 +155,22 @@ def lsh_cosine_pairs(
         for t in range(n_tables)
     ]
     bucketed = persist_if_uncached(df.select(F.col(id_col), F.col(vec_col), *tables))
+    # Candidate generation carries ONLY (id_a, id_b): the dedup across
+    # tables is an id-width exchange (2 longs/row), not a vector-width
+    # one (2×64 doubles/row, ~100× wider — at 100 TB the distinct()
+    # shuffle would dominate). Vectors re-join AFTER dedup, keyed by id,
+    # against the already-persisted bucketed projection.
     pairs = None
     for t in range(n_tables):
-        a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(f"b_{t}").alias("bkt")
-        )
-        b = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(f"b_{t}").alias("bkt")
-        )
-        cand = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "v_a", "v_b")
+        a = bucketed.select(F.col(id_col).alias("id_a"), F.col(f"b_{t}").alias("bkt"))
+        b = bucketed.select(F.col(id_col).alias("id_b"), F.col(f"b_{t}").alias("bkt"))
+        cand = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         pairs = cand if pairs is None else pairs.unionByName(cand)
+    vecs = bucketed.select(F.col(id_col), F.col(vec_col))
     verified = (
         pairs.distinct()
+        .join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")), "id_b")
         .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

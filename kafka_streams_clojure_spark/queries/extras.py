@@ -104,7 +104,7 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows on the REAL streaming engine (KS SessionWindows
     parity end-to-end): watermarked `session_window` aggregation, complete-mode
-    memory sink → final sessions equal the batch gaps-and-islands
+    parquet store → final sessions equal the batch gaps-and-islands
     oracle (update mode is unsupported for streaming session windows)."""
     ev = stream_table(spark, sf_dir, "events")
     agg = (

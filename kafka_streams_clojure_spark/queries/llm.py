@@ -24,7 +24,10 @@ from kafka_streams_clojure_spark.operators.dedup import (
 )
 from kafka_streams_clojure_spark.operators.multimodal import (
     attach_media,
+    decode_audio_features,
     decode_image_features,
+    text_to_bmp_blobs,
+    text_to_wav_blobs,
 )
 from kafka_streams_clojure_spark.operators.similarity import (
     cosine,
@@ -554,17 +557,26 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_shared_chunks(docs, min_shared=3)
 
 
-@query("q_multimodal_features")  # stubbed decoder — rows-only by design
+@query("q_multimodal_features")  # binary round-trip — rows-only by design
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: text bytes stand in for media
-    blobs (BinaryType), typed metadata attached engine-side, features
-    extracted via Arrow-batched mapInPandas with the deterministic
-    STUB decoder (no codecs in this container)."""
+    """Multimodal image path end-to-end with a REAL decoder: text
+    bytes are re-encoded as genuine 24-bit BMP blobs (stdlib struct),
+    typed metadata attached engine-side, then width/height/channels/
+    mean_luma extracted by actually PARSING the BMP — all through
+    Arrow-batched mapInPandas (invariants: tests/test_llm_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    media = attach_media(
-        docs.withColumn("blob", F.encode(F.col("text"), "utf-8")), "blob", "image", "raw"
-    )
-    return decode_image_features(media, "blob", id_col="doc_id", fake=True)
+    media = attach_media(text_to_bmp_blobs(docs), "blob", "image", "bmp")
+    return decode_image_features(media, "blob", id_col="doc_id")
+
+
+@query("q_multimodal_audio")  # binary round-trip — rows-only by design
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path end-to-end: text bytes as genuine 16-bit
+    PCM WAV blobs (stdlib wave writer), then channels/rate/duration/
+    RMS extracted by really parsing the WAV."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(text_to_wav_blobs(docs), "blob", "audio", "wav")
+    return decode_audio_features(media, "blob", id_col="doc_id")
 
 
 @query(

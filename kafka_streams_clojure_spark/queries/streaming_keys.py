@@ -1,7 +1,8 @@
 """Streaming + UDF query keys (SURVEY.md §2.9, §2.10).
 
 Every key here executes the real Structured Streaming engine (file
-source over the fixture, memory sink, run-to-completion) or the Arrow
+source over the fixture, foreachBatch→parquet store, run-to-completion)
+or the Arrow
 UDF surface. Where a single AvailableNow batch makes the final answer
 deterministic and batch-equivalent, a DuckDB oracle is attached; a key
 stays rows-only ONLY when the semantics are genuinely non-SQL
@@ -86,8 +87,9 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interactive store read, point lookup (`get`, api.clj:104-105):
-    a streaming aggregate materialized to a memory-sink table, then
-    queried with SQL — the serving path of a running topology."""
+    a streaming aggregate materialized to the foreachBatch→parquet
+    store, read back as a lazy pushdown-capable scan — the serving
+    path of a running topology."""
     ev = stream_table(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(F.count("*").alias("n"), dsum("value").alias("total"))
     table = run_available_now(agg, output_mode="complete")

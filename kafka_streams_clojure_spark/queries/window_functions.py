@@ -122,16 +122,42 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution functions over a total order (unique tiebreaker
-    makes ntile deterministic). Single-partition window — fine for a
-    ranking report; at scale you'd bucket first (see q_topk_per_group
-    for the partitioned pattern)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cdist"),
+    makes every rank dense and deterministic) — WITHOUT the
+    single-task global-window sort. ``operators/order.global_index``
+    gives a parallel 0-based global sequence (range partition + local
+    index + broadcast prefix counts); with a unique ordering the SQL
+    distribution functions are closed-form in (idx, n):
+
+    - ``ntile(k)``: first ``n % k`` buckets get ``n div k + 1`` rows;
+    - ``percent_rank`` = idx / (n-1);
+    - ``cume_dist``   = (idx+1) / n.
+
+    n is folded in-plan as a broadcast 1-row aggregate (no driver
+    action), so the whole query is one lazy distributed plan that
+    survives 100 TB — the shape the plan lint enforces with an empty
+    global-window allowlist."""
+    from kafka_streams_clojure_spark.operators.order import global_index
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = global_index(o, ["o_totalprice", "o_orderkey"], idx_col="__idx")
+    n = d.agg(F.count("*").alias("__n"))
+    big = "(__n div 4 + 1)"  # size of the first (__n % 4) buckets
+    return (
+        d.join(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            F.expr(
+                f"CAST(CASE WHEN __n div 4 = 0 THEN __idx + 1 "
+                f"WHEN __idx < (__n % 4) * {big} THEN __idx div {big} + 1 "
+                f"ELSE (__n % 4) + (__idx - (__n % 4) * {big}) div (__n div 4) + 1 "
+                f"END AS INT)"
+            ).alias("quartile"),
+            F.expr(
+                "CASE WHEN __n = 1 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE __idx / CAST(__n - 1 AS DOUBLE) END"
+            ).alias("pct_rank"),
+            F.expr("(__idx + 1) / CAST(__n AS DOUBLE)").alias("cdist"),
+        )
     )
 
 

@@ -84,11 +84,42 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
-#: (nanosAsLong) and we convert to TimestampType. All fixture values are
-#: µs-aligned, so `div 1000` is lossless — and DuckDB reads the same
-#: column as a plain µs TIMESTAMP, keeping both engines identical.
-_NANOS_TS_COLS = {"events": ("ts",)}
+#: Declared event-time columns per fixture table. The physical parquet
+#: encoding of these has CHANGED between driver rounds (TIMESTAMP(NANOS)
+#: through round 2, naive timestamp[us] from round 3), so the engine
+#: normalizes to TimestampType whatever encoding it finds — see
+#: :func:`normalize_event_time`.
+_EVENT_TIME_COLS = {"events": ("ts",)}
+
+# Back-compat alias (streaming/__init__ and older tests import this name).
+_NANOS_TS_COLS = _EVENT_TIME_COLS
+
+
+def normalize_event_time(df: DataFrame, cols) -> DataFrame:
+    """Coerce declared event-time columns to ``TimestampType`` regardless
+    of the physical parquet encoding:
+
+    - ``bigint`` — parquet TIMESTAMP(NANOS) read via ``nanosAsLong``;
+      all fixture values are µs-aligned so ``div 1000`` is lossless;
+    - ``timestamp_ntz`` — naive µs timestamps (Spark 4 reads those as
+      NTZ, which ``withWatermark`` rejects). The session is forced UTC,
+      so an NTZ→timestamp cast is a pure type relabel: the stored
+      values are identical and stay equal to DuckDB's naive reading;
+    - ``timestamp`` — already correct, no-op.
+
+    Every fixture read path (batch ``load_table``, streaming
+    ``stream_table``, ``api.KStream.from_parquet``) funnels through
+    this so downstream ``withWatermark`` / window operators always see
+    an event-time-capable column.
+    """
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        dt = dtypes.get(col)
+        if dt == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,10 +127,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters/projections down into the scan automatically)."""
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return normalize_event_time(df, _EVENT_TIME_COLS.get(name, ()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

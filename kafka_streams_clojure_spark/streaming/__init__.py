@@ -14,7 +14,8 @@ Spark-first mapping:
   DataFrames — an xform is just ``DataFrame -> DataFrame``;
 - per-record commit (api.clj:33) is deliberately NOT mirrored: Spark
   checkpoints per micro-batch (BASELINE.md engineering targets);
-- interactive reads: a ``memory``-sink table queried with SQL —
+- interactive reads: a ``foreachBatch``→parquet store (written
+  executor-side, read back as a lazy parquet scan with pushdown) —
   point lookup / range / full scan parity with get/range/all.
 
 Everything runs through ``Trigger.AvailableNow`` in tests so a bounded
@@ -51,6 +52,19 @@ def scratch_dir(prefix: str = "kscs_") -> str:
 
 _STREAM_DIRS: dict[tuple[str, str], str] = {}
 
+#: parquet stores created by run_available_now, removable via clear_stores
+_STORE_DIRS: list[str] = []
+
+
+def clear_stores() -> None:
+    """Delete every parquet store created by :func:`run_available_now`
+    in this session. Call between pipelines in long-lived sessions (the
+    stores otherwise accumulate until interpreter exit). Any DataFrame
+    previously returned by ``run_available_now`` becomes invalid —
+    materialize what you need first."""
+    while _STORE_DIRS:
+        shutil.rmtree(_STORE_DIRS.pop(), ignore_errors=True)
+
 
 def _as_stream_dir(sf_dir: str, name: str) -> str:
     """Spark's file streaming source requires a *directory*; the
@@ -70,15 +84,13 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     source). Schema comes from the batch reader (streaming sources
     can't infer), including the nanos→timestamp fixups for events."""
     _ensure_session_confs(spark)
-    from kafka_streams_clojure_spark.session import _NANOS_TS_COLS
+    from kafka_streams_clojure_spark.session import _EVENT_TIME_COLS, normalize_event_time
 
     batch = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_as_stream_dir(sf_dir, name))
-    # shared nanos→µs fixups (same mapping as session.load_table)
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if dict(stream.dtypes).get(col) == "bigint":
-            stream = stream.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return stream
+    # shared event-time fixups (same mapping as session.load_table):
+    # bigint nanos OR naive timestamp_ntz -> TimestampType
+    return normalize_event_time(stream, _EVENT_TIME_COLS.get(name, ()))
 
 
 def run_available_now(
@@ -91,17 +103,38 @@ def run_available_now(
     processAllAvailable) into a ``foreachBatch`` → parquet store;
     return a LAZY reader over that store.
 
-    Scale shape: results never touch the driver — each micro-batch is
-    written executor-side to a session-scoped parquet store
+    Scale shape: result rows never pass through the driver as data —
+    each micro-batch is written by executor tasks to a parquet store
     (``complete`` mode overwrites the store each epoch, the
     materialized-view shape; ``append``/``update`` append). The
     returned DataFrame is a plain parquet scan, so interactive reads
     over the store get predicate pushdown and column pruning like any
-    batch table. A production deployment swaps the store path for a
-    durable location (and an upsert/Delta MERGE for multi-epoch
-    ``update`` streams) and keeps the query running; the single
-    AvailableNow pass used in tests makes append ≡ update ≡ the batch
-    answer, which the oracles check.
+    batch table.
+
+    Deployment notes (local-mode assumptions made explicit):
+
+    - the store lives under a driver-created tempdir on the LOCAL
+      filesystem — correct in local mode where driver and executors
+      share a disk. A multi-node deployment must pass a store path on
+      a filesystem shared by driver and executors (HDFS/S3/NFS);
+      executor-side writes to ``file:`` paths would land on each
+      executor's own disk and the driver-side read-back would miss
+      them.
+    - ``update`` mode is append-implemented, which is only correct
+      when the whole input arrives in ONE micro-batch (true here:
+      ``_as_stream_dir`` exposes a single file and no
+      ``maxFilesPerTrigger`` is set, so AvailableNow yields one
+      batch). The ``_to_store`` sink ENFORCES this — a second
+      micro-batch in ``update`` mode raises instead of silently
+      leaving stale per-key rows in the store. Multi-epoch ``update``
+      streams in production need an upsert sink (Delta/Iceberg MERGE)
+      instead; ``append`` and ``complete`` modes are multi-batch-safe
+      as written.
+    - each call leaves its store directory on disk until interpreter
+      exit (the reader stays lazy, so eager cleanup would race it).
+      Long-lived sessions sweeping many streaming keys can call
+      :func:`clear_stores` between pipelines — the streaming analogue
+      of ``session.clear_caches``.
 
     ``state_partitions`` caps ``spark.sql.shuffle.partitions`` for this
     query only (restored after): a streaming aggregate creates one
@@ -116,10 +149,24 @@ def run_available_now(
     if state_partitions is not None and int(prev) > state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     store = scratch_dir("kscs_store_")
+    _STORE_DIRS.append(store)
     schema = df.schema
     write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def _to_store(batch_df: DataFrame, epoch_id: int) -> None:
+        if output_mode == "update" and epoch_id > 0:
+            # Watermarked queries legitimately run a trailing NO-DATA
+            # batch (watermark advance/state eviction) — nothing to
+            # write, nothing stale. A later batch WITH rows would leave
+            # stale per-key rows next to their epoch-0 versions: refuse.
+            if batch_df.isEmpty():
+                return
+            raise RuntimeError(
+                "run_available_now: 'update' mode is append-implemented and "
+                "correct only for a single data-carrying micro-batch; this "
+                f"source produced rows in epoch {epoch_id}. Use an upsert "
+                "sink (Delta/Iceberg MERGE) for multi-epoch update streams."
+            )
         batch_df.write.mode(write_mode).parquet(store)
 
     try:

@@ -163,11 +163,11 @@ def test_multimodal_plumbing_shapes(spark, sf_dir):
     meta = media.select("media_meta.*").head()
     assert meta.media_type == "image" and meta.n_bytes > 0 and len(meta.checksum) == 32
 
-    feats = decode_image_features(media, "blob")
+    feats = decode_image_features(media, "blob", fake=True)
     rows = feats.collect()
     assert len(rows) == 50
     assert all(64 <= r.width <= 1087 and r.n_channels in (1, 2, 3, 4) for r in rows)
-    rows2 = decode_image_features(media, "blob").collect()
+    rows2 = decode_image_features(media, "blob", fake=True).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2)), "stub decoder not deterministic"
 
     frames = sample_frames(media, "blob", every_n=5)
@@ -175,14 +175,73 @@ def test_multimodal_plumbing_shapes(spark, sf_dir):
     assert frames.count() >= 50  # at least one frame per doc
 
 
-def test_decode_without_fake_raises(spark, sf_dir):
-    from kafka_streams_clojure_spark.operators.multimodal import decode_image_features
-
-    docs = load_table(spark, sf_dir, "documents").limit(1).withColumn(
-        "blob", F.encode(F.col("text"), "utf-8")
+def test_real_decoders_exact():
+    """Pure-stdlib codecs decode known tiny fixtures EXACTLY."""
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_netpbm,
+        decode_wav,
+        encode_bmp,
     )
-    with pytest.raises(NotImplementedError):
-        decode_image_features(docs, "blob", fake=False)
+
+    # 2x2 24-bit BMP: pixel-channel bytes 0..11, mean = 5.5/255
+    pixels = bytes(range(12))
+    blob = encode_bmp(pixels, 2, 2)
+    assert decode_bmp(blob) == (2, 2, 3, pytest.approx(5.5 / 255.0))
+    assert decode_image(blob) == decode_bmp(blob)
+
+    # P5 PGM 3x1, maxval 255, raster [0, 128, 255]
+    pgm = b"P5\n# c\n3 1\n255\n" + bytes([0, 128, 255])
+    assert decode_netpbm(pgm) == (3, 1, 1, pytest.approx((0 + 128 + 255) / 3 / 255.0))
+
+    # P6 PPM 1x1 white
+    ppm = b"P6\n1 1\n255\n\xff\xff\xff"
+    assert decode_netpbm(ppm) == (1, 1, 3, pytest.approx(1.0))
+
+    # 16-bit mono WAV of a constant half-scale sample
+    import io
+    import struct as st
+    import wave as wv
+
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(st.pack("<4h", 16384, 16384, -16384, -16384))
+    ch, rate, nf, rms = decode_wav(buf.getvalue())
+    assert (ch, rate, nf) == (1, 8000, 4)
+    assert rms == pytest.approx(0.5)
+
+    with pytest.raises(ValueError, match="codec library"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"plain text bytes")
+
+
+def test_multimodal_real_roundtrip(spark, sf_dir):
+    """q_multimodal_features / q_multimodal_audio run the REAL codecs:
+    encode text as BMP/WAV, decode, and the recovered geometry must
+    match the source text byte counts exactly."""
+    import __spark_entry__ as entrymod
+
+    img = entrymod.queries()["q_multimodal_features"](spark, sf_dir)
+    irows = {r.doc_id: r for r in img.collect()}
+    lens = {r.doc_id: len(r.text.encode("utf-8")) or 1 for r in
+            load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()}
+    assert set(irows) == set(lens)
+    for did, r in irows.items():
+        assert r.width == 32 and r.n_channels == 3
+        assert r.height == -(-lens[did] // 96), f"doc {did}: wrong decoded height"
+
+    aud = entrymod.queries()["q_multimodal_audio"](spark, sf_dir)
+    arows = {r.doc_id: r for r in aud.collect()}
+    assert set(arows) == set(lens)
+    for did, r in arows.items():
+        assert r.n_channels == 1 and r.sample_rate == 8000
+        assert r.n_frames == lens[did], f"doc {did}: frame count != byte count"
+        assert 0.0 <= r.rms <= 1.0
 
 
 def test_sample_fraction_bounds(spark, sf_dir):

@@ -28,11 +28,13 @@ _NONEQUI_OK = {
     "q_llm_domain_mix",
     "q_llm_length_hist",
     "q_llm_tfidf_linear",
+    "q_win_ntile",
 }
 
-#: keys allowed an unpartitioned (single-task-sort) window: documented
-#: report-scale outputs only
-_GLOBAL_WINDOW_OK = {"q_win_ntile"}
+#: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
+#: should stay that way (q_win_ntile moved to the parallel
+#: global_index closed-form idiom in round 4)
+_GLOBAL_WINDOW_OK: set[str] = set()
 
 #: tiny-input order columns: windows over one-row-per-partition
 #: summaries (the zipWithIndex idiom in operators/order.py)
@@ -45,6 +47,7 @@ _PYTHON_OK = {
     "q_udaf_grouped_agg",
     "q_llm_winnow",
     "q_multimodal_features",
+    "q_multimodal_audio",
     "q_stream_stateful_counter",
     "q_error_swallow",
 }

@@ -106,3 +106,35 @@ def test_windowed_agg_across_batches(spark, sf_dir, split_events_dir):
     joined = final.join(expected, ["ws", "event_type"], "full_outer")
     assert joined.filter(F.col("n").isNull() | F.col("n_exp").isNull()).count() == 0
     assert joined.filter(F.col("n") != F.col("n_exp")).count() == 0
+
+
+def test_update_mode_store_guards_multibatch(spark, sf_dir, split_events_dir):
+    """run_available_now's parquet store is append-implemented for
+    update mode, which is only correct for a single micro-batch: a
+    multi-file source must raise loudly, not leave stale per-key rows
+    (round-3 advisor item)."""
+    from kafka_streams_clojure_spark import streaming
+
+    batch_ev = load_table(spark, sf_dir, "events")
+    stream = _stream_split(spark, split_events_dir, batch_ev.schema)
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    with pytest.raises(Exception, match="micro-batch"):
+        streaming.run_available_now(agg, output_mode="update")
+
+
+def test_clear_stores_removes_store_dirs(spark, sf_dir):
+    """clear_stores deletes accumulated run_available_now stores."""
+    import os
+
+    from kafka_streams_clojure_spark import streaming
+    from kafka_streams_clojure_spark.streaming import _STORE_DIRS, stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    out = streaming.run_available_now(agg, output_mode="update")
+    assert out.count() > 0
+    assert _STORE_DIRS and all(os.path.isdir(d) for d in _STORE_DIRS)
+    dirs = list(_STORE_DIRS)
+    streaming.clear_stores()
+    assert not _STORE_DIRS
+    assert all(not os.path.exists(d) for d in dirs)
