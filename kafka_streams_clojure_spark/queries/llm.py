@@ -1106,3 +1106,107 @@ def q_llm_tfidf_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+@query(
+    "q_llm_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding,
+                    y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE) AS scale
+      FROM embeddings)
+    SELECT vec_id, scale,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 127.0 / scale + 0.5)
+                AS INT) AS q
+    FROM s WHERE scale > 0
+    """,
+)
+def q_llm_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization (the standard 4x storage/
+    bandwidth cut before ANN serving): per-vector symmetric scale =
+    max|x|, elements mapped to round-half-up(x*127/scale) — every step
+    an exact IEEE double op (mult/div/floor, no libm), so the oracle is
+    bit-exact. Output exploded to (vec_id, pos, q) rows: at 100 TB the
+    quantized table is the thing written back to the lake, and row form
+    keeps the compare engine-portable. One scan, no shuffle (the scale
+    is a per-row array fold; transform/array_max run interpreted but
+    this is a write-path op, not a probe-path one)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double")))
+    ).cast("double")
+    s = e.select("vec_id", "embedding", scale.alias("scale")).filter(F.col("scale") > 0)
+    ex = s.select("vec_id", "scale", F.posexplode("embedding").alias("pos", "val"))
+    return ex.select(
+        "vec_id",
+        "scale",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("val").cast("double") * 127.0 / F.col("scale") + 0.5)
+        .cast("int")
+        .alias("q"),
+    )
+
+
+@query(
+    "q_llm_source_quota",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+)
+def q_llm_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota downsampling (domain rebalancing: cap
+    over-represented sources at N docs before training). Selection is
+    a deterministic hash ranking — md5(doc_id) with doc_id tiebreak —
+    so the kept set is reproducible and engine-portable, unlike an RNG
+    sample. Partitioned window (one shuffle on source); at web scale
+    source cardinality is high and the per-source groups are the skew
+    risk — AQE skew handling applies, or pre-salt the pathological
+    source and re-rank inside."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "q_llm_length_band",
+    oracle="""
+    WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi
+               FROM documents)
+    SELECT doc_id, n_chars FROM documents, b
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+)
+def q_llm_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length-band filter (drop the extreme-length tails —
+    truncated fragments and concatenation junk — keeping the p05..p95
+    band). The band edges are exact interpolated percentiles folded in
+    as a broadcast 1-row aggregate, so the whole query is one lazy
+    plan: percentile agg (one pass) + filtered re-scan — the fact
+    table is scanned twice but never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.broadcast(
+        docs.agg(
+            F.percentile("n_chars", 0.05).alias("lo"),
+            F.percentile("n_chars", 0.95).alias("hi"),
+        )
+    )
+    return (
+        docs.crossJoin(band)
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
+    )

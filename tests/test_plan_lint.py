@@ -29,6 +29,7 @@ _NONEQUI_OK = {
     "q_llm_length_hist",
     "q_llm_tfidf_linear",
     "q_win_ntile",
+    "q_llm_length_band",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
