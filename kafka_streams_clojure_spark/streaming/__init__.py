@@ -97,6 +97,7 @@ def run_available_now(
     df: DataFrame,
     output_mode: str = "update",
     state_partitions: int | None = 8,
+    upsert_keys: "list[str] | None" = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
     available data (Trigger.AvailableNow semantics via
@@ -120,16 +121,22 @@ def run_available_now(
       executor-side writes to ``file:`` paths would land on each
       executor's own disk and the driver-side read-back would miss
       them.
-    - ``update`` mode is append-implemented, which is only correct
-      when the whole input arrives in ONE micro-batch (true here:
-      ``_as_stream_dir`` exposes a single file and no
+    - plain ``update`` mode is append-implemented, which is only
+      correct when the whole input arrives in ONE micro-batch (true
+      here: ``_as_stream_dir`` exposes a single file and no
       ``maxFilesPerTrigger`` is set, so AvailableNow yields one
       batch). The ``_to_store`` sink ENFORCES this — a second
-      micro-batch in ``update`` mode raises instead of silently
-      leaving stale per-key rows in the store. Multi-epoch ``update``
-      streams in production need an upsert sink (Delta/Iceberg MERGE)
-      instead; ``append`` and ``complete`` modes are multi-batch-safe
-      as written.
+      data-carrying micro-batch in ``update`` mode raises instead of
+      silently leaving stale per-key rows in the store.
+    - pass ``upsert_keys`` to make multi-epoch ``update`` streams
+      CORRECT: each epoch appends rows stamped with ``__epoch``, and
+      the returned reader compacts latest-row-per-key lazily
+      (``max_by`` over the epoch — the KTable changelog-compaction
+      shape, an executor-side MERGE emulation on plain parquet). The
+      compaction is one shuffle on the upsert key at read time; a
+      production deployment with Delta/Iceberg available swaps the
+      append+compact pair for a real MERGE and keeps the same reader
+      contract.
     - each call leaves its store directory on disk until interpreter
       exit (the reader stays lazy, so eager cleanup would race it).
       Long-lived sessions sweeping many streaming keys can call
@@ -152,8 +159,14 @@ def run_available_now(
     _STORE_DIRS.append(store)
     schema = df.schema
     write_mode = "overwrite" if output_mode == "complete" else "append"
+    upserting = bool(upsert_keys) and output_mode == "update"
 
     def _to_store(batch_df: DataFrame, epoch_id: int) -> None:
+        if upserting:
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(store)
+            return
         if output_mode == "update" and epoch_id > 0:
             # Watermarked queries legitimately run a trailing NO-DATA
             # batch (watermark advance/state eviction) — nothing to
@@ -162,10 +175,11 @@ def run_available_now(
             if batch_df.isEmpty():
                 return
             raise RuntimeError(
-                "run_available_now: 'update' mode is append-implemented and "
-                "correct only for a single data-carrying micro-batch; this "
-                f"source produced rows in epoch {epoch_id}. Use an upsert "
-                "sink (Delta/Iceberg MERGE) for multi-epoch update streams."
+                "run_available_now: plain 'update' mode is append-implemented "
+                "and correct only for a single data-carrying micro-batch; "
+                f"this source produced rows in epoch {epoch_id}. Pass "
+                "upsert_keys=[...] for a compacted multi-epoch update store "
+                "(or use a Delta/Iceberg MERGE sink in production)."
             )
         batch_df.write.mode(write_mode).parquet(store)
 
@@ -180,4 +194,20 @@ def run_available_now(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Explicit schema: a zero-row stream leaves an empty store dir, and
     # the batch reader must still return the declared shape.
+    if upserting:
+        from pyspark.sql import types as T
+
+        stamped = T.StructType(
+            list(schema.fields) + [T.StructField("__epoch", T.IntegerType())]
+        )
+        raw = spark.read.schema(stamped).parquet(store)
+        val_cols = [c for c in schema.names if c not in upsert_keys]
+        # latest-per-key compaction (KTable log compaction): the newest
+        # epoch's row wins; within an epoch update mode emits one row
+        # per key, so max_by is unambiguous.
+        return (
+            raw.groupBy(*upsert_keys)
+            .agg(F.max_by(F.struct(*val_cols), F.col("__epoch")).alias("__v"))
+            .select(*upsert_keys, "__v.*")
+        )
     return spark.read.schema(schema).parquet(store)

@@ -138,3 +138,23 @@ def test_clear_stores_removes_store_dirs(spark, sf_dir):
     streaming.clear_stores()
     assert not _STORE_DIRS
     assert all(not os.path.exists(d) for d in dirs)
+
+
+def test_upsert_store_across_batches(spark, sf_dir, split_events_dir):
+    """upsert_keys makes multi-epoch update mode CORRECT: 4 real
+    micro-batches of a running per-key count, store compacted to
+    latest-row-per-key, final answer equals the batch aggregate."""
+    from kafka_streams_clojure_spark import streaming
+
+    batch_ev = load_table(spark, sf_dir, "events")
+    stream = _stream_split(spark, split_events_dir, batch_ev.schema)
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    out = streaming.run_available_now(
+        agg, output_mode="update", upsert_keys=["user_id"]
+    )
+    got = {r.user_id: r.n for r in out.collect()}
+    exp = {
+        r.user_id: r.n
+        for r in batch_ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp, "compacted upsert store diverges from batch aggregate"
