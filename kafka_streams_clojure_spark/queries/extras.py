@@ -161,6 +161,22 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_percentile_approx")  # GK sketch — rows-only by design
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (`percentile_approx`, Greenwald-Khanna
+    sketch): the 100 TB scale path — the exact variant needs the full
+    value multiset per group, the sketch is a bounded-size mergeable
+    summary combined map-side, so per-group memory is O(accuracy), not
+    O(rows). Rows-only by design (sketch internals are engine-
+    specific); the invariant test bounds its rank error against the
+    exact percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )
+
+
 @query(
     "q_ktable_latest",
     oracle="""

@@ -128,3 +128,42 @@ def test_outliers_broadcast_stats_no_fact_shuffle(spark, sf_dir):
     df = _Q["q_events_outliers"](spark, sf_dir)
     assert uses_broadcast_join(df), physical_plan(df)
     assert shuffle_count(df) == 1, physical_plan(df)
+
+
+def test_runtime_bloom_filter_prunes_shuffled_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the injected-runtime-filter
+    lever for selective fact⋈filtered-dim joins at 100 TB: the scan
+    side drops rows that can't match BEFORE the exchange). Default
+    size thresholds (10 MB creation side) are cluster-scale, so the
+    tiny fixtures never trigger it naturally — lower them to prove
+    the engine's sessions have the optimization ON and the plan picks
+    it up when the sizes warrant."""
+    confs = {
+        # applicationSideScanSizeThreshold is a MINIMUM probe size
+        # (default 10 GB); creationSideThreshold is a MAXIMUM build
+        # size (default 10 MB, already far above the fixture)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "32b",
+        # force the shuffled-join path: bloom filters only help when the
+        # probe side actually scans+shuffles (broadcast joins prune via
+        # the hashed relation itself)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "PRIO_1"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, (
+            "runtime bloom filter not injected:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
