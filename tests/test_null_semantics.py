@@ -168,3 +168,62 @@ def test_repetition_stats_null_text_excluded(spark):
         int(r.doc_id) for r in repetition_stats(df, bigrams=False).collect()
     }
     assert out_tok_only == {2}
+
+
+def test_quantize_null_and_zero_embeddings_dropped(spark):
+    """int8 quantization semantics on degenerate vectors: a NULL
+    embedding yields NULL scale, an all-zero embedding yields scale 0 —
+    both are excluded by the scale > 0 filter in BOTH engines (NULL
+    comparisons are not-true in Spark and DuckDB alike)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, None), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double")))
+    ).cast("double")
+    kept = (
+        df.select("vec_id", scale.alias("scale"))
+        .filter(F.col("scale") > 0)
+        .collect()
+    )
+    assert [r.vec_id for r in kept] == [1]
+    assert kept[0].scale == 2.0
+
+    got = duckdb.sql(
+        """
+        WITH e(vec_id, embedding) AS (VALUES
+          (1, [CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)]),
+          (2, NULL), (3, [CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)]))
+        SELECT vec_id FROM (
+          SELECT vec_id,
+                 CAST(list_max(list_transform(embedding,
+                        y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE) AS scale
+          FROM e) WHERE scale > 0
+        """
+    ).fetchall()
+    assert [r[0] for r in got] == [1]
+
+
+def test_length_band_null_lengths_dropped(spark):
+    """A NULL n_chars row can never satisfy lo <= n_chars <= hi (the
+    comparison is not-true, identically in SQL) — it must be dropped,
+    not treated as in-band."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20), (4, 30)], "doc_id long, n_chars int"
+    )
+    band = F.broadcast(
+        df.agg(
+            F.percentile("n_chars", 0.0).alias("lo"),
+            F.percentile("n_chars", 1.0).alias("hi"),
+        )
+    )
+    kept = sorted(
+        r.doc_id
+        for r in df.crossJoin(band)
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .collect()
+    )
+    assert kept == [1, 3, 4]
