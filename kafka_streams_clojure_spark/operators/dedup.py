@@ -89,6 +89,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 4,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-k-gram Jaccard >= threshold.
 
@@ -100,15 +101,34 @@ def ngram_jaccard_pairs(
     the operator is the shingle-set generation (see
     :func:`shingle_sets`) + the shingle equi-join + one pair-count
     aggregation. Never docs².
+
+    ``max_doc_freq`` is the production stop-shingle knob: shingles
+    appearing in more than that many docs (boilerplate, templates) are
+    excluded from the join, bounding the quadratic bucket tail — a
+    single shingle shared by X docs costs X² join rows, so at web
+    scale the cut is what keeps the candidate count ∝ true near-dups.
+    Set sizes stay the FULL sizes, so the reported jaccard becomes a
+    LOWER bound (intersection counted over rare shingles only): pairs
+    that overlap only in boilerplate drop out — usually the desired
+    semantics for near-dup mining. Default ``None`` = exact.
     """
     # Materialize the sets once: they're read by both join sides and by
     # the inferred not-null scan filter — without persist the generation
     # runs up to 4×.
     sets = persist_if_uncached(shingle_sets(df, id_col, text_col, k))
-    a = sets.select(
+    joinable = sets
+    if max_doc_freq is not None:
+        rare = (
+            sets.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        joinable = sets.join(rare, "shingle")
+    a = joinable.select(
         F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
     )
-    b = sets.select(
+    b = joinable.select(
         F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
     )
     inter = (

@@ -482,3 +482,34 @@ def test_repetition_stats_known_values(spark):
     assert abs(out[1].top_bigram_frac - 2 / 4) < 1e-12
     assert abs(out[2].dup_token_ratio - 0.0) < 1e-12
     assert abs(out[2].top_bigram_frac - 1 / 2) < 1e-12
+
+
+def test_stop_shingle_cut_bounds_candidates(spark):
+    """max_doc_freq: a shingle shared by EVERY doc (boilerplate) must
+    not generate candidates, while genuine near-dup pairs (sharing
+    rare shingles) survive with jaccard now a lower bound."""
+    from kafka_streams_clojure_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon zeta {boiler}"),  # true dup of 1
+        (3, f"one two three four five six {boiler}"),
+        (4, f"seven eight nine ten eleven twelve {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = ngram_jaccard_pairs(df, k=3, threshold=0.05)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    # boilerplate shingles connect everything at a permissive threshold
+    assert (1, 3) in exact_pairs or (3, 4) in exact_pairs
+
+    cut = ngram_jaccard_pairs(df, k=3, threshold=0.05, max_doc_freq=2)
+    cut_rows = {(r.id_a, r.id_b): r.jaccard for r in cut.collect()}
+    assert (1, 2) in cut_rows, "true near-dup lost by the stop-shingle cut"
+    assert all(p == (1, 2) for p in cut_rows), (
+        f"boilerplate-only pairs survived the cut: {set(cut_rows)}"
+    )
+    # lower bound: reported jaccard <= exact jaccard for the same pair
+    exact_12 = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}[(1, 2)]
+    assert cut_rows[(1, 2)] <= exact_12 + 1e-12
