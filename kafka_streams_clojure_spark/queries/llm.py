@@ -448,6 +448,56 @@ def q_llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_near_dups(emb, block_col="label", threshold=0.3)
 
 
+_COS_PAIRS_SQL = """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+             >= 0.3
+"""
+
+
+@query(
+    "q_llm_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE epairs AS ({_COS_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM epairs
+      UNION
+      SELECT id_b, id_a FROM epairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id,
+           min(r) AS canonical_id,
+           (id = min(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_llm_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the cosine twin of
+    q_llm_dedup_clusters — transitive closure of the blocked exact
+    cosine pair graph (q_llm_embedding_near_dup edges) via the same
+    Pregel min-label propagation, min vec_id canonical. The oracle
+    recomputes the identical edge set (cosine arithmetic already
+    oracle-matched) and closes it with a recursive CTE. At scale the
+    edge set comes from the LSH/IVF candidate paths instead; the
+    closure operator is identical either way."""
+    from kafka_streams_clojure_spark.operators.graph import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_near_dups(emb, block_col="label", threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    return dedup_clusters(pairs)
+
+
 @query(
     "q_llm_vocab",
     oracle=f"""
