@@ -304,6 +304,96 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+#: Stop-shingle cut for the capped keys. Fixture-scaled: sf0.01's max
+#: shingle doc-freq is 4, so <=2 actually exercises the cut (25 -> 22
+#: pairs); a web-scale corpus would use O(10^3..10^4). The cut is
+#: DETERMINISTIC (a doc-freq filter, not a hash), so it is
+#: oracle-checkable — this is the one dedup shape you'd actually run
+#: at 100 TB, and it gets the same exact gate as the uncapped path.
+_STOP_SHINGLE_CAP = 2
+
+#: Capped twin of _JACCARD_CTES: intersections count RARE shingles only
+#: (doc-freq <= cap); union sizes stay FULL, so jaccard is the same
+#: lower-bound semantics ngram_jaccard_pairs(max_doc_freq=...) computes.
+_JACCARD_CAPPED_CTES = f"""
+    {_JACCARD_CTES},
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {_STOP_SHINGLE_CAP}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter_c AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs_c AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter)
+               AS jaccard
+      FROM inter_c
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+    )
+"""
+
+
+@query(
+    "q_llm_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_JACCARD_CAPPED_CTES}
+    SELECT id_a, id_b, jaccard FROM jpairs_c
+    """,
+)
+def q_llm_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION Jaccard near-dup shape: same shared-shingle
+    equi-join, but shingles appearing in more than ``_STOP_SHINGLE_CAP``
+    docs (boilerplate/templates) are cut from the join — a shingle
+    shared by X docs costs X² candidate rows, so the cap is what bounds
+    the quadratic hot-shingle tail at 100 TB. Set sizes stay full, so
+    the reported jaccard is a lower bound: pairs overlapping only in
+    boilerplate drop out. Deterministic → exact-oracle-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, k=4, threshold=0.5, max_doc_freq=_STOP_SHINGLE_CAP
+    )
+
+
+@query(
+    "q_llm_dedup_clusters_capped",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CAPPED_CTES},
+    edges_c AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs_c
+      UNION
+      SELECT id_b, id_a FROM jpairs_c
+    ),
+    reach_c(id, r) AS (
+      SELECT src, src FROM edges_c
+      UNION
+      SELECT e.src, reach_c.r FROM edges_c e JOIN reach_c ON e.dst = reach_c.id
+    )
+    SELECT id AS doc_id,
+           min(r) AS canonical_id,
+           (id = min(r)) AS is_canonical
+    FROM reach_c GROUP BY id
+    """,
+)
+def q_llm_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop lists over the CAPPED pair graph — clusters built on
+    q_llm_ngram_jaccard_capped's edges via the same Pregel min-label
+    closure. This is the end-to-end dedup pipeline you'd run at scale
+    (stop-shingle cut + closure), now exact-oracle-gated."""
+    from kafka_streams_clojure_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, k=4, threshold=0.5, max_doc_freq=_STOP_SHINGLE_CAP
+    )
+    return dedup_clusters(pairs)
+
+
 @query("q_llm_near_dup")  # xxhash64-based — engine-specific, rows-only
 def q_llm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (32 hashes, 8 bands): the scale path —
@@ -1234,8 +1324,8 @@ def q_llm_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_length_band",
     oracle="""
-    WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
-                      quantile_cont(n_chars, 0.95) AS hi
+    WITH b AS (SELECT CAST(ceil(quantile_cont(n_chars, 0.05) - 1e-9) AS BIGINT) AS lo,
+                      CAST(floor(quantile_cont(n_chars, 0.95) + 1e-9) AS BIGINT) AS hi
                FROM documents)
     SELECT doc_id, n_chars FROM documents, b
     WHERE n_chars >= lo AND n_chars <= hi
@@ -1247,12 +1337,20 @@ def q_llm_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     band). The band edges are exact interpolated percentiles folded in
     as a broadcast 1-row aggregate, so the whole query is one lazy
     plan: percentile agg (one pass) + filtered re-scan — the fact
-    table is scanned twice but never shuffled."""
+    table is scanned twice but never shuffled.
+
+    Edge robustness: n_chars is integral, so the interpolated edges are
+    snapped to the integers that give the IDENTICAL band (lo→ceil,
+    hi→floor) in BOTH engines — Spark's percentile and DuckDB's
+    quantile_cont may differ by 1 ulp in interpolation shape, which
+    could otherwise flip a row sitting exactly on an edge. The ±1e-9
+    inside ceil/floor kills the symmetric case where the true edge IS
+    an integer and the 1-ulp error lands on either side of it."""
     docs = load_table(spark, sf_dir, "documents")
     band = F.broadcast(
         docs.agg(
-            F.percentile("n_chars", 0.05).alias("lo"),
-            F.percentile("n_chars", 0.95).alias("hi"),
+            F.ceil(F.percentile("n_chars", 0.05) - 1e-9).cast("bigint").alias("lo"),
+            F.floor(F.percentile("n_chars", 0.95) + 1e-9).cast("bigint").alias("hi"),
         )
     )
     return (
