@@ -208,17 +208,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "signature", "bb.band", "bb.bucket")
-    a = band_rows.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
-    )
-    b = band_rows.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
-    )
+    # Candidate dedup is an ID-WIDTH exchange: a doc pair colliding in
+    # several bands would otherwise be distinct'd carrying two full
+    # 32-long signatures (~512 B/row, ~30× wider than two ids) — at
+    # 100 TB that distinct shuffle dominates. Signatures re-join AFTER
+    # dedup, keyed by id, against the already-persisted sig projection
+    # (same shape as similarity.lsh_cosine_pairs).
+    a = band_rows.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = band_rows.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cands = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    pairs = cands.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")), "id_b"
     )
     eq = F.size(
         F.filter(
@@ -227,7 +234,7 @@ def minhash_lsh_pairs(
         )
     )
     est = (eq.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard")
-    return cands.select("id_a", "id_b", est).filter(F.col("est_jaccard") >= threshold)
+    return pairs.select("id_a", "id_b", est).filter(F.col("est_jaccard") >= threshold)
 
 
 def simhash_signatures(

@@ -167,3 +167,24 @@ def test_runtime_bloom_filter_prunes_shuffled_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_minhash_lsh_candidate_dedup_is_id_width(spark, sf_dir):
+    """The LSH candidate distinct() must exchange ONLY (id_a, id_b) —
+    a pair colliding in several bands dedup'd carrying two 32-long
+    signatures would be a ~30× wider shuffle at 100 TB. Signatures
+    re-join after dedup, keyed by id."""
+    from kafka_streams_clojure_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.5)
+    plan = physical_plan(df)
+    dedup_keys = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("Keys") and "id_a" in line and "id_b" in line
+    ]
+    assert dedup_keys, "candidate-dedup HashAggregate not found:\n" + plan[:2000]
+    for line in dedup_keys:
+        assert "sig" not in line, "signature rides the dedup exchange: " + line
+        assert line.strip().startswith("Keys [2]"), line
