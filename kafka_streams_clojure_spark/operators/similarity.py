@@ -16,8 +16,12 @@ import math
 import random
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
@@ -45,6 +49,35 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+# returnType as a DataType INSTANCE, not a DDL string: string parsing
+# happens at decoration time and needs an active SparkContext, which
+# would make this module un-importable before a session exists
+@pandas_udf(DoubleType())
+def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) cosine — the HOT-LOOP twin of
+    :func:`cosine` for per-candidate scoring at scale.
+
+    BENCH_NOTES.md "Cosine hot loop" (sf0.1, 200k candidate pairs):
+    interpreted HOF 2.62s · unrolled element_at "codegen" sum 3.96s
+    (LOSES — 192 repeated array gets beat one traversal) · prenorm+HOF
+    dot 1.16s · this pandas_udf 0.84s (3.1× vs HOF, adopted). Whole
+    Arrow batches hit one einsum, so the per-row Python cost is gone.
+
+    NOT bit-identical to :func:`cosine` (einsum uses pairwise/SIMD
+    accumulation, the fold is strictly left-to-right) — use ONLY on
+    rows-only paths (LSH verify, IVF scoring); oracle-gated keys keep
+    the fold, whose accumulation order DuckDB's list_sum reproduces.
+    Inputs must be non-null, equal-length vectors (the candidate
+    generators guarantee both)."""
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+    return pd.Series(num / den, index=a.index)
 
 
 def cosine_topk(
@@ -167,11 +200,13 @@ def lsh_cosine_pairs(
         cand = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         pairs = cand if pairs is None else pairs.unionByName(cand)
     vecs = bucketed.select(F.col(id_col), F.col(vec_col))
+    # verify stage is the per-candidate hot loop → Arrow-batched cosine
+    # (3.1× vs the interpreted HOF, BENCH_NOTES.md "Cosine hot loop")
     verified = (
         pairs.distinct()
         .join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")), "id_a")
         .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+        .select("id_a", "id_b", cosine_arrow(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
     return verified
@@ -321,10 +356,12 @@ def ivf_topk(
     # probe's n_probe cells are distinct, so the cell equi-join emits
     # each (probe, vec) pair at most once — a dropDuplicates here would
     # be a pure extra shuffle of the whole candidate set
+    # candidate scoring is the per-row hot loop → Arrow-batched cosine
+    # (rows-only path; BENCH_NOTES.md "Cosine hot loop")
     cand = corpus.join(F.broadcast(probes), "cell").select(
         probe_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("_pv")).alias("cos_sim"),
+        cosine_arrow(F.col(vec_col), F.col("_pv")).alias("cos_sim"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
@@ -336,27 +373,83 @@ def ivf_topk(
     )
 
 
-def embedding_cosine_near_dups(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    block_col: str | None = "label",
-    threshold: float = 0.95,
+def _blocked_all_pairs_cosine(
+    df: DataFrame, id_col: str, vec_col: str, blk: Column, threshold: float
 ) -> DataFrame:
-    """Exact near-dup pairs by cosine with optional blocking on a
-    cheap attribute (label/cluster/source): all-pairs within a block
-    only — the classic blocked-dedup shape.
-
-    WARNING — quadratic within a block: cost is Σ |block|². Safe when
-    blocks are bounded (≲10⁵ rows); a skewed block (one label holding
-    10% of a 100 TB corpus) makes this the wrong tool — use
-    :func:`lsh_cosine_pairs` (bucketed, never all-pairs) as the scale
-    path, or pre-split oversized blocks."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), blk.alias("blk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), blk.alias("blk"))
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_cosine_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+    max_block: int | None = 100_000,
+    on_oversize: str = "raise",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact near-dup pairs by cosine with optional blocking on a
+    cheap attribute (label/cluster/source): all-pairs within a block
+    only — the classic blocked-dedup shape.
+
+    Quadratic within a block (cost Σ |block|²), so the block bound is
+    ENFORCED, not just documented: per-block counts are computed
+    in-plan (one small aggregate — one row per block label) and
+    inspected driver-side, the same deliberate metadata-scale action as
+    :func:`operators.graph.connected_components`' convergence check. If
+    any block exceeds ``max_block``:
+
+    - ``on_oversize="raise"`` (default): ``RuntimeError`` naming the
+      offending blocks — a skewed block (one label holding 10% of a
+      100 TB corpus) must fail loudly, never silently go quadratic.
+    - ``on_oversize="lsh"``: bounded blocks keep the exact all-pairs
+      path; each oversized block is routed through
+      :func:`lsh_cosine_pairs` (bucketed, never all-pairs) per block,
+      preserving the within-block pairing semantics at LSH recall.
+
+    ``max_block=None`` disables the guard (caller asserts boundedness).
+    """
+    blk = F.col(block_col) if block_col else F.lit(0)
+    if max_block is None:
+        return _blocked_all_pairs_cosine(df, id_col, vec_col, blk, threshold)
+    if on_oversize not in ("raise", "lsh"):
+        raise ValueError(f"on_oversize must be 'raise' or 'lsh', got {on_oversize!r}")
+    counts = df.groupBy(blk.alias("blk")).agg(F.count("*").alias("__n"))
+    oversized = [
+        (r["blk"], r["__n"]) for r in counts.filter(F.col("__n") > max_block).collect()
+    ]
+    if not oversized:
+        return _blocked_all_pairs_cosine(df, id_col, vec_col, blk, threshold)
+    if on_oversize == "raise":
+        raise RuntimeError(
+            f"embedding_cosine_near_dups: block(s) exceed max_block={max_block} "
+            f"(all-pairs within a block is quadratic): "
+            f"{[(b, int(n)) for b, n in oversized]}; use on_oversize='lsh' to "
+            "route oversized blocks through lsh_cosine_pairs, raise max_block, "
+            "or pre-split the blocks"
+        )
+    big_keys = [b for b, _ in oversized]
+    # null-safe block routing: eqNullSafe never yields NULL, so a null
+    # block label routes correctly instead of vanishing under ~isin()
+    is_big = None
+    for key in big_keys:
+        c = blk.eqNullSafe(F.lit(key))
+        is_big = c if is_big is None else (is_big | c)
+    bounded = df.filter(~is_big)
+    exact = _blocked_all_pairs_cosine(bounded, id_col, vec_col, blk, threshold)
+    out = exact.select("id_a", "id_b", "cos_sim")
+    for key in big_keys:
+        block_rows = df.filter(blk.eqNullSafe(F.lit(key)))
+        approx = lsh_cosine_pairs(
+            block_rows, id_col=id_col, vec_col=vec_col, threshold=threshold, dim=dim
+        )
+        out = out.unionByName(approx.select("id_a", "id_b", "cos_sim"))
+    return out

@@ -513,3 +513,57 @@ def test_stop_shingle_cut_bounds_candidates(spark):
     # lower bound: reported jaccard <= exact jaccard for the same pair
     exact_12 = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}[(1, 2)]
     assert cut_rows[(1, 2)] <= exact_12 + 1e-12
+
+
+def _guard_vec(i, jitter=0.0):
+    # deterministic pseudo-random 8-dim vector; period 19 in i
+    return [((i * 37 + j * 11) % 19 - 9) / 9.0 + 0.05 + jitter for j in range(8)]
+
+
+@pytest.fixture(scope="module")
+def skewed_blocks(spark):
+    """One oversized block (label 0: 80 rows, 40 planted near-dup
+    pairs) + one bounded block (label 1: 3 rows, 1 near-dup pair)."""
+    rows = [(i, _guard_vec(i), 0) for i in range(40)]
+    rows += [(i + 1000, _guard_vec(i, jitter=0.001), 0) for i in range(40)]
+    rows += [
+        (2001, _guard_vec(101), 1),
+        (2002, _guard_vec(101, jitter=0.001), 1),
+        (2003, _guard_vec(55), 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).persist()
+
+
+def test_embedding_near_dup_block_guard_raises(skewed_blocks):
+    """A skewed block must fail loudly (like connected_components'
+    non-convergence), never silently go quadratic."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        embedding_cosine_near_dups,
+    )
+
+    with pytest.raises(RuntimeError, match="max_block"):
+        embedding_cosine_near_dups(skewed_blocks, max_block=50, threshold=0.99)
+
+
+def test_embedding_near_dup_block_guard_lsh_fallback(skewed_blocks):
+    """on_oversize='lsh': bounded blocks keep the exact path, the
+    oversized block routes through lsh_cosine_pairs — planted pairs
+    recovered, blocking semantics preserved (no cross-block pairs)."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        embedding_cosine_near_dups,
+    )
+
+    got = embedding_cosine_near_dups(
+        skewed_blocks, max_block=50, on_oversize="lsh", threshold=0.99, dim=8
+    )
+    pairs = {(int(r.id_a), int(r.id_b)) for r in got.collect()}
+    assert (2001, 2002) in pairs, "exact path lost the bounded block's pair"
+    planted = {(i, i + 1000) for i in range(40)}
+    recall = len(planted & pairs) / len(planted)
+    assert recall >= 0.9, f"LSH fallback recall too low: {recall:.2f}"
+    big_ids = set(range(40)) | {i + 1000 for i in range(40)}
+    small_ids = {2001, 2002, 2003}
+    crossing = [p for p in pairs if (p[0] in big_ids) != (p[1] in big_ids)]
+    assert not crossing, f"cross-block pairs violate blocking: {crossing[:5]}"

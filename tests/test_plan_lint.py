@@ -51,6 +51,11 @@ _PYTHON_OK = {
     "q_multimodal_audio",
     "q_stream_stateful_counter",
     "q_error_swallow",
+    # rows-only ANN hot loops: cosine_arrow (vectorized pandas_udf)
+    # adopted after the round-5 bench — 3.1× vs the interpreted HOF
+    # (BENCH_NOTES.md "Cosine hot loop"); oracle keys keep the fold
+    "q_llm_cosine_ann",
+    "q_llm_ivf_topk",
 }
 
 #: streaming / side-effecting keys execute on call — skip plan-building
