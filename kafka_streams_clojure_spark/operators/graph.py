@@ -8,9 +8,10 @@ training-data pipeline.
 
 Spark-first shape: iterative min-label propagation (the GraphX/Pregel
 connected-components algorithm expressed in DataFrame ops). Each
-iteration is one equi-join (labels⋈edges) + one groupBy-min — shuffle
-∝ |E|, label state ∝ |V|; rounds ∝ graph diameter (near-dup clusters
-are near-cliques, so 2-4 rounds in practice, bounded by ``max_iter``).
+iteration is one equi-join (labels⋈edges) + one groupBy-min + one
+pointer-jumping self-join — shuffle ∝ |E| + |V|, label state ∝ |V|;
+rounds ∝ LOG of the graph diameter (near-dup clusters are
+near-cliques, so 2-4 rounds in practice, bounded by ``max_iter``).
 The per-round convergence check is a deliberate driver-side action —
 iterative fixpoints are the one place a driver loop is the right tool
 (same as any Pregel superstep loop); everything inside a round is a
@@ -34,7 +35,8 @@ def connected_components(
     """Label every vertex of the undirected pair graph with the MIN
     vertex id of its connected component (deterministic fixpoint).
 
-    Returns ``(id, component)``. Converges in O(diameter) rounds; stops
+    Returns ``(id, component)``. Converges in O(log diameter) rounds
+    (neighbor-min propagation + pointer jumping); stops
     early when a round changes nothing. Raises ``RuntimeError`` if the
     fixpoint is not reached within ``max_iter`` rounds — unconverged
     labels would silently split one real cluster into several, so a
@@ -46,22 +48,52 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # Each round ends in localCheckpoint(eager): (1) TRUNCATES LINEAGE —
+    # without it the analyzed plan nests one join+union+agg deeper per
+    # round and the driver dies building plan strings long before the
+    # data is big (observed at sf0.1: OOM in explainString on the
+    # convergence count) — the same reason GraphX checkpoints Pregel
+    # state; (2) materializes the ~|V|-row label state so the next
+    # round reads blocks, not a replay. Local (block-manager) rather
+    # than reliable checkpointing is the right local-mode tool; a
+    # multi-node deployment losing executors would set a checkpoint
+    # dir and swap .localCheckpoint() for .checkpoint().
     labels = (
-        und.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    labels = labels.persist()
     try:
         converged = False
         for _ in range(max_iter):
             nbr = und.join(
                 labels.withColumnRenamed("id", "b"), "b"
             ).select(F.col("a").alias("id"), "component")
-            new_labels = (
+            # neighbor-min propagation …
+            m = (
                 labels.select("id", "component")
                 .union(nbr)
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
-            ).persist()
+            )
+            # … then pointer-jumping (path compression): component ←
+            # m[component]. Labels are always vertex ids present in m
+            # (each is the min id seen so far, and m[w] ≤ w), so the
+            # self-join is total and the reach of a label DOUBLES per
+            # round — convergence in O(log diameter) rounds instead of
+            # O(diameter), which is what makes max_iter=20 safe for
+            # web-scale near-dup chains (2^20-hop paths).
+            new_labels = (
+                m.join(
+                    m.select(
+                        F.col("id").alias("component"), F.col("component").alias("c2")
+                    ),
+                    "component",
+                )
+                .select("id", F.col("c2").alias("component"))
+                .localCheckpoint(eager=True)
+            )
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -69,16 +101,14 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 converged = True
                 break
         if not converged:
-            labels.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds; "
-                "raise max_iter (rounds needed ~ component diameter)"
+                "raise max_iter (rounds needed ~ log2(component diameter))"
             )
     finally:
         if we_cached:
