@@ -46,10 +46,32 @@ HEADLINE = [
 ]
 
 
+#: Pinned single-thread probe time measured on the IDLE round-5 box
+#: (BENCH_NOTES.md "Probe pinning"). cpu_probe_ratio >> 1 in the
+#: emitted JSON means the box was contended DURING MEASUREMENT and the
+#: headline total should be read with that multiplier in mind — the
+#: bench is self-interpreting, a 2×-gate trip on a busy box is visible
+#: as such.
+PROBE_REFERENCE_SEC = 0.74
+
+
+def cpu_probe() -> float:
+    """Fixed pure-Python single-thread loop (20M iterations) — measures
+    the box, not the engine. Same probe BENCH_NOTES.md used to diagnose
+    the r3 phantom regression."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i & 7
+    assert acc == 70_000_000
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    probe = cpu_probe()
 
     from kafka_streams_clojure_spark.queries import queries
     from kafka_streams_clojure_spark.session import get_spark
@@ -92,6 +114,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cpu_probe_sec": round(probe, 3),
+                "cpu_probe_ratio": round(probe / PROBE_REFERENCE_SEC, 2),
             }
         )
     )
