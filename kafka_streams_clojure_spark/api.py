@@ -62,14 +62,20 @@ class KStream:
 
     # -- sources ------------------------------------------------------
     @classmethod
-    def from_parquet(cls, spark: SparkSession, path: str) -> "KStream":
+    def from_parquet(
+        cls, spark: SparkSession, path: str, coerce_ntz: bool = True
+    ) -> "KStream":
         """Open an arbitrary parquet path. Applies the engine session
         confs (UTC tz, nanosAsLong) and the same event-time fixups as
         ``load_table``: declared fixture event-time columns get the
-        bigint-nanos/NTZ→TimestampType coercion, and any OTHER
-        ``timestamp_ntz`` column is relabeled ``timestamp`` too (the
-        session is forced UTC so the cast is value-identical) — so a
-        KStream built from any parquet can always be watermarked."""
+        bigint-nanos/NTZ→TimestampType coercion, and — when
+        ``coerce_ntz`` (default) — any OTHER ``timestamp_ntz`` column
+        is relabeled ``timestamp`` too (the session is forced UTC so
+        the cast is value-identical) — so a KStream built from any
+        parquet can always be watermarked. Pass ``coerce_ntz=False``
+        to keep intentional NTZ (wall-clock) semantics on columns you
+        will not watermark: the blanket relabel is a schema TYPE change
+        even though no value moves."""
         import os as _os
 
         from kafka_streams_clojure_spark.session import (
@@ -83,8 +89,9 @@ class KStream:
         name = _os.path.basename(path.rstrip("/")).removesuffix(".parquet")
         declared = _EVENT_TIME_COLS.get(name, ())
         df = normalize_event_time(df, declared)
-        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz" and c not in declared]
-        df = normalize_event_time(df, ntz)
+        if coerce_ntz:
+            ntz = [c for c, t in df.dtypes if t == "timestamp_ntz" and c not in declared]
+            df = normalize_event_time(df, ntz)
         return cls(df)
 
     @classmethod

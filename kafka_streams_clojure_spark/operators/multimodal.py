@@ -99,7 +99,13 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
 def decode_bmp(blob: bytes) -> tuple[int, int, int, float]:
     """Parse an uncompressed BITMAPINFOHEADER BMP (8/24/32 bpp) with
     the stdlib only. Returns (width, height, channels, mean_luma) where
-    mean_luma is the mean of all pixel-channel bytes / 255."""
+    mean_luma is the mean of all pixel-channel bytes / 255.
+
+    8-bpp caveat: the color palette is NOT resolved — mean_luma is the
+    mean of palette INDICES, not actual luminance (correct for the
+    common grayscale-ramp palette where index == gray level; arbitrary
+    palettes need a palette-resolving decoder). Geometry fields are
+    exact at every depth."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP (missing 'BM' magic)")
     data_off = struct.unpack_from("<I", blob, 10)[0]

@@ -136,7 +136,12 @@ def run_available_now(
       compaction is one shuffle on the upsert key at read time; a
       production deployment with Delta/Iceberg available swaps the
       append+compact pair for a real MERGE and keeps the same reader
-      contract.
+      contract. CONTRACT: the streamed query must emit at most one row
+      per key per micro-batch — true for streaming AGGREGATES (what
+      update mode exists for); a custom stateful query emitting several
+      rows for one key in one epoch would hit a ``max_by`` tie on
+      ``__epoch`` and keep an arbitrary one. ``upsert_keys`` is only
+      meaningful with ``output_mode='update'`` — any other mode raises.
     - each call leaves its store directory on disk until interpreter
       exit (the reader stays lazy, so eager cleanup would race it).
       Long-lived sessions sweeping many streaming keys can call
@@ -159,7 +164,15 @@ def run_available_now(
     _STORE_DIRS.append(store)
     schema = df.schema
     write_mode = "overwrite" if output_mode == "complete" else "append"
-    upserting = bool(upsert_keys) and output_mode == "update"
+    if upsert_keys and output_mode != "update":
+        raise ValueError(
+            f"upsert_keys is only meaningful with output_mode='update' "
+            f"(got {output_mode!r}): append would duplicate keys across "
+            "epochs and complete already overwrites — a silent plain "
+            f"{output_mode} store with no compaction is never what the "
+            "caller wanted"
+        )
+    upserting = bool(upsert_keys)
 
     def _to_store(batch_df: DataFrame, epoch_id: int) -> None:
         if upserting:

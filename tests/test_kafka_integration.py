@@ -12,7 +12,9 @@ connector jar.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import uuid
 
 import pytest
@@ -20,9 +22,48 @@ from pyspark.sql import functions as F
 
 BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
 
+
+def _kafka_env_probe() -> tuple[bool, str]:
+    """Probe the environment each run (mirrors embedded_kafka.clj:70-88's
+    'bring your own broker' setup): is the spark-sql-kafka connector jar
+    on the classpath, is a broker binary on PATH, is KAFKA_BOOTSTRAP
+    set? Returns (runnable, report) — the report lands in the pytest
+    skip line so the moment the environment ships the jar + broker the
+    e2e runs (or its blocker is named) without a code change."""
+    jar_dirs = []
+    if os.environ.get("SPARK_HOME"):
+        jar_dirs.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    try:
+        import pyspark
+
+        jar_dirs.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:
+        pass
+    jars = sorted(
+        j
+        for d in jar_dirs
+        for j in glob.glob(os.path.join(d, "*spark-sql-kafka*.jar"))
+    )
+    broker = next(
+        (
+            b
+            for b in ("kafka-server-start.sh", "kafka-server-start", "redpanda")
+            if shutil.which(b)
+        ),
+        None,
+    )
+    report = (
+        f"KAFKA_BOOTSTRAP={BOOTSTRAP or 'unset'}; "
+        f"connector jar={'found: ' + os.path.basename(jars[0]) if jars else 'ABSENT from ' + (':'.join(jar_dirs) or '<no jar dirs>')}; "
+        f"broker binary={'found: ' + broker if broker else 'ABSENT from PATH'}"
+    )
+    return bool(BOOTSTRAP and jars), report
+
+
+_RUNNABLE, _REPORT = _kafka_env_probe()
+
 pytestmark = pytest.mark.skipif(
-    not BOOTSTRAP,
-    reason="KAFKA_BOOTSTRAP not set — no broker in this environment",
+    not _RUNNABLE, reason=f"Kafka e2e blocked — {_REPORT}"
 )
 
 

@@ -158,3 +158,17 @@ def test_upsert_store_across_batches(spark, sf_dir, split_events_dir):
         for r in batch_ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == exp, "compacted upsert store diverges from batch aggregate"
+
+
+def test_upsert_keys_rejects_non_update_mode(spark, sf_dir):
+    """upsert_keys with append/complete would silently produce a plain
+    uncompacted store — must raise instead."""
+    from kafka_streams_clojure_spark import streaming
+    from kafka_streams_clojure_spark.streaming import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    with pytest.raises(ValueError, match="upsert_keys"):
+        streaming.run_available_now(
+            agg, output_mode="complete", upsert_keys=["user_id"]
+        )
