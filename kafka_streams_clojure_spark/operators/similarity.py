@@ -386,6 +386,140 @@ def _blocked_all_pairs_cosine(
     )
 
 
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebooks (cf. FAISS PQ / Jégou et al.
+    2011): split the ``dim`` dimensions into ``m`` subspaces of dim/m
+    and run the deterministic Lloyd's quantizer (:func:`kmeans_centroids`)
+    independently in each. Returns ``(sub, cell, centroid)`` — m·k rows
+    total, always broadcastable (the codebook for a billion-vector
+    corpus is still m·k·(dim/m) doubles).
+
+    PQ is the MEMORY-side ANN scale path, complementing sign-LSH and
+    IVF (the compute-side paths already in this module): each vector
+    compresses to m small codes (m bytes at k<=256 vs dim·4 bytes raw,
+    32× at the defaults), and query scoring never touches raw vectors.
+    """
+    if dim % m != 0:
+        raise ValueError(f"m ({m}) must divide dim ({dim})")
+    d = dim // m
+    books = None
+    for s in range(m):
+        sub = df.select(id_col, F.slice(F.col(vec_col), s * d + 1, d).alias(vec_col))
+        cents = kmeans_centroids(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=d
+        ).select(F.lit(s).alias("sub"), "cell", "centroid")
+        books = cents if books is None else books.unionByName(cents)
+    return books
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, d: int, id_cols: Sequence[str], vec_col: str
+) -> DataFrame:
+    """(ids…, sub, v): each row exploded into its m subvectors."""
+    return df.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(F.col(vec_col), s * d + 1, d).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("p"),
+    ).select(*id_cols, "p.sub", "p.v")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode every vector as its nearest codebook cell per subspace:
+    ``(id, sub, code)`` — the compressed representation PQ search runs
+    on. One broadcast join (codebooks are m·k rows) + one min_by
+    aggregate keyed by (id, sub); ties broken by cell id so codes are
+    deterministic."""
+    d = dim // m
+    parts = _pq_subvectors(df, m, d, [id_col], vec_col)
+    scored = parts.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        "sub",
+        "cell",
+        sq_l2(F.col("v"), F.col("centroid")).alias("__d2"),
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min_by(F.col("cell"), F.struct(F.col("__d2"), F.col("cell"))).alias("code")
+    )
+    return best.select(id_col, "sub", "code")
+
+
+def pq_topk(
+    df: DataFrame,
+    probes_df: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): each probe
+    precomputes a distance table d²(probe_sub, centroid) for every
+    (sub, cell) — m·k doubles per probe, broadcast — and a corpus
+    vector's approximate distance is the SUM of m table lookups keyed
+    by its codes. The corpus side touches only the (id, sub, code)
+    table: raw vectors never move, never even load, at query time —
+    the 100 TB memory shape.
+
+    The per-(probe, vec) sum goes through decimal so the total is
+    independent of partial-aggregation order (the repo's double-sum
+    rule); ranking ties break on ``id_col``. Returns
+    ``(probe_id, id, adc_d2)``, ascending distance per probe."""
+    d = dim // m
+    codes = pq_encode(df, codebooks, m=m, id_col=id_col, vec_col=vec_col, dim=dim)
+    pparts = _pq_subvectors(
+        probes_df.select(F.col(id_col).alias(probe_id_col), F.col(vec_col)),
+        m,
+        d,
+        [probe_id_col],
+        vec_col,
+    )
+    ptab = pparts.join(F.broadcast(codebooks), "sub").select(
+        probe_id_col,
+        "sub",
+        F.col("cell").alias("code"),
+        sq_l2(F.col("v"), F.col("centroid")).alias("d2"),
+    )
+    cand = (
+        codes.join(F.broadcast(ptab), ["sub", "code"])
+        .groupBy(probe_id_col, id_col)
+        .agg(
+            F.sum(F.col("d2").cast("decimal(38,18)")).cast("double").alias("adc_d2")
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("adc_d2"), F.col(id_col))
+    return (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
 def embedding_cosine_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -207,6 +207,44 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_quality_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST((
+               least(len({_TOK}) / 100.0, 1.0)
+               + CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK})
+               + CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                            / len({_TOK})) BETWEEN 3.0 AND 10.0
+                      THEN 1.0 ELSE 0.5 END
+             ) / 3.0 AS DOUBLE) AS quality,
+             {_SQL_BUCKET} AS bkt
+      FROM documents
+    )
+    SELECT doc_id, quality FROM scored WHERE bkt < floor(quality * 100)
+    """,
+)
+def q_llm_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED downsampling: keep a doc with probability ∝ its
+    quality score, deterministically — the doc's md5 bucket (0..99)
+    accepted iff below floor(quality·100). No RNG: the kept set is
+    reproducible and engine-portable (the bucket and the quality
+    arithmetic are both already oracle-proven twins), which is how a
+    real pipeline thins low-quality strata while keeping lineage
+    auditable. Map-side only — no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            TX.quality_score(F.col("text")).alias("quality"),
+            _bucket().alias("bkt"),
+        )
+        .filter(F.col("bkt") < F.floor(F.col("quality") * 100))
+        .select("doc_id", "quality")
+    )
+
+
+@query(
     "q_llm_fingerprint",
     oracle="""
     SELECT doc_id,
@@ -497,6 +535,27 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = F.broadcast(kmeans_centroids(emb, k=16, iters=3))
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, n_probe=4)
+
+
+@query("q_llm_pq_topk")  # iterative k-means codebooks — rows-only
+def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS-PQ memory-side scale path,
+    third ANN family beside sign-LSH and IVF): per-subspace k-means
+    codebooks compress each vector to m=8 codes (32× vs raw floats);
+    probes score candidates by asymmetric distance — m broadcast
+    table lookups summed — so query time never touches raw vectors.
+    Rows-only: the codebook build is iterative (non-SQL); the own-code
+    optimality guarantee + planted-duplicate invariants live in
+    tests/test_llm_ops.py."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+    from kafka_streams_clojure_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = persist_if_uncached(pq_codebooks(emb, m=8, k=16, iters=2))
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=5)
 
 
 @query("q_llm_cosine_ann")  # LSH recall is probabilistic — rows-only

@@ -217,6 +217,40 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup_ingest",
+    oracle="""
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents h
+      WHERE h.doc_id % 3 = 0
+        AND md5(lower(trim(regexp_replace(h.text, '\\s+', ' ', 'g'))))
+          = md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+    )
+    """,
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest for a training-data pipeline: the incoming
+    document STREAM is fingerprinted and anti-joined against a static
+    historical fingerprint store (here: every third doc standing in for
+    the already-ingested corpus), so only genuinely new content lands.
+    Stream-static left_anti with the store broadcast per micro-batch —
+    the stream side never shuffles, and at 100 TB the history side is a
+    fingerprint table (16 bytes/doc), not the corpus itself."""
+    from kafka_streams_clojure_spark.operators.text import fingerprint
+
+    hist = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+    )
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    fresh = docs.join(F.broadcast(hist), "fp", "left_anti").select("doc_id", "source")
+    return run_available_now(fresh, output_mode="append")
+
+
+@query(
     "q_stream_branch_sinks",
     oracle=f"""
     SELECT event_id, event_type, value,

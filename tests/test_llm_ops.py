@@ -567,3 +567,60 @@ def test_embedding_near_dup_block_guard_lsh_fallback(skewed_blocks):
     small_ids = {2001, 2002, 2003}
     crossing = [p for p in pairs if (p[0] in big_ids) != (p[1] in big_ids)]
     assert not crossing, f"cross-block pairs violate blocking: {crossing[:5]}"
+
+
+def test_pq_codes_shape_and_cardinality(emb):
+    """PQ encoding: exactly m codes per vector, each drawn from the
+    <=k cells of its subspace's codebook."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(emb, m=8, k=16, iters=2).persist()
+    codes = pq_encode(emb, books)
+    assert codes.groupBy("vec_id").count().filter("count != 8").count() == 0
+    assert (
+        codes.groupBy("sub")
+        .agg(F.countDistinct("code").alias("c"))
+        .filter(F.col("c") > 16)
+        .count()
+        == 0
+    )
+    books.unpersist()
+
+
+def test_pq_topk_own_code_optimality_and_planted_dup(emb, spark):
+    """Two PQ/ADC invariants: (1) a probe's own reconstruction is the
+    per-subspace nearest centroid, so no corpus vector can have a
+    strictly smaller ADC distance — the probe itself MUST rank 1
+    (min-id tiebreak). (2) An exact duplicate has identical codes →
+    bit-identical ADC distance (decimal-summed), and must appear in
+    the top-k next to the probe."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    base = emb.filter(F.col("vec_id") < 5)
+    dups = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dups)
+    books = pq_codebooks(emb, m=8, k=16, iters=2).persist()
+    top = pq_topk(corpus, base, books, k=5)
+    rows = top.collect()
+    per_probe: dict = {}
+    for r in rows:
+        per_probe.setdefault(int(r.probe_id), []).append((int(r.vec_id), r.adc_d2))
+    for p in range(5):
+        got = per_probe[p]
+        assert len(got) == 5, got
+        assert got[0][0] == p or sorted(got, key=lambda t: (t[1], t[0]))[0][0] == p, (
+            f"probe {p} did not rank itself first: {got}"
+        )
+        ids = {i for i, _ in got}
+        assert p + 1_000_000 in ids, f"planted duplicate missing for probe {p}: {got}"
+        d = dict(got)
+        assert d[p] == d[p + 1_000_000], "identical codes must give identical ADC"
+    books.unpersist()

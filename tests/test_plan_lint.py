@@ -23,6 +23,7 @@ _NONEQUI_OK = {
     "q_llm_topk_multi",
     "q_llm_tfidf",
     "q_llm_ivf_topk",
+    "q_llm_pq_topk",  # kmeans codebook build broadcasts k centroids
     # crossJoin of a broadcast 1-ROW aggregate (corpus total folded
     # in-plan) — a BNLJ whose build side is a single row is bounded
     "q_llm_domain_mix",
