@@ -343,3 +343,127 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_words: int = 10,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Boilerplate-passage removal (C4-style line dedup, generalized):
+    split every document into consecutive ``passage_words``-word
+    passages, drop each passage that occurs in more than
+    ``max_doc_freq`` DISTINCT documents (headers, footers, license
+    blurbs, planted duplicates), and reassemble the survivors in
+    original order. All documents survive — a fully-boilerplate doc
+    comes back with ``clean_text = ''`` (length filters downstream
+    decide its fate), preserving lineage.
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)``.
+
+    Scale shape (100 TB): passage generation is the codegen
+    posexplode + window-``lead`` pattern from :func:`shingle_sets`
+    (stride ``passage_words`` instead of 1 — ``concat_ws`` skipping
+    the null leads past end-of-doc yields the short tail passage for
+    free). The doc-frequency table is NOT broadcast — distinct
+    passages scale with the corpus — so the frequency probe is a
+    shuffled equi-join keyed by the passage string; swap the join key
+    for ``xxhash64(passage)`` in production to cut exchange width
+    (kept as the raw string here for cross-engine oracle parity).
+    Reassembly sorts each doc's surviving passages with a codegen
+    ``array_sort`` over (index, passage) structs — no interpreted
+    lambdas, no driver collect.
+    """
+    w_ = passage_words
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__tok"),
+        )
+        # Pin the window partitioning: AQE would coalesce the tiny
+        # exploded rows into one partition and serialize the sort.
+        .repartition(par, id_col)
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    passage = F.concat_ws(
+        " ", F.col("__tok"), *[F.lead("__tok", j).over(win) for j in range(1, w_)]
+    )
+    passages = (
+        toks.select(
+            F.col(id_col),
+            F.col("__pos"),
+            passage.alias("passage"),
+        )
+        .filter(F.col("__pos") % w_ == 0)
+        .select(F.col(id_col), (F.col("__pos") / w_).cast("bigint").alias("pidx"), "passage")
+    )
+    passages = persist_if_uncached(passages)
+    freq = passages.groupBy("passage").agg(
+        F.countDistinct(id_col).alias("__dfreq")
+    )
+    kept = (
+        passages.join(freq, "passage")
+        .filter(F.col("__dfreq") <= max_doc_freq)
+        .select(id_col, "pidx", "passage")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pidx", "passage"))).getField("passage"),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = passages.groupBy(id_col).agg(F.count("*").alias("__n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("__n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp: Column | None = None,
+) -> DataFrame:
+    """Snapshot-over-corpus dedup: from a NEW batch of documents keep
+    only those whose normalized fingerprint (a) does not already exist
+    in the standing corpus and (b) is first (min id) within the new
+    batch itself. This is the shape a crawl pipeline runs every
+    ingest: dedup the delta against everything already accepted
+    without re-deduping the corpus.
+
+    Scale shape (100 TB corpus, small-ish delta): the corpus side is
+    column-pruned to the single 128-bit fingerprint before the join —
+    the scan never reads corpus text — and the anti join keys on the
+    digest, so exchange width is 16 bytes/row. In production the
+    corpus fingerprints live in a compacted store (the parquet output
+    of the previous run) rather than being recomputed; the operator
+    only needs a (fp) relation on the right side. Within-batch
+    keep-first reuses :func:`exact_dedup`'s min-id contract.
+
+    ``fp`` overrides the content key (default: full-text normalized
+    fingerprint) — e.g. a prefix fingerprint for fuzzy crawl dedup or
+    a URL hash.
+    """
+    fp_expr = fingerprint(F.col(text_col)) if fp is None else fp
+    corpus_fp = corpus_df.select(fp_expr.alias("__fp")).distinct()
+    fresh = (
+        new_df.withColumn("__fp", fp_expr)
+        .join(corpus_fp, "__fp", "left_anti")
+    )
+    keep = (
+        fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    )
+    return fresh.join(keep, id_col, "left_semi").drop("__fp")

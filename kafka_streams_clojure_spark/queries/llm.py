@@ -1417,3 +1417,78 @@ def q_llm_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "n_chars")
     )
+
+
+@query(
+    "q_llm_passage_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    px AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                    i -> struct_pack(pidx := i,
+                                     passage := array_to_string(t[i*10+1 : i*10+10], ' ')))) AS u
+      FROM toks
+    ),
+    pass AS (SELECT doc_id, u.pidx AS pidx, u.passage AS passage FROM px),
+    freq AS (SELECT passage, count(DISTINCT doc_id) AS dfreq FROM pass GROUP BY passage),
+    kept AS (SELECT p.doc_id, p.pidx, p.passage
+             FROM pass p JOIN freq f USING (passage) WHERE f.dfreq <= 1),
+    agg AS (SELECT doc_id,
+                   string_agg(passage, ' ' ORDER BY pidx) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_total FROM pass GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-passage removal (C4-style line dedup over 10-word
+    passages): passages occurring in >1 distinct document are dropped
+    from every document, survivors reassembled in order. On the
+    fixture this fires on the planted near-duplicates' shared aligned
+    windows. See :func:`operators.dedup.passage_dedup` for the 100 TB
+    shape (codegen passage build, digest-keyed frequency join)."""
+    from kafka_streams_clojure_spark.operators.dedup import passage_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, passage_words=10, max_doc_freq=1)
+
+
+@query(
+    "q_llm_incremental_dedup",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, lang, source,
+                       md5(array_to_string(({_TOK})[1:20], ' ')) AS fp
+                FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+    fresh AS (SELECT f.doc_id, f.lang, f.source, f.fp FROM fp f
+              WHERE doc_id % 2 = 1
+                AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp))
+    SELECT doc_id, lang, source FROM fresh
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+    """,
+)
+def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-delta dedup against the standing corpus: odd doc_ids play
+    the new crawl snapshot, even doc_ids the already-accepted corpus;
+    the content key is a 20-word-prefix fingerprint (the fuzzy key a
+    crawl pipeline uses when trailing boilerplate varies). New docs
+    survive iff their key is absent from the corpus AND they are the
+    first (min doc_id) holder of the key within the batch. See
+    :func:`operators.dedup.incremental_dedup` for the 100 TB shape
+    (corpus pruned to a 16-byte digest column before the anti join)."""
+    from kafka_streams_clojure_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    prefix_fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 20), " "))
+    out = incremental_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        fp=prefix_fp,
+    )
+    return out.select("doc_id", "lang", "source")

@@ -1,0 +1,104 @@
+"""Unit tests for passage-level boilerplate removal and ingest-delta
+(incremental) dedup — synthetic corpora with planted boilerplate /
+duplicates, plus the null-text contract and the Q18 single-scan plan
+pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from kafka_streams_clojure_spark.operators.dedup import incremental_dedup, passage_dedup
+from kafka_streams_clojure_spark.plans import physical_plan
+
+_Q = entrymod.queries()
+
+_BOILER = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"  # exactly one 10-word passage
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_passage_dedup_drops_shared_keeps_unique(spark):
+    u1 = " ".join(f"u{i}" for i in range(10))
+    u2 = " ".join(f"v{i}" for i in range(10))
+    docs = _mk_docs(
+        spark,
+        [
+            (1, f"{_BOILER} {u1}"),
+            (2, f"{_BOILER} {u2}"),
+            (3, _BOILER),  # fully boilerplate
+        ],
+    )
+    out = {r.doc_id: r for r in passage_dedup(docs).collect()}
+    assert out[1].clean_text == u1 and out[1].n_kept == 1 and out[1].n_dropped == 1
+    assert out[2].clean_text == u2 and out[2].n_kept == 1 and out[2].n_dropped == 1
+    # the fully-boilerplate doc SURVIVES with empty text (lineage kept)
+    assert out[3].clean_text == "" and out[3].n_kept == 0 and out[3].n_dropped == 1
+
+
+def test_passage_dedup_preserves_order_and_tail(spark):
+    words = [f"w{i}" for i in range(23)]  # 2 full passages + 3-word tail
+    docs = _mk_docs(spark, [(1, " ".join(words))])
+    out = passage_dedup(docs).collect()[0]
+    assert out.clean_text == " ".join(words)  # unique passages: identity
+    assert out.n_kept == 3 and out.n_dropped == 0
+
+
+def test_passage_dedup_within_doc_repeat_not_boilerplate(spark):
+    # the SAME passage twice in ONE doc is 1 distinct doc -> kept twice
+    docs = _mk_docs(spark, [(1, f"{_BOILER} {_BOILER}")])
+    out = passage_dedup(docs).collect()[0]
+    assert out.n_kept == 2 and out.clean_text == f"{_BOILER} {_BOILER}"
+
+
+def test_passage_dedup_max_doc_freq_knob(spark):
+    docs = _mk_docs(spark, [(1, _BOILER), (2, _BOILER), (3, _BOILER)])
+    strict = {r.doc_id: r.n_kept for r in passage_dedup(docs, max_doc_freq=1).collect()}
+    loose = {r.doc_id: r.n_kept for r in passage_dedup(docs, max_doc_freq=3).collect()}
+    assert strict == {1: 0, 2: 0, 3: 0}
+    assert loose == {1: 1, 2: 1, 3: 1}
+
+
+def test_passage_dedup_null_text_dropped_both_engines(spark, duck):
+    """NULL text tokenizes to NULL in both engines -> the doc is absent
+    from the output (same contract as the DuckDB oracle, where
+    unnest(NULL) yields no rows)."""
+    docs = _mk_docs(spark, [(1, "a b c"), (2, None)])
+    ids = {r.doc_id for r in passage_dedup(docs).collect()}
+    assert ids == {1}
+    n = duck.sql(
+        "SELECT count(*) FROM (SELECT unnest(string_split_regex(CAST(NULL AS VARCHAR), '\\s+')))"
+    ).fetchall()[0][0]
+    assert n == 0
+
+
+def test_incremental_dedup_corpus_and_batch_contract(spark):
+    corpus = _mk_docs(spark, [(0, "already seen text here"), (2, "other corpus doc")])
+    new = _mk_docs(
+        spark,
+        [
+            (1, "already seen text here"),  # dup of corpus -> dropped
+            (3, "brand new content one"),  # survives
+            (5, "repeated in batch twice"),  # first holder -> survives
+            (7, "repeated in batch twice"),  # later holder -> dropped
+        ],
+    )
+    ids = {r.doc_id for r in incremental_dedup(new, corpus).collect()}
+    assert ids == {3, 5}
+
+
+def test_incremental_dedup_normalizes_whitespace_case(spark):
+    corpus = _mk_docs(spark, [(0, "Hello   World")])
+    new = _mk_docs(spark, [(1, "hello world"), (3, "hello there")])
+    ids = {r.doc_id for r in incremental_dedup(new, corpus).collect()}
+    assert ids == {3}
+
+
+def test_tpch_q18_single_lineitem_scan(spark, sf_dir):
+    """The Q18 rewrite's whole point: ONE lineitem scan (the textbook
+    IN-subquery plan scans it twice)."""
+    plan = physical_plan(_Q["q_sql_tpch_q18"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
