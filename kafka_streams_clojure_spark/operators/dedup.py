@@ -345,6 +345,43 @@ def decontaminate(
     )
 
 
+def passage_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_words: int = 10,
+) -> DataFrame:
+    """(id, pidx, passage) rows: consecutive non-overlapping
+    ``passage_words``-word windows per document, in order. Fully
+    codegen'd — the :func:`shingle_sets` posexplode + window-``lead``
+    pattern with stride ``passage_words`` (``concat_ws`` skips the
+    null leads past end-of-doc, yielding the short tail passage for
+    free). Shared by :func:`passage_dedup` and
+    :func:`intra_doc_dedup`."""
+    w_ = passage_words
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__tok"),
+        )
+        # Pin the window partitioning: AQE would coalesce the tiny
+        # exploded rows into one partition and serialize the sort.
+        .repartition(par, id_col)
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    passage = F.concat_ws(
+        " ", F.col("__tok"), *[F.lead("__tok", j).over(win) for j in range(1, w_)]
+    )
+    return (
+        toks.select(F.col(id_col), F.col("__pos"), passage.alias("passage"))
+        .filter(F.col("__pos") % w_ == 0)
+        .select(
+            F.col(id_col), (F.col("__pos") / w_).cast("bigint").alias("pidx"), "passage"
+        )
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -376,31 +413,9 @@ def passage_dedup(
     ``array_sort`` over (index, passage) structs — no interpreted
     lambdas, no driver collect.
     """
-    w_ = passage_words
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__tok"),
-        )
-        # Pin the window partitioning: AQE would coalesce the tiny
-        # exploded rows into one partition and serialize the sort.
-        .repartition(par, id_col)
+    passages = persist_if_uncached(
+        passage_table(df, id_col, text_col, passage_words)
     )
-    win = Window.partitionBy(id_col).orderBy("__pos")
-    passage = F.concat_ws(
-        " ", F.col("__tok"), *[F.lead("__tok", j).over(win) for j in range(1, w_)]
-    )
-    passages = (
-        toks.select(
-            F.col(id_col),
-            F.col("__pos"),
-            passage.alias("passage"),
-        )
-        .filter(F.col("__pos") % w_ == 0)
-        .select(F.col(id_col), (F.col("__pos") / w_).cast("bigint").alias("pidx"), "passage")
-    )
-    passages = persist_if_uncached(passages)
     freq = passages.groupBy("passage").agg(
         F.countDistinct(id_col).alias("__dfreq")
     )
@@ -427,6 +442,49 @@ def passage_dedup(
             .cast("bigint")
             .alias("n_dropped"),
         )
+    )
+
+
+def intra_doc_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_words: int = 10,
+) -> DataFrame:
+    """Intra-document repetition removal (the dedup side of Gopher-
+    style repetition filters): within EACH document, keep only the
+    first occurrence of every ``passage_words``-word passage and
+    reassemble in order — collapsing copy-paste loops, repeated
+    boilerplate stanzas, and scraper echo artifacts while leaving
+    cross-document duplication untouched (that's
+    :func:`passage_dedup`'s job).
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)`` for every
+    document (an unrepetitive doc round-trips unchanged).
+
+    Scale shape (100 TB): entirely per-document — passage build, the
+    min-pidx window, and reassembly all share the ``id_col``
+    partitioning, so the whole operator is ONE shuffle keyed by doc
+    id; no corpus-wide frequency table, no cross-doc exchange at all.
+    """
+    passages = passage_table(df, id_col, text_col, passage_words)
+    win = Window.partitionBy(id_col, "passage")
+    kept = passages.withColumn("__first", F.min("pidx").over(win)).filter(
+        F.col("pidx") == F.col("__first")
+    )
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pidx", "passage"))).getField("passage"),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = passages.groupBy(id_col).agg(F.count("*").alias("__n_total"))
+    return totals.join(out, id_col).select(
+        F.col(id_col),
+        "clean_text",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        (F.col("__n_total") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
     )
 
 

@@ -1419,10 +1419,11 @@ def q_llm_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_passage_dedup",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+#: shared 10-word-passage CTE chain (documents → (doc_id, pidx,
+#: passage)) — used by the passage-dedup and intra-doc-dedup oracles so
+#: their passage definitions can't drift.
+_PASSAGE_CTES = f"""
+    toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
     px AS (
       SELECT doc_id,
              unnest(list_transform(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
@@ -1430,7 +1431,14 @@ def q_llm_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      passage := array_to_string(t[i*10+1 : i*10+10], ' ')))) AS u
       FROM toks
     ),
-    pass AS (SELECT doc_id, u.pidx AS pidx, u.passage AS passage FROM px),
+    pass AS (SELECT doc_id, u.pidx AS pidx, u.passage AS passage FROM px)
+"""
+
+
+@query(
+    "q_llm_passage_dedup",
+    oracle=f"""
+    WITH {_PASSAGE_CTES},
     freq AS (SELECT passage, count(DISTINCT doc_id) AS dfreq FROM pass GROUP BY passage),
     kept AS (SELECT p.doc_id, p.pidx, p.passage
              FROM pass p JOIN freq f USING (passage) WHERE f.dfreq <= 1),
@@ -1492,3 +1500,31 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp=prefix_fp,
     )
     return out.select("doc_id", "lang", "source")
+
+
+@query(
+    "q_llm_intra_dedup",
+    oracle=f"""
+    WITH {_PASSAGE_CTES},
+    kept AS (SELECT doc_id, pidx, passage FROM pass
+             QUALIFY pidx = min(pidx) OVER (PARTITION BY doc_id, passage)),
+    agg AS (SELECT doc_id,
+                   string_agg(passage, ' ' ORDER BY pidx) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_total FROM pass GROUP BY doc_id)
+    SELECT t.doc_id, a.clean_text,
+           CAST(a.n_kept AS BIGINT)             AS n_kept,
+           CAST(t.n_total - a.n_kept AS BIGINT) AS n_dropped
+    FROM tot t JOIN agg a USING (doc_id)
+    """,
+)
+def q_llm_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: first occurrence of each
+    10-word passage kept per doc, later repeats dropped, text
+    reassembled in order. One doc-id-keyed shuffle, no cross-document
+    exchange — see :func:`operators.dedup.intra_doc_dedup`."""
+    from kafka_streams_clojure_spark.operators.dedup import intra_doc_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return intra_doc_dedup(docs, passage_words=10)

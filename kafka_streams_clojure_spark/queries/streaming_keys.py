@@ -342,3 +342,87 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         number, schema="event_id long, user_id long, seq long"
     )
+
+
+#: per-(sf_dir) cache of the two-file split used by q_stream_punctuate
+_PUNCT_SPLITS: dict = {}
+
+
+@query(
+    "q_stream_punctuate",
+    oracle=f"""
+    WITH b AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid,
+                      max(epoch_ms(ts)) - 60000                    AS final_wm
+               FROM events),
+    armed AS (
+      SELECT user_id AS key,
+             coalesce(max(CASE WHEN epoch_ms(ts) <= b.mid THEN epoch_ms(ts) END),
+                      max(epoch_ms(ts))) + 3600000 AS fired_at_ms
+      FROM events, b GROUP BY user_id, b.mid
+    ),
+    tot AS (SELECT user_id AS key, count(*) AS n, {sql_dsum('value')} AS total
+            FROM events GROUP BY user_id)
+    SELECT t.key, t.n, t.total, a.fired_at_ms
+    FROM tot t JOIN armed a USING (key), b
+    WHERE a.fired_at_ms < b.final_wm
+    """,
+)
+def q_stream_punctuate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM_TIME punctuate (KS `punctuate` parity, reference
+    api.clj:26): per-key buffers flushed by event-time timers. The
+    fixture is split into two micro-batches at the midpoint timestamp;
+    a key's timer is armed at (its last timestamp seen in the arming
+    batch) + 1 hour and fires when the WATERMARK (max ts − 1 min)
+    passes it — so the emitted rows are exactly the keys whose armed
+    time precedes the final watermark, each carrying its full buffered
+    (n, total) and the armed timestamp. All of that is deterministic
+    arithmetic over the fixture, so the timer semantics themselves are
+    oracle-checked — the DuckDB twin PREDICTS each key's fired_at_ms.
+
+    The midpoint split is computed with one driver-side scalar (fixture
+    prep, not operator data flow). pandas float buffering is
+    order-dependent, so the emitted total is re-derived decimal-exactly
+    on the output (same contract as q_stream_stateful_counter); the
+    streamed n and fired_at_ms are taken as emitted.
+    """
+    import os
+
+    from kafka_streams_clojure_spark.streaming.stateful import punctuate_flush
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    if sf_dir not in _PUNCT_SPLITS:
+        mn, mx = ev_batch.agg(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+        ).collect()[0]
+        mid = (mn + mx) // 2
+        root = scratch_dir("kscs_punct_")
+        src = ev_batch.select("user_id", "value", "ts")
+        for i, pred in enumerate(
+            [F.unix_millis("ts") <= mid, F.unix_millis("ts") > mid]
+        ):
+            p = os.path.join(root, f"p{i}")
+            src.filter(pred).coalesce(1).write.mode("overwrite").parquet(p)
+            for r, _, files in os.walk(p):
+                for fn in files:
+                    os.utime(os.path.join(r, fn), (1_000_000 * (i + 1),) * 2)
+            os.utime(p, (1_000_000 * (i + 1),) * 2)
+        _PUNCT_SPLITS[sf_dir] = root
+    root = _PUNCT_SPLITS[sf_dir]
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "p*"))
+        .withWatermark("ts", "1 minute")
+    )
+    out = punctuate_flush(
+        stream, key_col="user_id", value_col="value", ts_col="ts",
+        interval="1 hour", time_mode="stream",
+    )
+    emitted = run_available_now(out, output_mode="append")
+    exact = ev_batch.groupBy(F.col("user_id").alias("key")).agg(
+        dsum("value").alias("total")
+    )
+    return emitted.select("key", "n", "fired_at_ms").join(exact, "key").select(
+        "key", "n", "total", "fired_at_ms"
+    )

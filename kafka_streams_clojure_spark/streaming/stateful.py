@@ -65,3 +65,113 @@ def running_counter(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def punctuate_flush(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    interval: str = "1 hour",
+    time_mode: str = "stream",
+) -> DataFrame:
+    """Kafka-Streams ``punctuate`` parity (reference api.clj:26 — a
+    no-op stub there; KS semantics: a per-key timer callback fired
+    every ``interval`` of STREAM_TIME or WALL_CLOCK_TIME): buffer a
+    per-key (count, sum) silently and emit ONLY when the timer fires,
+    then clear the buffer (periodic flush — the emit-on-punctuate
+    pattern).
+
+    - ``time_mode='stream'``: event-time timeouts. The timer is armed
+      at ``max(watermark, max event ts seen) + interval`` and fires
+      when the WATERMARK passes it — deterministic, replayable, and
+      what KS calls STREAM_TIME. Requires ``withWatermark`` upstream.
+    - ``time_mode='wall'``: processing-time timeouts
+      (WALL_CLOCK_TIME) — fires ``interval`` of real time after the
+      key's last batch. The right mode for latency-bound flushes in
+      production. CAVEAT: while processing-time timers are pending the
+      engine schedules timer-check batches on its own, so
+      ``processAllAvailable()``-style draining does NOT settle — run
+      the query with a real trigger and read the sink as it fills
+      (``tests/test_punctuate.py`` polls the memory sink).
+
+    Output rows: ``(key, n, total, fired_at_ms)`` — ``fired_at_ms`` is
+    the armed timer timestamp (stream mode) or the firing batch's
+    processing time (wall mode). Emission happens only in the timeout
+    branch, so a batch with data for a key yields NOTHING for that key
+    until its timer expires in a later batch (or a no-data watermark
+    batch — the engine schedules one whenever the watermark advances,
+    which is what makes AvailableNow fixtures drain their timers).
+
+    State per key is three scalars — constant memory per key at any
+    scale, same contract as :func:`running_counter`.
+    """
+    if time_mode not in ("stream", "wall"):
+        raise ValueError(f"time_mode must be 'stream' or 'wall', got {time_mode!r}")
+
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(ms|milliseconds?|s|seconds?|m|minutes?|h|hours?|d|days?)", interval.strip())
+    if not m:
+        raise ValueError(f"unparseable interval {interval!r}")
+    mult = {"ms": 1, "s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}[
+        m.group(2)[:2] if m.group(2).startswith("ms") else m.group(2)[0]
+    ]
+    interval_ms = int(m.group(1)) * mult
+    stream_mode = time_mode == "stream"
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, next_fire = state.get
+            fired_at = next_fire if stream_mode else state.getCurrentProcessingTimeMs()
+            state.remove()  # flush semantics: emit and forget
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "total": [total], "fired_at_ms": [fired_at]}
+            )
+            return
+        if state.exists:
+            n, total, next_fire = state.get
+        else:
+            n, total, next_fire = 0, 0.0, 0
+        max_ts_ms = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            if stream_mode and len(pdf):
+                max_ts_ms = max(max_ts_ms, int(pdf[ts_col].max().value // 1_000_000))
+        if stream_mode:
+            wm = state.getCurrentWatermarkMs()
+            if next_fire == 0:  # first data for this key: arm the timer
+                next_fire = max(wm, max_ts_ms) + interval_ms
+            # re-register every batch (state updates drop the pending
+            # timeout); clamp into the valid (> watermark) range if the
+            # timer is already due — it fires on the next batch.
+            state.update((n, total, next_fire))
+            state.setTimeoutTimestamp(max(next_fire, wm + 1))
+        else:
+            state.update((n, total, 0))
+            state.setTimeoutDuration(interval_ms)
+        return
+
+    key_type = dict(events.dtypes)[key_col]
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if stream_mode
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    cols = [F.col(key_col), F.col(value_col).cast("double").alias(value_col)]
+    if stream_mode:
+        cols.append(F.col(ts_col))
+    return (
+        events.select(*cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"key {key_type}, n long, total double, fired_at_ms long",
+            stateStructType="n long, total double, next_fire long",
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

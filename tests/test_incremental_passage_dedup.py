@@ -102,3 +102,31 @@ def test_tpch_q18_single_lineitem_scan(spark, sf_dir):
     IN-subquery plan scans it twice)."""
     plan = physical_plan(_Q["q_sql_tpch_q18"](spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_intra_doc_dedup_collapses_repeats(spark):
+    from kafka_streams_clojure_spark.operators.dedup import intra_doc_dedup
+
+    u1 = " ".join(f"u{i}" for i in range(10))
+    docs = _mk_docs(
+        spark,
+        [
+            (1, f"{_BOILER} {u1} {_BOILER}"),  # repeat of passage 0 at pidx 2
+            (2, f"{u1} {u1} {u1}"),  # 3x the same passage
+            (3, u1),  # no repetition: identity
+        ],
+    )
+    out = {r.doc_id: r for r in intra_doc_dedup(docs).collect()}
+    assert out[1].clean_text == f"{_BOILER} {u1}" and out[1].n_dropped == 1
+    assert out[2].clean_text == u1 and out[2].n_kept == 1 and out[2].n_dropped == 2
+    assert out[3].clean_text == u1 and out[3].n_dropped == 0
+
+
+def test_intra_doc_dedup_is_per_doc_only(spark):
+    """Cross-document duplication is NOT touched (that's passage_dedup):
+    two docs with identical text both survive unchanged."""
+    from kafka_streams_clojure_spark.operators.dedup import intra_doc_dedup
+
+    docs = _mk_docs(spark, [(1, _BOILER), (2, _BOILER)])
+    out = {r.doc_id: r.clean_text for r in intra_doc_dedup(docs).collect()}
+    assert out == {1: _BOILER, 2: _BOILER}
