@@ -57,3 +57,46 @@ def salted_agg(
             for name in sum_cols
         ],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-side salted join — the explicit, engine-portable form
+    of skew-join handling (AQE's skew split is the automatic one; this
+    is what you reach for when a single join key is so hot that even a
+    split partition won't fit an executor, or when AQE is off).
+
+    The LEFT (skewed, large) side gets a per-row salt in ``[0, n)``
+    derived from ``monotonically_increasing_id()`` (row-unique, so a
+    hot key of identical records still spreads); the RIGHT side is
+    replicated n× with every salt value via a posexplode of a
+    ``sequence`` literal. Joining on ``on + [salt]`` then splits every
+    hot key across n reducers at the cost of an n× exchange of the
+    right side — pick the side to replicate accordingly (at 100 TB:
+    fact gets the salt, dimension gets replicated). Result is
+    row-identical to the plain join for ``inner`` and ``left`` joins
+    (each left row carries exactly one salt, and its key's right
+    matches all exist at that salt).
+
+    ``right``/``full`` joins would need the salt on the other side —
+    rejected explicitly rather than silently mis-joined.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r} — for a "
+            "right/full join swap the sides (salt the big side, replicate "
+            "the small one)"
+        )
+    on = list(on)
+    salted_l = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    replicated_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_l.join(replicated_r, on + ["__salt"], how).drop("__salt")

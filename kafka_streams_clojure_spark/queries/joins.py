@@ -229,3 +229,29 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_id", "click_ts"],
         how="left",
     ).select("event_id", "user_id", "click_id", "click_ts")
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-side salted skew join (operators.skew.salted_join):
+    lineitem (the big side) carries an 8-way row salt, orders is
+    replicated 8x, the join keys on (orderkey, salt) — so a
+    pathologically hot orderkey splits across 8 reducers instead of
+    sinking one executor. Results are row-identical to the plain join,
+    which IS the oracle."""
+    from kafka_streams_clojure_spark.operators.skew import salted_join
+
+    li, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    out = salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"),
+        orders.select("o_orderkey", "o_orderstatus"),
+        on=["o_orderkey"],
+        n_salts=8,
+    )
+    return out.select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")

@@ -426,3 +426,64 @@ def q_stream_punctuate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.select("key", "n", "fired_at_ms").join(exact, "key").select(
         "key", "n", "total", "fired_at_ms"
     )
+
+
+@query(
+    "q_stream_outer_join",
+    oracle="""
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
+                  - INTERVAL 1 HOUR AS final_wm),
+    matched AS (
+      SELECT l.event_id AS purchase_id, r.event_id AS click_id
+      FROM l JOIN r ON l.user_id = r.user_id
+         AND r.ts >= l.ts - INTERVAL 5 MINUTE
+         AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    ),
+    unmatched AS (
+      SELECT l.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id
+      FROM l, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM r WHERE l.user_id = r.user_id
+          AND r.ts >= l.ts - INTERVAL 5 MINUTE
+          AND r.ts <= l.ts + INTERVAL 5 MINUTE)
+        AND l.ts + INTERVAL 5 MINUTE < wm.final_wm
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join: matches emit eagerly;
+    an unmatched purchase emits its null-padded row only once the
+    GLOBAL watermark (min of both sides' max-ts − 1 h delay) passes
+    the end of its ±5 min join window — i.e. once no future click can
+    match it. Purchases inside the final watermark horizon stay in
+    state and are never emitted; the oracle encodes exactly that
+    eviction predicate, so the engine's outer-emission timing is
+    itself correctness-gated (same predictive-oracle technique as
+    q_stream_punctuate). State is bounded by the watermark horizon on
+    both sides at any scale."""
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("l")
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .alias("r")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 5 MINUTES "
+            "AND r.ts <= l.ts + INTERVAL 5 MINUTES"
+        ),
+        "left_outer",
+    ).select(
+        F.col("l.event_id").alias("purchase_id"), F.col("r.event_id").alias("click_id")
+    )
+    return run_available_now(joined, output_mode="append")

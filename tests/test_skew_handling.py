@@ -66,3 +66,43 @@ def test_aqe_splits_planted_skew_join(spark, skew_confs):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan[:500]
     assert "skew=true" in plan, f"AQE did not split the hot partition:\n{plan[:2000]}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from kafka_streams_clojure_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(500)] + [(2, "x"), (3, "y")],
+        "k bigint, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (4, "unmatched")], "k bigint, rv string"
+    )
+    got = sorted(
+        (r.k, r.lv, r.rv) for r in salted_join(left, right, ["k"], n_salts=4).collect()
+    )
+    exp = sorted((r.k, r.lv, r.rv) for r in left.join(right, "k").collect())
+    assert got == exp  # 500 hot-key rows all matched exactly once
+
+
+def test_salted_join_left_outer_and_validation(spark):
+    import pytest
+
+    from kafka_streams_clojure_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (9, "m")], "k bigint, lv string")
+    right = spark.createDataFrame([(1, "r")], "k bigint, rv string")
+    rows = {r.k: r.rv for r in salted_join(left, right, ["k"], how="left").collect()}
+    assert rows == {1: "r", 9: None}
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(left, right, ["k"], how="full")
+
+
+def test_salted_join_key_includes_salt(spark, sf_dir):
+    """The physical join key must carry __salt — that's the whole
+    mechanism (each hot key spread over n reducers)."""
+    import __spark_entry__ as entrymod
+    from kafka_streams_clojure_spark.plans import physical_plan
+
+    plan = physical_plan(entrymod.queries()["q_join_salted"](spark, sf_dir))
+    assert "__salt" in plan, plan
