@@ -37,10 +37,14 @@ def asof_join(
     right_cols: Sequence[str],
     how: str = "left",
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the newest right row of the same key
     with ``right_ts <= left_ts`` (inclusive — DuckDB/pandas ASOF
-    semantics).
+    semantics). ``direction='forward'`` flips the inequality (nearest
+    right row with ``right_ts >= left_ts``, pandas merge_asof's
+    forward mode; DuckDB expresses it as ``ASOF JOIN ... ON l.ts <=
+    r.ts``) — same one-shuffle plan, sorted descending.
 
     Implementation: tag and union both sides, then a single
     ``last(..., ignorenulls)`` window over (key, ts) — one shuffle +
@@ -75,9 +79,12 @@ def asof_join(
         F.lit(None).cast(lhs.schema["__l"].dataType.simpleString()).alias("__l"),
         payload.alias("__r"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward'|'forward', got {direction!r}")
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__probe")
+        .orderBy(ts_order, F.col("__probe").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -91,12 +98,13 @@ def asof_join(
             raise ValueError(
                 f"tolerance requires timestamp ts columns; {left_ts!r} is {lt_type}"
             )
+        in_band = (
+            F.col("__match.__rts") >= F.col("__ts") - tolerance
+            if direction == "backward"
+            else F.col("__match.__rts") <= F.col("__ts") + tolerance
+        )
         matched = matched.withColumn(
-            "__match",
-            F.when(
-                F.col("__match.__rts") >= F.col("__ts") - tolerance,
-                F.col("__match"),
-            ),
+            "__match", F.when(in_band, F.col("__match"))
         )
     out = matched.select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],

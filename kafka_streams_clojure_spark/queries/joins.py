@@ -255,3 +255,46 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=8,
     )
     return out.select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, c.click_id, c.ts AS click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'; the
+    "next state after" enrichment — e.g. first click following each
+    purchase). Same one-shuffle union+window plan as the backward
+    form, sorted descending; DuckDB's ASOF JOIN expresses it by
+    flipping the inequality."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id", "click_ts"],
+        how="left",
+        direction="forward",
+    ).select("event_id", "user_id", "click_id", "click_ts")

@@ -88,6 +88,49 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         )
 
 
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=40
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=40
+    ),
+)
+@_settings
+def test_asof_forward_matches_pandas_merge_asof(spark, left, right):
+    """direction='forward' == pandas merge_asof(direction='forward')
+    for arbitrary key/ts multisets."""
+    lpdf = pd.DataFrame(left, columns=["k", "ts"]).reset_index(names="lid")
+    rpdf = (
+        pd.DataFrame(right, columns=["k", "ts"])
+        .drop_duplicates(["k", "ts"])
+        .reset_index(drop=True)
+        .reset_index(names="rid")
+    )
+    ldf = spark.createDataFrame(lpdf[["lid", "k", "ts"]], "lid long, k long, ts long")
+    rdf = spark.createDataFrame(rpdf[["rid", "k", "ts"]], "rid long, k long, ts long")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"],
+            direction="forward",
+        ).collect()
+    }
+    expected = pd.merge_asof(
+        lpdf.sort_values(["ts", "lid"]),
+        rpdf.sort_values("ts").rename(columns={"ts": "rts"}),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="forward",
+    )
+    for _, row in expected.iterrows():
+        want = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got.get(int(row["lid"])) == want, (
+            f"lid={row['lid']}: got {got.get(int(row['lid']))}, want {want}"
+        )
+
+
 def test_tolerant_map_drops_only_poison_rows(spark):
     """Reference error contract (api.clj:21-24): a record whose
     processing throws is dropped; everything else flows on."""
