@@ -487,3 +487,45 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.event_id").alias("purchase_id"), F.col("r.event_id").alias("click_id")
     )
     return run_available_now(joined, output_mode="append")
+
+
+@query(
+    "q_sink_csv_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source fidelity (§2.1 file formats): write with header,
+    read back through sources.read_batch with an explicit schema (no
+    inference lottery). Doubles round-trip bit-exactly through Spark's
+    shortest-round-trip text form. The returned reader is a lazy CSV
+    scan."""
+    from kafka_streams_clojure_spark.sources import read_batch
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = scratch_dir("kscs_csv_")
+    supplier.write.mode("overwrite").option("header", "true").csv(out)
+    return read_batch(spark, out, fmt="csv", schema=supplier.schema)
+
+
+@query(
+    "q_sink_json_roundtrip",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source fidelity (§2.1 file formats): bigints,
+    strings and DOUBLES must round-trip bit-exactly (Jackson writes
+    shortest-round-trip doubles). Timestamps are deliberately excluded:
+    Spark's default JSON timestamp format is millisecond-precision, so
+    a µs-precision ts would be silently truncated — a parquet/Kafka
+    sink is the right carrier for event time (documented contract, not
+    an accident)."""
+    from kafka_streams_clojure_spark.sources import read_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = scratch_dir("kscs_json_")
+    ev.write.mode("overwrite").json(out)
+    return read_batch(spark, out, fmt="json", schema=ev.schema)

@@ -28,9 +28,20 @@ KAFKA_SOURCE_COLUMNS = (
 )
 
 
-def read_batch(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
-    """Batch scan of parquet/csv/json/orc with pushdown + pruning."""
+def read_batch(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Batch scan of parquet/csv/json/orc with pushdown + pruning.
+    Pass ``schema`` (DDL string or StructType) for text formats — inference is a
+    second data pass AND a correctness lottery on empty/typed columns.
+    """
     reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
     if fmt == "csv":
         options.setdefault("header", "true")
     return reader.options(**options).load(path)
