@@ -39,7 +39,7 @@ from kafka_streams_clojure_spark.operators.similarity import (
     norm,
 )
 from kafka_streams_clojure_spark.queries import query
-from kafka_streams_clojure_spark.queries._util import load_table
+from kafka_streams_clojure_spark.queries._util import load_table, sql_davg
 
 _TOK = "string_split_regex(text, '\\s+')"
 _TOKL = "string_split_regex(lower(text), '\\s+')"
@@ -1528,3 +1528,95 @@ def q_llm_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return intra_doc_dedup(docs, passage_words=10)
+
+
+@query(
+    "q_llm_refresh_curation",
+    oracle=f"""
+    WITH {_PASSAGE_CTES},
+    kept AS (SELECT doc_id, pidx, passage FROM pass
+             QUALIFY pidx = min(pidx) OVER (PARTITION BY doc_id, passage)),
+    clean AS (SELECT doc_id,
+                     string_agg(passage, ' ' ORDER BY pidx) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+    pruned AS (SELECT c.doc_id, c.clean_text,
+                      t2.n_total - c.n_kept AS n_dropped
+               FROM clean c JOIN (SELECT doc_id, count(*) AS n_total
+                                  FROM pass GROUP BY doc_id) t2 USING (doc_id)),
+    scored AS (
+      SELECT p.doc_id, p.clean_text, p.n_dropped, d.source,
+             CAST((
+               least(len(string_split_regex(p.clean_text, '\\s+')) / 100.0, 1.0)
+               + CAST(len(list_distinct(string_split_regex(p.clean_text, '\\s+'))) AS DOUBLE)
+                 / len(string_split_regex(p.clean_text, '\\s+'))
+               + CASE WHEN (CAST(length(regexp_replace(p.clean_text, '\\s+', '', 'g')) AS DOUBLE)
+                            / len(string_split_regex(p.clean_text, '\\s+'))) BETWEEN 3.0 AND 10.0
+                      THEN 1.0 ELSE 0.5 END
+             ) / 3.0 AS DOUBLE) AS quality
+      FROM pruned p JOIN documents d USING (doc_id)
+    ),
+    good AS (SELECT * FROM scored WHERE quality >= 0.5),
+    fpd AS (SELECT *, md5(array_to_string(
+                    (string_split_regex(clean_text, '\\s+'))[1:20], ' ')) AS fp
+            FROM good),
+    corpus AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 2 = 0),
+    fresh AS (SELECT f.* FROM fpd f WHERE doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp)),
+    accepted AS (SELECT * FROM fresh
+                 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp))
+    SELECT source,
+           count(*)                                         AS n_docs,
+           {sql_davg('quality')}                            AS mean_quality,
+           CAST(sum(n_dropped) AS BIGINT)                   AS passages_pruned
+    FROM accepted GROUP BY source
+    """,
+)
+def q_llm_refresh_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed CRAWL-REFRESH curation pipeline over the round-5 dedup
+    family, one lazy Catalyst plan end to end:
+
+    1. intra-document repetition removal (first occurrence per 10-word
+       passage, doc-keyed shuffle only);
+    2. quality gate (>= 0.5) scored on the CLEANED text;
+    3. ingest-delta dedup: odd doc_ids (the new snapshot) anti-joined
+       against even doc_ids (the standing corpus) on a 20-word-prefix
+       fingerprint of the cleaned text, keep-first within the batch;
+    4. per-source acceptance stats (count, mean quality, passages
+       pruned) — the report a data-engineering run ends with.
+
+    Stages hand off (doc_id, clean_text)-shaped frames; the corpus
+    side of stage 3 is pruned to its fingerprint column before the
+    anti join. Every stage's arithmetic is an already-oracle-proven
+    twin, so the full composition is exact."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        incremental_dedup,
+        intra_doc_dedup,
+    )
+    from kafka_streams_clojure_spark.queries._util import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = intra_doc_dedup(docs, passage_words=10).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    scored = cleaned.select(
+        "doc_id",
+        "clean_text",
+        "n_dropped",
+        "source",
+        TX.quality_score(F.col("clean_text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    prefix_fp = F.md5(
+        F.array_join(F.slice(F.split(F.col("clean_text"), r"\s+"), 1, 20), " ")
+    )
+    accepted = incremental_dedup(
+        scored.filter(F.col("doc_id") % 2 == 1),
+        scored.filter(F.col("doc_id") % 2 == 0),
+        text_col="clean_text",
+        fp=prefix_fp,
+    )
+    return accepted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        davg("quality").alias("mean_quality"),
+        F.sum("n_dropped").cast("bigint").alias("passages_pruned"),
+    )
