@@ -529,3 +529,22 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("kscs_json_")
     ev.write.mode("overwrite").json(out)
     return read_batch(spark, out, fmt="json", schema=ev.schema)
+
+
+@query(
+    "q_sink_orc_roundtrip",
+    oracle="SELECT event_id, user_id, event_type, value, ts FROM events",
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source fidelity (§2.1 file formats): the columnar
+    alternative to parquet — unlike JSON it carries µs-precision
+    timestamps losslessly, so the full row INCLUDING event time
+    round-trips exactly."""
+    from kafka_streams_clojure_spark.sources import read_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    out = scratch_dir("kscs_orc_")
+    ev.write.mode("overwrite").orc(out)
+    return read_batch(spark, out, fmt="orc")
