@@ -1589,6 +1589,7 @@ def q_llm_refresh_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     side of stage 3 is pruned to its fingerprint column before the
     anti join. Every stage's arithmetic is an already-oracle-proven
     twin, so the full composition is exact."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
     from kafka_streams_clojure_spark.operators.dedup import (
         incremental_dedup,
         intra_doc_dedup,
@@ -1599,13 +1600,18 @@ def q_llm_refresh_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = intra_doc_dedup(docs, passage_words=10).join(
         docs.select("doc_id", "source"), "doc_id"
     )
-    scored = cleaned.select(
-        "doc_id",
-        "clean_text",
-        "n_dropped",
-        "source",
-        TX.quality_score(F.col("clean_text")).alias("quality"),
-    ).filter(F.col("quality") >= 0.5)
+    # Both halves of the delta dedup read `scored` — persist the shared
+    # intra-dedup + scoring prefix (repo rule for multi-consumed
+    # expensive subplans) instead of recomputing it per side.
+    scored = persist_if_uncached(
+        cleaned.select(
+            "doc_id",
+            "clean_text",
+            "n_dropped",
+            "source",
+            TX.quality_score(F.col("clean_text")).alias("quality"),
+        ).filter(F.col("quality") >= 0.5)
+    )
     prefix_fp = F.md5(
         F.array_join(F.slice(F.split(F.col("clean_text"), r"\s+"), 1, 20), " ")
     )

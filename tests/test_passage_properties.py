@@ -1,0 +1,70 @@
+"""Property-based tests for the passage dedup family: for ARBITRARY
+small-alphabet corpora (collisions forced), the Spark operators must
+agree with a direct Python reference implementation of their contracts
+— chunking, doc-frequency cuts, first-occurrence keeps, reassembly
+order, and the (n_kept, n_dropped) accounting.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_clojure_spark.operators.dedup import intra_doc_dedup, passage_dedup
+
+_settings = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# 3-letter alphabet, short docs, W=3 → heavy passage collisions
+_doc = st.lists(st.sampled_from("abc"), min_size=1, max_size=14).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+_W = 3
+
+
+def _chunks(text: str) -> list[str]:
+    toks = text.split(" ")
+    return [" ".join(toks[i : i + _W]) for i in range(0, len(toks), _W)]
+
+
+@given(texts=_corpus)
+@_settings
+def test_passage_dedup_matches_python_reference(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in passage_dedup(docs, passage_words=_W, max_doc_freq=1).collect()
+    }
+    dfreq: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        for p in _chunks(t):
+            dfreq.setdefault(p, set()).add(i)
+    for i, t in enumerate(texts):
+        keep = [p for p in _chunks(t) if len(dfreq[p]) <= 1]
+        drop = len(_chunks(t)) - len(keep)
+        assert got[i] == (" ".join(keep), len(keep), drop), (i, t, got[i])
+
+
+@given(texts=_corpus)
+@_settings
+def test_intra_doc_dedup_matches_python_reference(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in intra_doc_dedup(docs, passage_words=_W).collect()
+    }
+    for i, t in enumerate(texts):
+        seen: set[str] = set()
+        keep = []
+        for p in _chunks(t):
+            if p not in seen:
+                seen.add(p)
+                keep.append(p)
+        drop = len(_chunks(t)) - len(keep)
+        assert got[i] == (" ".join(keep), len(keep), drop), (i, t, got[i])
