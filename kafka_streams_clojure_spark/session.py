@@ -119,6 +119,18 @@ def normalize_event_time(df: DataFrame, cols) -> DataFrame:
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
         elif dt == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dt == "string":
+            # defensive: an ISO-string re-encoding of the fixture would
+            # otherwise silently break every event-time operator; the
+            # forced-UTC session makes the parse unambiguous.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dt is not None and dt != "timestamp":
+            raise TypeError(
+                f"event-time column {col!r} has unhandled physical type "
+                f"{dt!r} — extend session.normalize_event_time (the fixture "
+                "encoding has flipped before; failing loudly beats a broken "
+                "withWatermark)"
+            )
     return df
 
 

@@ -103,3 +103,31 @@ def test_normalize_event_time_noop_on_missing_col(spark):
     assert normalize_event_time(df, ("ts",)) is df or dict(
         normalize_event_time(df, ("ts",)).dtypes
     ) == dict(df.dtypes)
+
+
+def test_string_ts_encoding_coerced(spark):
+    """Defensive branch: an ISO-string ts column parses to TimestampType
+    under the forced-UTC session."""
+    import datetime as dt
+
+    from kafka_streams_clojure_spark.session import normalize_event_time
+
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05.123456",)], "ts string"
+    )
+    out = normalize_event_time(df, ("ts",))
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    v = out.collect()[0].ts
+    assert (v.hour, v.minute, v.second, v.microsecond) == (3, 4, 5, 123456)
+
+
+def test_unhandled_ts_encoding_fails_loudly(spark):
+    """A brand-new physical encoding must raise, not limp into a broken
+    withWatermark."""
+    import pytest
+
+    from kafka_streams_clojure_spark.session import normalize_event_time
+
+    df = spark.createDataFrame([(1.5,)], "ts double")
+    with pytest.raises(TypeError, match="normalize_event_time"):
+        normalize_event_time(df, ("ts",))
