@@ -101,11 +101,11 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, float]:
     the stdlib only. Returns (width, height, channels, mean_luma) where
     mean_luma is the mean of all pixel-channel bytes / 255.
 
-    8-bpp caveat: the color palette is NOT resolved — mean_luma is the
-    mean of palette INDICES, not actual luminance (correct for the
-    common grayscale-ramp palette where index == gray level; arbitrary
-    palettes need a palette-resolving decoder). Geometry fields are
-    exact at every depth."""
+    8-bpp images are PALETTE-RESOLVED: each index is mapped through the
+    color table (BGRA entries following the DIB header; ``biClrUsed``
+    honored, 0 → 256) to the mean of its B/G/R bytes — so mean_luma is
+    actual luminance for arbitrary palettes, not the index value.
+    Geometry fields are exact at every depth."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP (missing 'BM' magic)")
     data_off = struct.unpack_from("<I", blob, 10)[0]
@@ -120,18 +120,37 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, float]:
     if bpp not in (8, 24, 32):
         raise ValueError(f"unsupported bit depth {bpp}")
     channels = bpp // 8
+    lut = None
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", blob, 46)[0] or 256
+        pal_off = 14 + dib_size
+        pal = blob[pal_off : pal_off + 4 * n_colors]
+        if len(pal) != 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+        # per-index luma = mean of the entry's B,G,R bytes (matches the
+        # 24/32-bpp convention of averaging raw channel bytes)
+        lut = [
+            (pal[4 * i] + pal[4 * i + 1] + pal[4 * i + 2]) / 3.0
+            for i in range(n_colors)
+        ]
     top_down = height < 0
     height = abs(height)
     row_raw = width * channels
     stride = (row_raw + 3) & ~3
-    total = 0
+    total = 0.0
     count = 0
     for y in range(height):
         start = data_off + y * stride
         row = blob[start : start + row_raw]
         if len(row) != row_raw:
             raise ValueError("truncated BMP pixel data")
-        total += sum(row)
+        if lut is not None:
+            try:
+                total += sum(lut[b] for b in row)
+            except IndexError:
+                raise ValueError("BMP pixel index beyond color table") from None
+        else:
+            total += sum(row)
         count += len(row)
     del top_down  # orientation doesn't change aggregate stats
     mean_luma = (total / count / 255.0) if count else 0.0

@@ -624,3 +624,25 @@ def test_pq_topk_own_code_optimality_and_planted_dup(emb, spark):
         d = dict(got)
         assert d[p] == d[p + 1_000_000], "identical codes must give identical ADC"
     books.unpersist()
+
+
+def test_decode_bmp_8bpp_palette_resolved():
+    """8-bpp BMPs resolve indices through the color table: two pixels
+    with indices 0 and 1 whose palette entries are black and pure
+    white must average to 127.5/255, NOT (0+1)/2/255."""
+    import struct
+
+    from kafka_streams_clojure_spark.operators.multimodal import decode_bmp
+
+    width, height, n_colors = 2, 1, 2
+    palette = bytes([0, 0, 0, 0]) + bytes([255, 255, 255, 0])  # black, white
+    row = bytes([0, 1]) + b"\x00\x00"  # 2 indices + pad to 4
+    data_off = 14 + 40 + len(palette)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(row), 2835, 2835, n_colors, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(row), 0, 0, data_off)
+    blob = header + dib + palette + row
+    w, h, c, luma = decode_bmp(blob)
+    assert (w, h, c) == (2, 1, 1)
+    assert luma == pytest.approx(127.5 / 255.0)
