@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_clojure_spark.queries import query
-from kafka_streams_clojure_spark.queries._util import davg, load_table, sql_davg
+from kafka_streams_clojure_spark.queries._util import davg, load_table, sql_davg, sql_dsum
 
 # Funnel stages: first 'view', then first 'click' AFTER that view,
 # then first 'purchase' AFTER that click — strict event-order funnel,
@@ -201,4 +201,41 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             ((F.col("value") - F.col("mean_v")) / F.col("std_v")).alias("z"),
         )
+    )
+
+
+@query(
+    "q_events_trending",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             count(*)            AS n,
+             {sql_dsum('value')} AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n, total
+    FROM daily
+    QUALIFY row_number() OVER (
+      PARTITION BY day ORDER BY total DESC, event_type) <= 3
+    """,
+)
+def q_events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending report: top-3 event types per DAY by (decimal-exact)
+    total value, deterministic event_type tiebreak. The window
+    partitions by day, so Catalyst plans it as WindowGroupLimit — each
+    day's rank truncates during the shuffle, no global sort. The
+    time-bucketed twin of q_topk_per_group."""
+    from kafka_streams_clojure_spark.queries._util import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(F.col("total").desc(), F.col("event_type"))
+    return (
+        daily.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 3)
+        .select("day", "event_type", "n", "total")
     )
