@@ -1626,3 +1626,78 @@ def q_llm_refresh_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("quality").alias("mean_quality"),
         F.sum("n_dropped").cast("bigint").alias("passages_pruned"),
     )
+
+
+@query(
+    "q_llm_cluster_best",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION
+      SELECT id_b, id_a FROM jpairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT doc_id,
+             CAST((
+               least(len({_TOK}) / 100.0, 1.0)
+               + CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK})
+               + CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                            / len({_TOK})) BETWEEN 3.0 AND 10.0
+                      THEN 1.0 ELSE 0.5 END
+             ) / 3.0 AS DOUBLE) AS quality
+      FROM documents
+    ),
+    membership AS (
+      SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id, s.quality
+      FROM scored s LEFT JOIN comp c ON s.doc_id = c.id
+    )
+    SELECT cluster_id,
+           doc_id AS keep_id,
+           quality,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM membership
+    QUALIFY row_number() OVER (
+      PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1
+    """,
+)
+def q_llm_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster-representative selection: a real pipeline
+    keeps the BEST document of each near-dup cluster, not the lowest
+    id. Composes the Pregel transitive closure with the quality score
+    — singleton docs form their own cluster — and picks
+    argmax(quality, tiebreak min doc_id) per cluster. One window over
+    the cluster id after the closure; quality is the oracle-proven
+    IEEE-identical twin, so even the tiebreak order matches DuckDB
+    exactly."""
+    from pyspark.sql import Window
+
+    from kafka_streams_clojure_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    comp = dedup_clusters(pairs).select("doc_id", "canonical_id")
+    scored = docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    membership = scored.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("cluster_id"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        membership.withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("__rk", F.row_number().over(wr))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "cluster_id", F.col("doc_id").alias("keep_id"), "quality", "cluster_size"
+        )
+    )
