@@ -388,6 +388,7 @@ def passage_dedup(
     text_col: str = "text",
     passage_words: int = 10,
     max_doc_freq: int = 1,
+    hash_key: bool = False,
 ) -> DataFrame:
     """Boilerplate-passage removal (C4-style line dedup, generalized):
     split every document into consecutive ``passage_words``-word
@@ -406,9 +407,12 @@ def passage_dedup(
     the null leads past end-of-doc yields the short tail passage for
     free). The doc-frequency table is NOT broadcast — distinct
     passages scale with the corpus — so the frequency probe is a
-    shuffled equi-join keyed by the passage string; swap the join key
-    for ``xxhash64(passage)`` in production to cut exchange width
-    (kept as the raw string here for cross-engine oracle parity).
+    shuffled equi-join. ``hash_key=True`` is the production path: the
+    probe aggregates and joins on ``xxhash64(passage)`` (8 bytes/row
+    exchange instead of the raw string; a 64-bit collision conflates
+    two passages' doc-freqs at ~2^-64 per pair — harmless for a
+    boilerplate cut, unacceptable only for an exactness oracle, which
+    is why the oracle-gated key keeps the default string key).
     Reassembly sorts each doc's surviving passages with a codegen
     ``array_sort`` over (index, passage) structs — no interpreted
     lambdas, no driver collect.
@@ -416,11 +420,15 @@ def passage_dedup(
     passages = persist_if_uncached(
         passage_table(df, id_col, text_col, passage_words)
     )
-    freq = passages.groupBy("passage").agg(
-        F.countDistinct(id_col).alias("__dfreq")
+    key = F.xxhash64("passage").alias("__pk") if hash_key else F.col("passage").alias("__pk")
+    freq = (
+        passages.select(key, id_col)
+        .groupBy("__pk")
+        .agg(F.countDistinct(id_col).alias("__dfreq"))
     )
     kept = (
-        passages.join(freq, "passage")
+        passages.withColumn("__pk", key)
+        .join(freq, "__pk")
         .filter(F.col("__dfreq") <= max_doc_freq)
         .select(id_col, "pidx", "passage")
     )

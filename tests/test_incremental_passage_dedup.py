@@ -130,3 +130,17 @@ def test_intra_doc_dedup_is_per_doc_only(spark):
     docs = _mk_docs(spark, [(1, _BOILER), (2, _BOILER)])
     out = {r.doc_id: r.clean_text for r in intra_doc_dedup(docs).collect()}
     assert out == {1: _BOILER, 2: _BOILER}
+
+
+def test_passage_dedup_hash_key_path_identical(spark):
+    """The xxhash64-keyed production probe must produce the same result
+    as the string-keyed oracle path."""
+    u1 = " ".join(f"u{i}" for i in range(10))
+    u2 = " ".join(f"v{i}" for i in range(10))
+    docs = _mk_docs(
+        spark,
+        [(1, f"{_BOILER} {u1}"), (2, f"{_BOILER} {u2}"), (3, _BOILER), (4, u1 + " zz")],
+    )
+    a = sorted(map(tuple, passage_dedup(docs).collect()))
+    b = sorted(map(tuple, passage_dedup(docs, hash_key=True).collect()))
+    assert a == b
