@@ -46,6 +46,21 @@ HEADLINE = [
 ]
 
 
+#: Round-5 additions, timed AFTER the headline set and reported in a
+#: separate "extras" field so the baseline-comparable headline total is
+#: untouched. One run each (these are not regression-gated, just
+#: self-documenting).
+EXTRAS = [
+    "q_llm_passage_dedup",     # boilerplate-passage removal
+    "q_llm_intra_dedup",       # intra-doc repetition removal
+    "q_llm_refresh_curation",  # composed crawl-refresh pipeline
+    "q_llm_cluster_best",      # quality-aware cluster representative
+    "q_join_salted",           # replicate-side salted skew join
+    "q_join_asof_forward",     # forward as-of join
+    "q_events_trending",       # per-day top-k
+]
+
+
 #: Pinned single-thread probe time measured on the IDLE round-5 box
 #: (BENCH_NOTES.md "Probe pinning"). cpu_probe_ratio >> 1 in the
 #: emitted JSON means the box was contended DURING MEASUREMENT and the
@@ -106,6 +121,12 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extras[name] = round(time.perf_counter() - t0, 3)
     print(
         json.dumps(
             {
@@ -116,6 +137,7 @@ def main() -> None:
                 "sf": sf,
                 "cpu_probe_sec": round(probe, 3),
                 "cpu_probe_ratio": round(probe / PROBE_REFERENCE_SEC, 2),
+                "extras": extras,
             }
         )
     )
