@@ -561,13 +561,18 @@ def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_llm_cosine_ann")  # LSH recall is probabilistic — rows-only
 def q_llm_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, scale path: random-hyperplane sign-LSH
-    bucketing (12 planes × 4 tables), exact cosine verification on
-    collisions. Recall vs brute force asserted in tests. Threshold 0.4
+    bucketing, exact cosine verification on collisions. Threshold 0.4
     because the fixture's vectors are near-orthogonal (max pairwise
-    cosine ≈ 0.48) — demonstrably non-empty on the natural data; real
-    corpora would use ~0.9."""
+    cosine ≈ 0.5), and bucket geometry is matched to that LOW
+    threshold: cos 0.4 → collision prob per plane ≈ 0.63, so 6 planes
+    × 8 tables gives ≈ 1-(1-0.63^6)^8 ≈ 40% recall (measured: 26 of
+    59 true pairs at sf0.01) — non-empty on the natural data. The
+    earlier 12×4 geometry had ≈1.6% recall at this threshold and
+    returned 0 natural rows; 12-plane buckets are the HIGH-threshold
+    (~0.9, near-dup) geometry, which the planted-dup recall tests
+    still exercise."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, n_planes=12, n_tables=4, threshold=0.4)
+    return lsh_cosine_pairs(emb, n_planes=6, n_tables=8, threshold=0.4)
 
 
 @query(

@@ -42,5 +42,15 @@ for name in sorted(os_):
     except Exception as ex:
         fails.append(name)
         print(f"  FAIL {name}: {str(ex)[:300]}")
+# rows-only keys have no oracle, but the driver still EXECUTES them —
+# a crash there is a driver failure, so the sim must execute them too
+# (invariant-level checks live in pytest; here: runs + row count >= 0).
+for name in sorted(set(qs) - set(os_)):
+    try:
+        n = len(qs[name](spark, SF_DIR).collect())
+        print(f"  RAN  {name} ({n} rows, rows-only)")
+    except Exception as ex:
+        fails.append(name)
+        print(f"  FAIL {name} (rows-only run): {str(ex)[:300]}")
 print("RESULT:", "ALL MATCH" if not fails else f"FAILURES: {fails}")
 sys.exit(1 if fails else 0)
