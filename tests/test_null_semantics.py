@@ -227,3 +227,51 @@ def test_length_band_null_lengths_dropped(spark):
         .collect()
     )
     assert kept == [1, 3, 4]
+
+
+def test_incremental_dedup_null_text_contract(spark):
+    """NULL-text rows fingerprint to NULL: a NULL key never equi-matches
+    in the anti join (row survives the corpus probe), and all NULL-fp
+    batch rows form ONE keep-first group (min id kept). Documented
+    contract, pinned here."""
+    from kafka_streams_clojure_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([(0, None)], "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, None), (3, None), (5, "real text")], "doc_id bigint, text string"
+    )
+    ids = sorted(r.doc_id for r in incremental_dedup(new, corpus).collect())
+    assert ids == [1, 5]  # 3 deduped against 1; nulls never match corpus
+
+
+def test_salted_join_null_keys(spark):
+    """NULL join keys behave exactly like the plain join: dropped by
+    inner, null-padded by left."""
+    from kafka_streams_clojure_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(None, "x"), (1, "a")], "k bigint, lv string")
+    right = spark.createDataFrame([(1, "r"), (None, "nr")], "k bigint, rv string")
+    inner = [(r.k, r.rv) for r in salted_join(left, right, ["k"]).collect()]
+    assert inner == [(1, "r")]
+    left_j = sorted(
+        ((r.k, r.rv) for r in salted_join(left, right, ["k"], how="left").collect()),
+        key=str,
+    )
+    assert left_j == sorted([(1, "r"), (None, None)], key=str)
+
+
+def test_asof_forward_ignores_null_right_ts(spark):
+    """Forward direction shares the backward contract: right rows with
+    NULL key/ts can never be a match."""
+    from kafka_streams_clojure_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1, 10)], "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        [(100, 1, None), (101, None, 20), (102, 1, 30)],
+        "rid long, k long, ts long",
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"],
+        direction="forward",
+    ).collect()
+    assert len(got) == 1 and got[0].rid == 102
