@@ -138,3 +138,51 @@ def interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + upper)
     )
     return lt.join(rt, cond, how)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    band,
+    how: str = "inner",
+) -> DataFrame:
+    """KEYLESS time-band join: match every (l, r) pair with
+    ``|r.ts - l.ts| <= band`` — without an equi-key conjunct Catalyst
+    can only plan the raw predicate as a broadcast-nested-loop /
+    cartesian, which is quadratic and dies at scale. This operator
+    manufactures the missing equi key by BINNING: each side gets a
+    bucket id ``floor(epoch_us / band_us)``; any in-band pair's
+    buckets differ by at most 1, so the left side explodes to its
+    {b-1, b, b+1} neighborhood (3×, constant) and the join runs as a
+    plain shuffled EQUI join on the bucket, with the exact band
+    predicate as a post-filter. Shuffle ∝ 3·|L| + |R|, never |L|·|R|
+    — the standard interval-bin rewrite.
+
+    ``band``: a ``str``/``Column`` interval (e.g. ``"1 minute"``).
+    Only ``inner`` is supported — outer keyless band joins need
+    dedup-after-explode bookkeeping that belongs to the caller.
+
+    The returned columns are ``left.* + right.*`` (both timestamp
+    columns kept; rename before joining if the names collide).
+    """
+    if how != "inner":
+        raise ValueError(f"range_join supports how='inner' only, got {how!r}")
+    band_col = F.expr(f"INTERVAL {band}") if isinstance(band, str) else band
+    # band length in microseconds, computed in-plan (works for any
+    # day-time interval literal)
+    band_us = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + band_col)
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / band_us)
+    rb = F.floor(F.unix_micros(F.col(right_ts)) / band_us)
+    lhs = left.withColumn(
+        "__bucket", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    rhs = right.withColumn("__bucket", rb)
+    out = lhs.join(rhs, "__bucket").filter(
+        F.abs(
+            F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+        )
+        <= band_us
+    )
+    return out.drop("__bucket")

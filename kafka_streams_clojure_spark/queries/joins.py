@@ -298,3 +298,34 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left",
         direction="forward",
     ).select("event_id", "user_id", "click_id", "click_ts")
+
+
+@query(
+    "q_join_range_binned",
+    oracle="""
+    SELECT l.event_id AS error_id, r.event_id AS purchase_id
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') l
+    JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') r
+      ON abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 60000000
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS band join ("every purchase within ±1 minute of any
+    error, across all users"): no equi conjunct exists, so the naive
+    predicate is a quadratic nested-loop. operators.joins.range_join
+    manufactures the equi key by interval binning (left exploded to
+    its 3-bucket neighborhood) and runs a plain shuffled equi join +
+    exact band filter — |L|·3 + |R| shuffle instead of |L|·|R| pairs.
+    Plan-tested to contain no nested-loop/cartesian."""
+    from kafka_streams_clojure_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("l_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("r_ts")
+    )
+    return range_join(
+        errors, purchases, left_ts="l_ts", right_ts="r_ts", band="1 MINUTE"
+    ).select("error_id", "purchase_id")

@@ -188,3 +188,10 @@ def test_minhash_lsh_candidate_dedup_is_id_width(spark, sf_dir):
     for line in dedup_keys:
         assert "sig" not in line, "signature rides the dedup exchange: " + line
         assert line.strip().startswith("Keys [2]"), line
+
+
+def test_range_join_binned_avoids_nested_loop(spark, sf_dir):
+    """The keyless band join's whole point: interval binning turns the
+    non-equi predicate into a shuffled equi join — no BNLJ/cartesian."""
+    plan = physical_plan(_Q["q_join_range_binned"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
