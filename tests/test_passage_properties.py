@@ -15,7 +15,11 @@ from kafka_streams_clojure_spark.operators.dedup import intra_doc_dedup, passage
 _settings = settings(
     max_examples=10,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # derandomize: the gate must be reproducible — a loaded box once
+    # produced a spurious hypothesis failure that no stored example
+    # could replay; fixed example streams remove that failure mode.
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
 # 3-letter alphabet, short docs, W=3 → heavy passage collisions

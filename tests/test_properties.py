@@ -18,7 +18,11 @@ from kafka_streams_clojure_spark.operators.joins import asof_join
 _settings = settings(
     max_examples=12,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # derandomize: the gate must be reproducible — a loaded box once
+    # produced a spurious hypothesis failure that no stored example
+    # could replay; fixed example streams remove that failure mode.
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
 
