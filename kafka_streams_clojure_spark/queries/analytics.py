@@ -239,3 +239,56 @@ def q_events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") <= 3)
         .select("day", "event_type", "n", "total")
     )
+
+
+@query(
+    "q_events_heavy_hitters",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > 80
+    """,
+)
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters: power users above an absolute activity
+    threshold (> 80 events). The fixture's per-user event count does
+    NOT scale with sf (user cardinality scales instead), so a relative
+    share threshold would be vacuously empty — the absolute cut keeps
+    the key naturally non-empty AND selective (~6% of users) at every
+    sf, per the SCALE.md geometry-vs-threshold lesson. Pure integer
+    comparison, engine-portable. Plan: one map-side-combined count per
+    user; shuffle ∝ distinct users. When the distinct set itself is
+    cluster-sized, the bounded-memory twin is
+    :func:`operators.sketch.heavy_hitters_sketch`
+    (`q_events_heavy_hitters_sketch`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 80)
+        .select("user_id", "cnt")
+    )
+
+
+@query("q_events_heavy_hitters_sketch")
+def q_events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters over user_id (Misra–Gries
+    mergeable summaries, `operators/sketch.py`): per-partition state
+    and exchange capped at `capacity` counters regardless of distinct-
+    user cardinality. Rows-only BY DESIGN: which counters survive the
+    MG decrements depends on partition layout, so estimates are not
+    engine-portable — the deterministic contracts
+    (`est <= true <= est + err`; every item with `true > err`
+    survives; output ⊇ the exact > 80 heavy hitters, since
+    `est + err >= true` always) are invariant-tested in
+    tests/test_sketch.py, and the oracle-gated exact twin is
+    `q_events_heavy_hitters`."""
+    from kafka_streams_clojure_spark.operators.sketch import heavy_hitters_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    # capacity sized to the threshold: err <= n/(capacity+1) must stay
+    # BELOW min_count or the sketch filter is vacuous (sf0.1: n=100k →
+    # c >= 1250 for err <= 80; 1408 also stays below the 1500 distinct
+    # users so the MG compression genuinely fires there)
+    return heavy_hitters_sketch(ev, "user_id", capacity=1408, min_count=80)

@@ -1508,6 +1508,41 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_bloom_dedup",
+    oracle="""
+    WITH fp AS (SELECT doc_id, lang, source,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+                FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+    fresh AS (SELECT f.doc_id, f.lang, f.source, f.fp FROM fp f
+              WHERE doc_id % 3 <> 0
+                AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp))
+    SELECT doc_id, lang, source FROM fresh
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+    """,
+)
+def q_llm_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-delta dedup with a Bloom prefilter — EXACT output (the
+    oracle is the plain NOT-EXISTS + keep-first semantics; the Bloom's
+    false positives only cost extra exact-confirm probes, its
+    no-false-negative guarantee is what keeps the output identical).
+    doc_id % 3 == 0 plays the standing corpus, the rest the new crawl
+    snapshot; the content key is the full-text normalized fingerprint.
+    See :func:`operators.bloom.bloom_incremental_dedup` for the
+    zero-big-shuffle plan (sparse (word,mask) bitmap aggregated
+    map-side, k broadcast word-joins, candidates broadcast against the
+    corpus scan — neither big table ever exchanges)."""
+    from kafka_streams_clojure_spark.operators.bloom import bloom_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bloom_incremental_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@query(
     "q_llm_intra_dedup",
     oracle=f"""
     WITH {_PASSAGE_CTES},
