@@ -60,6 +60,8 @@ EXTRAS = [
     "q_events_trending",       # per-day top-k
     "q_llm_bloom_dedup",       # Bloom-prefiltered ingest dedup
     "q_events_heavy_hitters_sketch",  # Misra-Gries bounded-memory HH
+    "q_agg_session_dynamic",   # dynamic-gap session windows
+    "q_llm_containment",       # asymmetric containment near-dup
 ]
 
 
@@ -124,6 +126,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     extras: dict[str, float] = {}
+    # Warm extras at the smallest SF too: the iterative keys
+    # (cluster_best's Pregel loop) generate many unique codegen'd plans
+    # whose first-call JIT dwarfed the sf0.1 runtime (35.8s recorded vs
+    # 6.4s controlled — BENCH_NOTES.md) and made the self-documenting
+    # extras section misleading.
+    for name in EXTRAS:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
     for name in EXTRAS:
         spark.catalog.clearCache()
         t0 = time.perf_counter()

@@ -146,6 +146,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a < b) where either doc's k-gram set is mostly
+    CONTAINED in the other's: max(|A∩B|/|A|, |A∩B|/|B|) >= threshold.
+
+    Containment is the asymmetric near-dup measure Jaccard misses: a
+    short document pasted verbatim inside a much longer one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 — exactly the
+    quote/excerpt/wrapper duplication a training-data pipeline needs to
+    catch (the reference's distinct-transducer ambition, api.clj:39,
+    generalized to fuzzy subset matching).
+
+    Returns (id_a, id_b, cont_a, cont_b) where cont_a = |A∩B|/|A| is
+    the fraction of the SMALLER-id doc covered by the other.
+
+    Plan shape: identical to :func:`ngram_jaccard_pairs` — shared
+    shingle-set generation (codegen posexplode+window), shared-shingle
+    equi-join candidates, one pair-count aggregation; per-row division
+    afterwards. Never docs²; shuffle ∝ total shingles.
+    """
+    sets = persist_if_uncached(shingle_sets(df, id_col, text_col, k))
+    a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cont_a = (F.col("n_inter").cast("double") / F.col("size_a").cast("double")).alias(
+        "cont_a"
+    )
+    cont_b = (F.col("n_inter").cast("double") / F.col("size_b").cast("double")).alias(
+        "cont_b"
+    )
+    return (
+        inter.select("id_a", "id_b", cont_a, cont_b)
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -213,6 +213,65 @@ def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_session_dynamic",
+    oracle=f"""
+    WITH ends AS (
+      SELECT user_id, ts, value, event_id,
+             ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 45 MINUTE
+                       ELSE INTERVAL 15 MINUTE END AS ev_end
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value, event_id, ev_end,
+             CASE WHEN max(ev_end) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts
+                  THEN 0 ELSE 1 END AS is_new
+      FROM ends
+    ),
+    sessions AS (
+      SELECT user_id, ts, value, ev_end,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts)             AS session_start,
+           max(ev_end)         AS session_end,
+           count(*)            AS n,
+           {sql_dsum('value')} AS total
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_agg_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (KS SessionWindows with per-record
+    gap): each event extends its session by an amount depending on the
+    event itself — purchases keep a session alive 45 min, everything
+    else 15 min. Spark's `session_window(ts, gap_expr)` merges events
+    whose [ts, ts+gap) windows chain-overlap; because a variable gap
+    makes per-event window ends non-monotone, the oracle's
+    gaps-and-islands must compare against the RUNNING MAX of prior
+    window ends (a fixed-gap `lag(ts)` test would split sessions a
+    long-gap event actually bridges). Session end = max event end, as
+    Spark defines it."""
+    gap = F.when(F.col("event_type") == "purchase", F.lit("45 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
     "q_distinct",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -301,6 +301,56 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END
+             AS click_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END
+             AS click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (pandas merge_asof's max-staleness
+    band): the latest click state attaches only while it is at most
+    1 hour old at purchase time — stale state is nulled, the purchase
+    row survives. This is the KStream⋈KTable-with-TTL enrichment
+    shape: at 100 TB the tolerance is also the state-retention bound a
+    streaming deployment would give the table side. Same one-shuffle
+    union+window plan; the tolerance is a post-window null-out, not a
+    second join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id", "click_ts"],
+        how="left",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).select("event_id", "user_id", "click_id", "click_ts")
+
+
+@query(
     "q_join_range_binned",
     oracle="""
     SELECT l.event_id AS error_id, r.event_id AS purchase_id

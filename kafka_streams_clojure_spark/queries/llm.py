@@ -308,6 +308,49 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) <= 4 THEN [array_to_string(t, ' ')]
+                           ELSE list_transform(range(1, len(t) - 2),
+                                               i -> array_to_string(t[i:i+3], ' '))
+                      END) AS shingle
+        FROM toks)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.set_size AS DOUBLE) AS cont_a,
+           CAST(n_inter AS DOUBLE) / CAST(sb.set_size AS DOUBLE) AS cont_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(sa.set_size AS DOUBLE),
+                   CAST(n_inter AS DOUBLE) / CAST(sb.set_size AS DOUBLE)) >= 0.8
+    """,
+)
+def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: max(|A∩B|/|A|, |A∩B|/|B|)
+    >= 0.8 over word-4-gram sets — catches a short document embedded
+    verbatim in a long one (quotes, excerpts, boilerplate wrappers),
+    which symmetric Jaccard scores near zero. Same never-docs² shared-
+    shingle plan as q_llm_ngram_jaccard."""
+    from kafka_streams_clojure_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, k=4, threshold=0.8)
+
+
+@query(
     "q_llm_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_JACCARD_CTES},
@@ -464,6 +507,56 @@ def q_llm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold — both engines accumulate doubles left-to-right, bit-equal."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", "label", norm(F.col("embedding")).alias("l2_norm"))
+
+
+@query(
+    "q_llm_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+                / count(x) AS DOUBLE) AS centroid,
+           count(x) AS n_vectors
+    FROM ex GROUP BY label, dim
+    """,
+)
+def q_llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class means — the building block
+    of nearest-centroid classification, cluster summaries, and drift
+    monitoring), in exploded (label, dim, centroid) form so the mean is
+    a plain two-phase aggregation: posexplode once, one shuffle on
+    (label, dim), never a per-row Python loop.
+
+    Cross-ROW float means need the decimal discipline (CLAUDE.md), and
+    float inputs add a twist the double keys don't have: Spark casts
+    double→decimal through the SHORTEST decimal string while DuckDB
+    expands the exact binary fraction, so the two engines agree on the
+    rounded value at every scale EXCEPT on exact dyadic ties, where
+    their half-up vs half-even modes split. DECIMAL(28,8) is tie-free
+    for the fixtures — a tie needs an element with exactly 9
+    fractional binary digits and none exists at any sf
+    (tests/test_llm_ops.py::test_centroid_scale_is_tie_free guards
+    this, with instructions to bump the scale if fixtures ever
+    change)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,8)")).cast("double")
+                / F.count("x")
+            )
+            .cast("double")
+            .alias("centroid"),
+            F.count("x").alias("n_vectors"),
+        )
+    )
 
 
 @query(

@@ -546,3 +546,71 @@ def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem bridges part↔supplier; s_acctbal stands in for the
     missing ps_supplycost, min-acctbal supplier per part in-region.)"""
     return sql(spark, sf_dir, _Q2)
+
+
+_RECURSIVE_SPINE = """
+WITH RECURSIVE days(d) AS (
+  SELECT TIMESTAMP '1996-01-01 00:00:00'
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM days WHERE d < TIMESTAMP '1996-02-28 00:00:00'
+),
+daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT d AS day,
+       coalesce(n, 0) AS n_orders,
+       CAST(coalesce(rev, 0) AS DOUBLE) AS revenue
+FROM days LEFT JOIN daily USING (d)
+"""
+
+
+@query("q_sql_recursive_cte", oracle=_RECURSIVE_SPINE)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE`` / UnionLoop): generate
+    a contiguous date spine by recursion, then LEFT JOIN daily order
+    totals onto it — the classic "report every day, including zero-order
+    days" shape that a bare GROUP BY cannot produce. One byte-identical
+    SQL text runs through both engines.
+
+    Scale shape: the fact table is two-phase aggregated to per-day rows
+    BEFORE meeting the spine — joining the spine directly to raw orders
+    would force Spark to broadcast the FACT side (LeftOuter keeps the
+    spine as stream side, so the build side is orders: impossible at
+    100 TB; verified in the plan). Aggregated-first, the outer join is
+    tiny-spine × small-daily and broadcastable either way; the
+    recursion itself materializes only the 59-row spine (UnionLoop).
+    """
+    return sql(spark, sf_dir, _RECURSIVE_SPINE)
+
+
+_LATERAL_TOP2 = """
+SELECT n_name, t.c_name, t.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@query("q_sql_lateral", oracle=_LATERAL_TOP2)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 lateral join): per nation,
+    the top-2 customers by account balance — the for-each-row-of-the-
+    outer-table idiom (identical text in DuckDB; ``c_custkey`` is the
+    unique ORDER BY tiebreaker both engines share).
+
+    Catalyst decorrelates the lateral limit into a per-key rank window
+    + broadcast join rather than 25 separate probes — no nested-loop in
+    the plan. The decorrelation does leave one redundant global
+    range-sort of customer before the window (the subquery's ORDER BY,
+    preserved verbatim); the hand-optimized twin of this shape is
+    q_topk_per_group, which plans a single WindowGroupLimit pass —
+    that's the operator to reach for when the per-group limit is the
+    POINT rather than a lateral correlation example.
+    """
+    return sql(spark, sf_dir, _LATERAL_TOP2)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_clojure_spark.queries import query
 from kafka_streams_clojure_spark.queries._util import dsum, load_table, sql_dsum
+from kafka_streams_clojure_spark.sql import register_views
 from kafka_streams_clojure_spark.streaming import (
     run_available_now,
     scratch_dir,
@@ -344,6 +345,52 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_udtf_tokens",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' '))                 AS word,
+           unnest(range(len(string_split(text, ' '))))     AS idx
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.10, Spark 4 `@udtf`): a true table function —
+    one input row expands to N output rows — invoked through SQL with
+    a correlated LATERAL call, the mapcat-transducer idiom
+    (reference api.clj:37 `mapcat`) as a user-defined operator.
+
+    The UDTF runs row-at-a-time Python, which is the engine's SLOWEST
+    path (CLAUDE.md: UDFs are the slow path; Arrow-batched pandas UDFs
+    beat it 10-100×): it exists as API-surface parity for logic that
+    genuinely can't be a builtin, and the key bounds its input
+    (doc_id < 40; pushed to the parquet scan) the way any production
+    use must bound or batch it. The codegen twin for THIS exact
+    expansion is the posexplode path in operators/dedup.shingle_sets —
+    that's what the hot dedup keys use. Splitting on the single-space
+    token separator matches the oracle's string_split exactly.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, idx: bigint")
+    class SplitWords:
+        def eval(self, s):  # noqa: ANN001 — engine-called
+            if s is None:
+                return
+            for i, w in enumerate(s.split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.idx
+        FROM documents d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 40
+        """
+    )
+
+
 #: per-(sf_dir) cache of the two-file split used by q_stream_punctuate
 _PUNCT_SPLITS: dict = {}
 
@@ -483,6 +530,78 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND r.ts <= l.ts + INTERVAL 5 MINUTES"
         ),
         "left_outer",
+    ).select(
+        F.col("l.event_id").alias("purchase_id"), F.col("r.event_id").alias("click_id")
+    )
+    return run_available_now(joined, output_mode="append")
+
+
+@query(
+    "q_stream_full_outer_join",
+    oracle="""
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
+                  - INTERVAL 1 HOUR AS final_wm),
+    matched AS (
+      SELECT l.event_id AS purchase_id, r.event_id AS click_id
+      FROM l JOIN r ON l.user_id = r.user_id
+         AND r.ts >= l.ts - INTERVAL 5 MINUTE
+         AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    ),
+    unmatched_l AS (
+      SELECT l.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id
+      FROM l, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM r WHERE l.user_id = r.user_id
+          AND r.ts >= l.ts - INTERVAL 5 MINUTE
+          AND r.ts <= l.ts + INTERVAL 5 MINUTE)
+        AND l.ts + INTERVAL 5 MINUTE < wm.final_wm
+    ),
+    unmatched_r AS (
+      SELECT CAST(NULL AS BIGINT) AS purchase_id, r.event_id AS click_id
+      FROM r, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM l WHERE l.user_id = r.user_id
+          AND l.ts >= r.ts - INTERVAL 5 MINUTE
+          AND l.ts <= r.ts + INTERVAL 5 MINUTE)
+        AND r.ts + INTERVAL 5 MINUTE < wm.final_wm
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_l
+    UNION ALL SELECT * FROM unmatched_r
+    """,
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join — the symmetric
+    completion of q_stream_outer_join: matches emit eagerly, and BOTH
+    sides' unmatched rows emit their null-padded row once the global
+    watermark passes the end of their ±5 min join window (left row
+    evictable when wm > l.ts + 5 min, right row symmetrically). Rows
+    still inside the final watermark horizon stay in state unemitted —
+    the oracle's two eviction predicates encode exactly that, so the
+    engine's outer-emission timing on both sides is correctness-gated.
+    State on each side is bounded by the watermark horizon at any
+    scale."""
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("l")
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .alias("r")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 5 MINUTES "
+            "AND r.ts <= l.ts + INTERVAL 5 MINUTES"
+        ),
+        "full_outer",
     ).select(
         F.col("l.event_id").alias("purchase_id"), F.col("r.event_id").alias("click_id")
     )

@@ -646,3 +646,35 @@ def test_decode_bmp_8bpp_palette_resolved():
     w, h, c, luma = decode_bmp(blob)
     assert (w, h, c) == (2, 1, 1)
     assert luma == pytest.approx(127.5 / 255.0)
+
+
+def test_centroid_scale_is_tie_free():
+    """q_llm_label_centroids' oracle parity rests on DECIMAL(28,8)
+    never hitting an exact rounding tie: Spark rounds half-UP, DuckDB
+    half-EVEN, and they disagree exactly on floats whose binary
+    fraction terminates at 9 bits (decimal expansion of exactly 9
+    fractional digits ending in 5). No fixture element has 9
+    fractional bits today; if this test ever fails after a fixture
+    regeneration, move the key's cast (BOTH engines) to a scale s
+    where no element has s+1 fractional digits."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    import duckdb
+
+    for sf in ["0.001", "0.01", "0.1"]:
+        df = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('/root/testdata/sf{sf}/embeddings.parquet')"
+        ).df()
+        vals = np.unique(np.concatenate(df["embedding"].values))
+        ties = [
+            float(v)
+            for v in vals
+            if -Decimal(float(v)).normalize().as_tuple().exponent == 9
+        ]
+        assert not ties, (
+            f"sf{sf}: {len(ties)} embedding element(s) are exact decimal(…,8) "
+            f"rounding ties (9 fractional digits), e.g. {ties[:3]} — "
+            "q_llm_label_centroids' scale must move off 8"
+        )

@@ -31,6 +31,9 @@ _NONEQUI_OK = {
     "q_llm_tfidf_linear",
     "q_win_ntile",
     "q_llm_length_band",
+    # MG sketch: crossJoins of TWO 1-row broadcast aggregates (the
+    # global err bound and n_total) onto a <= capacity×partitions table
+    "q_events_heavy_hitters_sketch",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
@@ -57,6 +60,12 @@ _PYTHON_OK = {
     # (BENCH_NOTES.md "Cosine hot loop"); oracle keys keep the fold
     "q_llm_cosine_ann",
     "q_llm_ivf_topk",
+    # true Python UDTF (§2.10 parity surface) — row-at-a-time by
+    # design, input bounded in the key; codegen twin = shingle_sets
+    "q_udtf_tokens",
+    # Misra-Gries mapInPandas: Python touches <= capacity+batch
+    # counters per batch, never the raw rows (operators/sketch.py)
+    "q_events_heavy_hitters_sketch",
 }
 
 #: streaming / side-effecting keys execute on call — skip plan-building
@@ -77,6 +86,7 @@ def test_plan_is_scale_safe(name, spark, sf_dir):
     if name not in _PYTHON_OK:
         assert "EvalPython" not in plan, f"{name} runs Python outside the UDF keys"
         assert "FlatMapGroupsInPandas" not in plan, f"{name} unexpectedly uses pandas"
+        assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
 
 
 @pytest.mark.parametrize("name", sorted(set(_Q) - _SKIP - _GLOBAL_WINDOW_OK))
