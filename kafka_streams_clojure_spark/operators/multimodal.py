@@ -375,3 +375,105 @@ def sample_frames(
 
     slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
     return slim.mapInPandas(split, schema="doc_id long, frame_idx int, frame binary")
+
+
+def _bmp_pixel_rows(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """24-bpp BMP → (width, height, top-down raw BGR rows) for pixel
+    ops (resize); strict twin of :func:`decode_bmp`'s parser."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"resize supports 24-bpp BMPs, got {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = (row_raw + 3) & ~3
+    rows = []
+    for y in range(height):
+        start = data_off + y * stride
+        row = blob[start : start + row_raw]
+        if len(row) != row_raw:
+            raise ValueError("truncated BMP pixel data")
+        rows.append(row)
+    if not top_down:
+        rows.reverse()  # stored bottom-up -> return top-down
+    return width, height, rows
+
+
+def resize_bmp(blob: bytes, factor: int) -> bytes:
+    """Nearest-neighbor integer decimation of a 24-bpp BMP: keep every
+    ``factor``-th pixel in both axes starting at (0, 0) — the
+    deterministic stand-in for codec-library resampling, with the
+    plumbing (decode → pixel op → re-encode) fully real. New dims are
+    ``ceil(w/factor) × ceil(h/factor)``; kept pixels are bit-exact
+    copies, so feature extraction after resize is exactly predictable
+    from the original raster."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    w, h, rows = _bmp_pixel_rows(blob)
+    out = bytearray()
+    for y in range(0, h, factor):
+        row = rows[y]
+        for x in range(0, w, factor):
+            out += row[3 * x : 3 * x + 3]
+    new_w = -(-w // factor)
+    new_h = -(-h // factor)
+    return encode_bmp(bytes(out), new_w, new_h)
+
+
+def resize_images(
+    df: DataFrame, binary_col: str, id_col: str = "doc_id", factor: int = 2
+) -> DataFrame:
+    """Batch image resize over a binary column (Arrow-batched
+    mapInPandas, one batch of blobs in memory at a time — the same
+    100 TB-safe shape as the decoders). Returns (id, blob) with every
+    blob nearest-neighbor decimated by ``factor``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"].values,
+                    "blob": [resize_bmp(b, factor) for b in pdf["__blob"]],
+                }
+            )
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
+    return slim.mapInPandas(run, schema="doc_id long, blob binary")
+
+
+def sample_wav_frames(
+    df: DataFrame, binary_col: str, id_col: str = "doc_id", stride: int = 8
+) -> DataFrame:
+    """Frame sampling over an audio/video-style binary column: decode
+    each WAV and emit every ``stride``-th frame as its own typed row
+    (id, frame_idx, amplitude) — the keyframe-extraction plumbing shape
+    (1 fat blob → N thin rows) with a real stdlib decoder. 16-bit mono
+    PCM; amplitude is the raw signed sample."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, amps = [], [], []
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                with wave.open(io.BytesIO(blob), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise ValueError("frame sampling expects 16-bit mono PCM")
+                    n = w.getnframes()
+                    frames = w.readframes(n)
+                vals = struct.unpack(f"<{n}h", frames)
+                for j in range(0, n, stride):
+                    ids.append(i)
+                    idxs.append(j)
+                    amps.append(vals[j])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "amplitude": amps},
+                dtype="int64",
+            )
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
+    return slim.mapInPandas(run, schema="doc_id long, frame_idx long, amplitude long")

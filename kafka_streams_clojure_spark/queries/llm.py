@@ -877,6 +877,83 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, h, unnest(range(0, n, 8)) AS frame_idx FROM b)
+    SELECT doc_id, frame_idx,
+           (CAST(('0x' || substr(h, CAST(frame_idx*2+1 AS INT), 2)) AS BIGINT)
+            - 128) * 256 AS amplitude
+    FROM idx
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME SAMPLING over a media binary column, exactly oracle-gated:
+    text bytes become real 16-bit mono PCM WAVs, and every 8th frame is
+    emitted as its own typed row (the keyframe-extraction plumbing
+    shape: 1 fat blob → N thin rows, Arrow-batched). Because the WAV
+    samples are a deterministic function of the utf-8 bytes
+    ((b-128)·256), DuckDB predicts every sampled amplitude by hex
+    arithmetic on the text — the full encode→decode→stride path is
+    value-checked, not just row-counted (first exactly-oracled
+    multimodal key alongside q_multimodal_resize)."""
+    from kafka_streams_clojure_spark.operators.multimodal import sample_wav_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_wav_frames(text_to_wav_blobs(docs), "blob", stride=8)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, h, n, CAST(ceil(greatest(n, 1) / 96.0) AS BIGINT) AS ht
+      FROM b
+    ),
+    ys AS (SELECT doc_id, h, n, ht, unnest(range(0, ht, 2)) AS y FROM dims),
+    xs AS (SELECT doc_id, h, n, ht, y, unnest(range(0, 32, 2)) AS x FROM ys),
+    px AS (
+      SELECT doc_id, h, n, ht, (y * 32 + x) * 3 + unnest([0, 1, 2]) AS pos
+      FROM xs
+    ),
+    vals AS (
+      SELECT doc_id, ht,
+             CASE WHEN pos < n
+                  THEN CAST(('0x' || substr(h, CAST(pos*2+1 AS INT), 2)) AS BIGINT)
+                  ELSE 0 END AS v
+      FROM px
+    )
+    SELECT doc_id, 16 AS width, CAST(ceil(ht / 2.0) AS INT) AS height,
+           CAST(sum(v) AS DOUBLE) / count(*) / 255.0 AS mean_luma
+    FROM vals GROUP BY doc_id, ht
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE RESIZE, exactly oracle-gated end-to-end: text bytes →
+    real 24-bpp BMP (32 px wide) → nearest-neighbor 2× decimation
+    (operators/multimodal.resize_bmp: decode, keep every 2nd pixel
+    both axes, re-encode) → REAL decode of the resized blob. Kept
+    pixels are bit-exact raster bytes at predictable offsets, so
+    DuckDB recomputes the resized width/height/mean_luma from the
+    text's hex bytes — codec, resize arithmetic, and re-encode are all
+    value-checked against an engine that never saw a BMP."""
+    from kafka_streams_clojure_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(text_to_bmp_blobs(docs), "blob", factor=2)
+    return decode_image_features(resized, "blob").select(
+        "doc_id", "width", "height", "mean_luma"
+    )
+
+
+@query(
     "q_llm_scrub",
     oracle=r"""
     SELECT doc_id,

@@ -678,3 +678,51 @@ def test_centroid_scale_is_tie_free():
             f"rounding ties (9 fractional digits), e.g. {ties[:3]} — "
             "q_llm_label_centroids' scale must move off 8"
         )
+
+
+def test_resize_bmp_nearest_neighbor_exact():
+    """2x decimation of a known 4x2 image keeps exactly pixels (0,0)
+    and (2,0) of the top row — bit-exact BGR triples, ceil'd dims."""
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp,
+        _bmp_pixel_rows,
+    )
+
+    # 4x2, pixel (x,y) has bytes (10x+y, 100+x, 200+y) — all distinct
+    rows = []
+    for y in range(2):
+        row = b"".join(
+            bytes([10 * x + y, 100 + x, 200 + y]) for x in range(4)
+        )
+        rows.append(row)
+    blob = encode_bmp(b"".join(rows), 4, 2)
+    out = resize_bmp(blob, 2)
+    w, h, kept = _bmp_pixel_rows(out)
+    assert (w, h) == (2, 1)
+    assert kept[0] == bytes([0, 100, 200]) + bytes([20, 102, 200])
+    # decoded aggregate agrees with the kept bytes
+    _, _, _, luma = decode_bmp(out)
+    assert luma == (0 + 100 + 200 + 20 + 102 + 200) / 6 / 255.0
+    # factor 3 on width 4 -> ceil(4/3)=2 columns (x=0,3)
+    out3 = resize_bmp(blob, 3)
+    w3, h3, kept3 = _bmp_pixel_rows(out3)
+    assert (w3, h3) == (2, 1)
+    assert kept3[0] == bytes([0, 100, 200]) + bytes([30, 103, 200])
+
+
+def test_sample_wav_frames_strided_exact(spark):
+    """Every stride-th signed sample comes back with its frame index."""
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        sample_wav_frames,
+        text_to_wav_blobs,
+    )
+
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    out = sample_wav_frames(text_to_wav_blobs(df), "blob", stride=4)
+    rows = {r.frame_idx: r.amplitude for r in out.collect()}
+    assert set(rows) == {0, 4, 8}
+    assert rows[0] == (ord("a") - 128) * 256
+    assert rows[4] == (ord("e") - 128) * 256
+    assert rows[8] == (ord("i") - 128) * 256

@@ -53,6 +53,8 @@ _PYTHON_OK = {
     "q_llm_winnow",
     "q_multimodal_features",
     "q_multimodal_audio",
+    "q_multimodal_frames",
+    "q_multimodal_resize",
     "q_stream_stateful_counter",
     "q_error_swallow",
     # rows-only ANN hot loops: cosine_arrow (vectorized pandas_udf)
