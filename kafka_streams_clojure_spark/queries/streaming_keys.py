@@ -609,6 +609,51 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_semi_join",
+    oracle="""
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT l.event_id AS purchase_id, l.user_id
+    FROM l
+    WHERE EXISTS (
+      SELECT 1 FROM r WHERE l.user_id = r.user_id
+        AND r.ts >= l.ts - INTERVAL 5 MINUTE
+        AND r.ts <= l.ts + INTERVAL 5 MINUTE)
+    """,
+)
+def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT SEMI interval join: purchases that had a
+    click within ±5 min emit exactly once (existence filter, no right
+    payload, no duplication however many clicks matched). Unlike the
+    outer variants no watermark-timing predicate enters the oracle —
+    a matched row emits eagerly and an unmatched row never emits, so
+    plain EXISTS is the complete answer; the watermark's only job is
+    state eviction, keeping both sides' buffers bounded by the horizon
+    at any scale."""
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("l")
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .alias("r")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 5 MINUTES "
+            "AND r.ts <= l.ts + INTERVAL 5 MINUTES"
+        ),
+        "left_semi",
+    ).select(F.col("l.event_id").alias("purchase_id"), F.col("l.user_id").alias("user_id"))
+    return run_available_now(joined, output_mode="append")
+
+
+@query(
     "q_sink_csv_roundtrip",
     oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 )

@@ -275,3 +275,89 @@ def test_asof_forward_ignores_null_right_ts(spark):
         direction="forward",
     ).collect()
     assert len(got) == 1 and got[0].rid == 102
+
+
+def test_containment_null_text_absent_and_asymmetric(spark):
+    """A null-text doc has no shingle set, so it joins no pair; and a
+    doc fully pasted inside a longer one scores cont=1.0 on its side
+    while the long side stays partial (the asymmetry Jaccard hides)."""
+    from kafka_streams_clojure_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h i j"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = ngram_containment_pairs(docs, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.cont_a == 1.0  # every 4-gram of doc 1 appears in doc 2
+    assert r.cont_b < 1.0
+
+
+def test_dynamic_session_null_ts_dropped_null_gap_default(spark):
+    """session_window(ts, gap_expr): a NULL-ts event belongs to no
+    session (dropped, matching the oracle's window functions which
+    never see it in a frame); a NULL event_type takes the otherwise()
+    gap; and a long-gap event BRIDGES a following event a fixed short
+    gap would split — the running-max-of-ends semantics the oracle
+    must mirror."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", "click"),
+            (1, "2020-01-01 00:10:00", None),
+            (1, None, "click"),
+            (2, "2020-01-01 00:00:00", "purchase"),
+            (2, "2020-01-01 00:40:00", "click"),
+        ],
+        "user_id long, ts string, event_type string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("45 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    out = {
+        r.user_id: r
+        for r in (
+            df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.end").alias("e"), "n")
+        ).collect()
+    }
+    assert len(out) == 2, f"expected one session per user, got {out}"
+    assert out[1].n == 2  # null-ts row dropped
+    assert out[1].e.minute == 25  # null type -> 15-min gap after 00:10
+    # 45-min purchase gap bridges the 00:40 click into one session
+    assert out[2].n == 2 and out[2].e.minute == 55
+
+
+def test_asof_tolerance_boundary_inclusive(spark):
+    """tolerance nulls matches STRICTLY older than left_ts - tolerance;
+    a match exactly AT the boundary survives (>= in the band check,
+    mirroring the oracle's CASE WHEN c.ts >= p.ts - INTERVAL)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-01 02:00:00"), (2, "2020-01-01 05:00:00")],
+        "lid long, ts string",
+    ).select("lid", F.lit(1).alias("k"), F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("2020-01-01 01:00:00", 10)], "ts string, payload long"
+    ).select(F.lit(1).alias("k"), F.col("ts").cast("timestamp").alias("ts"), "payload")
+    out = {
+        r.lid: r.payload
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["payload"],
+            tolerance=F.expr("INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    assert out[1] == 10  # exactly 1h old: inside the band
+    assert out[2] is None  # 4h old: nulled
