@@ -207,6 +207,73 @@ def q_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ktable_history",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                       OR event_type <> lag(event_type)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    hist AS (
+      SELECT user_id, run_id, event_type AS state,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to,
+           n_events
+    FROM hist
+    """,
+)
+def q_ktable_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable CHANGELOG → SCD2 history: where q_ktable_latest compacts
+    to each key's current state, this keeps every state TRANSITION as
+    a validity interval — consecutive same-state events collapse into
+    one run (the dedupe/partition-by-runs idiom, null-safe change
+    detection), each run becomes (state, valid_from, valid_to) with
+    valid_to = next run's start and NULL marking the open current
+    state. That's the slowly-changing-dimension table a warehouse
+    derives from a compacted topic. Runs can share a timestamp at
+    run boundaries (same ts, different event_id), so the interval
+    lead orders by run_id — already consistent with (ts, event_id) —
+    not by valid_from."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+        ).otherwise(1).alias("__new"),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    hist = runs.groupBy("user_id", "run_id", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    wl = W.partitionBy("user_id").orderBy("run_id")
+    return hist.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events",
+    )
+
+
 _SCALAR_SUBQ = """
 SELECT o_orderkey, o_totalprice,
        (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey)

@@ -12,7 +12,7 @@ tests/test_llm_ops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_clojure_spark.operators import text as TX
@@ -556,6 +556,88 @@ def q_llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("centroid"),
             F.count("x").alias("n_vectors"),
         )
+    )
+
+
+@query(
+    "q_llm_nearest_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+                  / count(x) AS DOUBLE) AS c
+      FROM ex GROUP BY 1, 2
+    ),
+    cvecs AS (SELECT clabel, list(c ORDER BY dim) AS cvec FROM cent GROUP BY clabel),
+    scored AS (
+      SELECT e.vec_id, e.label, v.clabel,
+             list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - v.cvec[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - v.cvec[i]))) AS d2
+      FROM embeddings e, cvecs v
+    ),
+    best AS (
+      SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      FROM scored
+    )
+    SELECT label, clabel AS assigned, count(*) AS n
+    FROM best WHERE rn = 1 GROUP BY label, clabel
+    """,
+)
+def q_llm_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix: assign every
+    embedding to the label whose centroid is closest (squared
+    euclidean), then count (true label, assigned) pairs — the standard
+    quick read on whether an embedding space separates its classes,
+    and the assignment step of centroid-based clustering.
+
+    Exactness stack: centroids reuse q_llm_label_centroids' tie-free
+    DECIMAL(28,8) means, assembled into per-label arrays in-plan
+    (array_sort by dim — no driver collect); distances are a
+    SEQUENTIAL left-to-right fold over the 64 dims (zip_with +
+    aggregate vs DuckDB list_sum — the q_llm_cosine_topk parity
+    precedent), never a cross-row double sum; argmin breaks exact
+    distance ties by label. Scale shape: the 11×64 centroid table
+    broadcasts; the corpus is scanned once and shuffles only the
+    per-vector argmin row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,8)")).cast("double")
+                / F.count("x")
+            )
+            .cast("double")
+            .alias("c")
+        )
+    )
+    cvecs = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).getField("c").alias("cvec")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("cvec"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    scored = emb.crossJoin(F.broadcast(cvecs)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return best.groupBy("label", F.col("clabel").alias("assigned")).agg(
+        F.count("*").alias("n")
     )
 
 

@@ -277,6 +277,75 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) difference — EXCEPT ALL: each right occurrence
+    cancels ONE left occurrence, so a nationkey with 60 customers and
+    4 suppliers keeps 56 rows (plain EXCEPT would drop all 60). The
+    multiplicity bookkeeping is one shuffle on the value (Spark
+    plans a count-diff generate, not a join per occurrence)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.exceptAll(supp)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) intersection — INTERSECT ALL: each value keeps
+    min(left count, right count) occurrences."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersectAll(supp)
+
+
+@query(
+    "q_flatmap_outer",
+    oracle="""
+    SELECT doc_id, token FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN n_chars < 600 THEN string_split(text, ' ') END)
+               AS token
+      FROM documents)
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS token
+    FROM documents WHERE NOT n_chars < 600
+    """,
+)
+def q_flatmap_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`explode_outer` — the LEFT-JOIN flavor of flatMap: a row whose
+    array is NULL (here: long docs excluded from tokenization) still
+    emits ONE row with a null element instead of vanishing, preserving
+    lineage through the expansion. DuckDB's unnest drops null arrays
+    (inner-explode semantics), so the oracle re-adds the null-array
+    rows with a UNION ALL — making the two explode flavors' difference
+    itself the thing the oracle checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.when(F.col("n_chars") < 600, F.split(F.col("text"), " "))
+    return docs.select("doc_id", F.explode_outer(toks).alias("token"))
+
+
+@query(
     "q_repartition",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events
