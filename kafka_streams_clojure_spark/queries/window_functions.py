@@ -80,6 +80,44 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_win_locf",
+    oracle="""
+    WITH gappy AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM gappy
+    """,
+)
+def q_win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward-fill (last observation carried forward) — the
+    time-series gap-filling idiom: null measurements (here: error
+    events' values, nulled deterministically so both engines see the
+    same gaps) take the most recent non-null value of the same key;
+    a key's leading nulls stay null. `last(..., ignorenulls=True)`
+    over a running frame — one shuffle on the key, same partitioning
+    as every other per-key window."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+@query(
     "q_win_running_sum",
     oracle=f"""
     SELECT event_id, user_id,
