@@ -83,6 +83,38 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     )
 
 
+def _shingle_pair_counts(
+    sets: DataFrame, id_col: str, max_doc_freq: int | None
+) -> DataFrame:
+    """(id_a, id_b, size_a, size_b, n_inter) — the shared-shingle
+    candidate core both Jaccard and containment score from. ONE home
+    for the never-docs² plan (equi-join on the shingle, ``id_a <
+    id_b``, one pair-count aggregation) and for the ``max_doc_freq``
+    stop-shingle cut (doc-freq filter on the join input; ``size_*``
+    stay the FULL set sizes)."""
+    joinable = sets
+    if max_doc_freq is not None:
+        rare = (
+            sets.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        joinable = sets.join(rare, "shingle")
+    a = joinable.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = joinable.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -116,27 +148,7 @@ def ngram_jaccard_pairs(
     # the inferred not-null scan filter — without persist the generation
     # runs up to 4×.
     sets = persist_if_uncached(shingle_sets(df, id_col, text_col, k))
-    joinable = sets
-    if max_doc_freq is not None:
-        rare = (
-            sets.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("shingle")
-        )
-        joinable = sets.join(rare, "shingle")
-    a = joinable.select(
-        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
-    )
-    b = joinable.select(
-        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
-    )
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    inter = _shingle_pair_counts(sets, id_col, max_doc_freq)
     jac = (
         F.col("n_inter").cast("double")
         / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double")
@@ -152,6 +164,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     k: int = 4,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) where either doc's k-gram set is mostly
     CONTAINED in the other's: max(|A∩B|/|A|, |A∩B|/|B|) >= threshold.
@@ -166,24 +179,14 @@ def ngram_containment_pairs(
     Returns (id_a, id_b, cont_a, cont_b) where cont_a = |A∩B|/|A| is
     the fraction of the SMALLER-id doc covered by the other.
 
-    Plan shape: identical to :func:`ngram_jaccard_pairs` — shared
-    shingle-set generation (codegen posexplode+window), shared-shingle
-    equi-join candidates, one pair-count aggregation; per-row division
-    afterwards. Never docs²; shuffle ∝ total shingles.
+    Plan shape: literally :func:`ngram_jaccard_pairs`' candidate core
+    (:func:`_shingle_pair_counts` — shared shingle-set generation,
+    shared-shingle equi-join, one pair-count aggregation) with a
+    different final score; ``max_doc_freq`` is the same stop-shingle
+    cut. Never docs²; shuffle ∝ total shingles.
     """
     sets = persist_if_uncached(shingle_sets(df, id_col, text_col, k))
-    a = sets.select(
-        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
-    )
-    b = sets.select(
-        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
-    )
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    inter = _shingle_pair_counts(sets, id_col, max_doc_freq)
     cont_a = (F.col("n_inter").cast("double") / F.col("size_a").cast("double")).alias(
         "cont_a"
     )

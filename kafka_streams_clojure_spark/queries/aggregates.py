@@ -222,10 +222,15 @@ def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     marked AS (
+      -- >= not >: Spark merges an event whose ts lands EXACTLY on the
+      -- running-max window end into that session (same convention as
+      -- the fixed-gap oracle's strict 'ts > prev_ts + gap' new-session
+      -- test; verified by live repro — two events 30 min apart with a
+      -- 30-min gap form ONE session)
       SELECT user_id, ts, value, event_id, ev_end,
              CASE WHEN max(ev_end) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= ts
                   THEN 0 ELSE 1 END AS is_new
       FROM ends
     ),

@@ -249,18 +249,19 @@ def q_ktable_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     run boundaries (same ts, different event_id), so the interval
     lead orders by run_id — already consistent with (ts, event_id) —
     not by valid_from."""
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = ev.select(
-        "user_id", "event_type", "ts", "event_id",
-        F.when(
-            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
-        ).otherwise(1).alias("__new"),
+    from kafka_streams_clojure_spark import xform as X
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
     )
-    runs = marked.withColumn(
-        "run_id",
-        F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    # run detection reuses the partition-by transducer — ONE home for
+    # the null-safe change-detection idiom (CLAUDE.md hard rule), with
+    # its synthetic-null regressions covering this key too
+    runs = X.partition_by(
+        F.col("event_type"),
+        order_by=[F.col("ts"), F.col("event_id")],
+        partition_cols=["user_id"],
+    )(ev)
     hist = runs.groupBy("user_id", "run_id", F.col("event_type").alias("state")).agg(
         F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
     )

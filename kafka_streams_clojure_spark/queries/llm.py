@@ -509,18 +509,45 @@ def q_llm_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", norm(F.col("embedding")).alias("l2_norm"))
 
 
-@query(
-    "q_llm_label_centroids",
-    oracle="""
-    WITH ex AS (
+#: ONE home for the tie-free float-mean discipline shared by
+#: q_llm_label_centroids and q_llm_nearest_centroid (guard:
+#: tests/test_llm_ops.py::test_centroid_scale_is_tie_free; rationale in
+#: the centroids docstring + SCALE.md). A scale bump lands HERE, in
+#: both engines at once.
+_SQL_EMB_EXPLODED = """
       SELECT label,
              unnest(generate_series(0, len(embedding) - 1)) AS dim,
              unnest(embedding) AS x
       FROM embeddings
+"""
+_SQL_F32_MEAN = (
+    "CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)"
+    " / count(x) AS DOUBLE)"
+)
+
+
+def _f32_mean(col: str = "x") -> "F.Column":
+    """Spark twin of :data:`_SQL_F32_MEAN`."""
+    return (
+        (
+            F.sum(F.col(col).cast("double").cast("decimal(28,8)")).cast("double")
+            / F.count(col)
+        )
+        .cast("double")
     )
+
+
+def _emb_exploded(emb: DataFrame) -> DataFrame:
+    """Spark twin of :data:`_SQL_EMB_EXPLODED`."""
+    return emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+
+
+@query(
+    "q_llm_label_centroids",
+    oracle=f"""
+    WITH ex AS ({_SQL_EMB_EXPLODED})
     SELECT label, dim,
-           CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
-                / count(x) AS DOUBLE) AS centroid,
+           {_SQL_F32_MEAN} AS centroid,
            count(x) AS n_vectors
     FROM ex GROUP BY label, dim
     """,
@@ -545,15 +572,10 @@ def q_llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     change)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        _emb_exploded(emb)
         .groupBy("label", "dim")
         .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(28,8)")).cast("double")
-                / F.count("x")
-            )
-            .cast("double")
-            .alias("centroid"),
+            _f32_mean().alias("centroid"),
             F.count("x").alias("n_vectors"),
         )
     )
@@ -561,17 +583,10 @@ def q_llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_llm_nearest_centroid",
-    oracle="""
-    WITH ex AS (
-      SELECT label,
-             unnest(generate_series(0, len(embedding) - 1)) AS dim,
-             unnest(embedding) AS x
-      FROM embeddings
-    ),
+    oracle=f"""
+    WITH ex AS ({_SQL_EMB_EXPLODED}),
     cent AS (
-      SELECT label AS clabel, dim,
-             CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
-                  / count(x) AS DOUBLE) AS c
+      SELECT label AS clabel, dim, {_SQL_F32_MEAN} AS c
       FROM ex GROUP BY 1, 2
     ),
     cvecs AS (SELECT clabel, list(c ORDER BY dim) AS cvec FROM cent GROUP BY clabel),
@@ -604,22 +619,11 @@ def q_llm_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEQUENTIAL left-to-right fold over the 64 dims (zip_with +
     aggregate vs DuckDB list_sum — the q_llm_cosine_topk parity
     precedent), never a cross-row double sum; argmin breaks exact
-    distance ties by label. Scale shape: the 11×64 centroid table
+    distance ties by label. Scale shape: the 10×64 centroid table
     broadcasts; the corpus is scanned once and shuffles only the
     per-vector argmin row."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(28,8)")).cast("double")
-                / F.count("x")
-            )
-            .cast("double")
-            .alias("c")
-        )
-    )
+    cent = _emb_exploded(emb).groupBy("label", "dim").agg(_f32_mean().alias("c"))
     cvecs = cent.groupBy(F.col("label").alias("clabel")).agg(
         F.array_sort(F.collect_list(F.struct("dim", "c"))).getField("c").alias("cvec")
     )
@@ -962,12 +966,19 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_frames",
     oracle="""
     WITH b AS (
-      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      -- coalesce/greatest guards mirror the engine's empty-input
+      -- fallback: text_to_wav_blobs encodes empty or NULL text as the
+      -- single sample b'\\x00' -> amplitude (0-128)*256
+      SELECT doc_id, hex(encode(text)) AS h,
+             coalesce(octet_length(encode(text)), 0) AS n
       FROM documents
     ),
-    idx AS (SELECT doc_id, h, unnest(range(0, n, 8)) AS frame_idx FROM b)
+    idx AS (
+      SELECT doc_id, h, unnest(range(0, greatest(n, 1), 8)) AS frame_idx FROM b
+    )
     SELECT doc_id, frame_idx,
-           (CAST(('0x' || substr(h, CAST(frame_idx*2+1 AS INT), 2)) AS BIGINT)
+           (coalesce(TRY_CAST(('0x' || substr(h, CAST(frame_idx*2+1 AS INT), 2))
+                              AS BIGINT), 0)
             - 128) * 256 AS amplitude
     FROM idx
     """,
@@ -992,7 +1003,10 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_resize",
     oracle="""
     WITH b AS (
-      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      -- coalesce mirrors the engine's NULL-text fallback (b'\\x00'
+      -- raster: one all-zero row); pos < n then yields 0 everywhere
+      SELECT doc_id, hex(encode(text)) AS h,
+             coalesce(octet_length(encode(text)), 0) AS n
       FROM documents
     ),
     dims AS (

@@ -311,6 +311,10 @@ def test_dynamic_session_null_ts_dropped_null_gap_default(spark):
             (1, None, "click"),
             (2, "2020-01-01 00:00:00", "purchase"),
             (2, "2020-01-01 00:40:00", "click"),
+            # user 3: second event lands EXACTLY on the first window's
+            # end — Spark merges at the boundary (oracle must use >=)
+            (3, "2020-01-01 00:00:00", "click"),
+            (3, "2020-01-01 00:15:00", "click"),
         ],
         "user_id long, ts string, event_type string",
     ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
@@ -325,11 +329,13 @@ def test_dynamic_session_null_ts_dropped_null_gap_default(spark):
             .select("user_id", F.col("w.end").alias("e"), "n")
         ).collect()
     }
-    assert len(out) == 2, f"expected one session per user, got {out}"
+    assert len(out) == 3, f"expected one session per user, got {out}"
     assert out[1].n == 2  # null-ts row dropped
     assert out[1].e.minute == 25  # null type -> 15-min gap after 00:10
     # 45-min purchase gap bridges the 00:40 click into one session
     assert out[2].n == 2 and out[2].e.minute == 55
+    # exact-boundary event merges (end is inclusive for the NEXT start)
+    assert out[3].n == 2 and out[3].e.minute == 30
 
 
 def test_asof_tolerance_boundary_inclusive(spark):

@@ -34,7 +34,7 @@ _NONEQUI_OK = {
     # MG sketch: crossJoins of TWO 1-row broadcast aggregates (the
     # global err bound and n_total) onto a <= capacity×partitions table
     "q_events_heavy_hitters_sketch",
-    # crossJoin of the broadcast 11-row per-label centroid table
+    # crossJoin of the broadcast 10-row per-label centroid table
     "q_llm_nearest_centroid",
 }
 
