@@ -410,3 +410,33 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           first(user_id ORDER BY n DESC, user_id) AS mode_user,
+           max(n) AS n_max
+    FROM c GROUP BY event_type
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE with a pinned tie order (most active user per
+    event type, smallest id on count ties). Spark's builtin `mode()`
+    is non-deterministic on ties, so the key uses the deterministic
+    argmax idiom instead — `min_by` over a packed (−count, id) struct,
+    a two-phase aggregation with no window sort; the oracle's ordered
+    `first()` pins the identical tie order."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("__n"))
+    return counts.groupBy("event_type").agg(
+        F.min_by(
+            "user_id",
+            F.struct((-F.col("__n")).alias("neg_n"), F.col("user_id").alias("uid")),
+        ).alias("mode_user"),
+        F.max("__n").alias("n_max"),
+    )

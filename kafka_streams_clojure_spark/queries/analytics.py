@@ -292,3 +292,42 @@ def q_events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     # c >= 1250 for err <= 80; 1408 also stays below the 1500 distinct
     # users so the MG compression genuinely fires there)
     return heavy_hitters_sketch(ev, "user_id", capacity=1408, min_count=80)
+
+
+@query(
+    "q_events_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.value, d.med, m.mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(d.value - d.med) > 5.0 * m.mad
+    """,
+)
+def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection: |x − median| > 5·MAD per event type
+    (median absolute deviation) — unlike the 3σ z-score twin
+    (q_events_outliers), a few extreme values cannot inflate the
+    spread estimate and mask each other. Exact interpolated medians on
+    both engines (the q_agg_percentile parity precedent); the two
+    per-type stat tables broadcast back onto the scan, so the fact
+    table shuffles only for the percentile aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("absdev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 5.0 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )

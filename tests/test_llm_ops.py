@@ -726,3 +726,31 @@ def test_sample_wav_frames_strided_exact(spark):
     assert rows[0] == (ord("a") - 128) * 256
     assert rows[4] == (ord("e") - 128) * 256
     assert rows[8] == (ord("i") - 128) * 256
+
+
+def test_resize_bmp_all_small_geometries():
+    """Exhaustive small-geometry sweep (incl. widths whose rows need
+    BMP 4-byte stride padding): decimation equals the pure-Python
+    reference subsample for every (w, h, factor) in range."""
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        _bmp_pixel_rows,
+        encode_bmp,
+        resize_bmp,
+    )
+
+    for w in range(1, 6):
+        for h in range(1, 5):
+            pixels = bytes((i * 7 + 3) % 256 for i in range(w * h * 3))
+            blob = encode_bmp(pixels, w, h)
+            for f in range(1, 4):
+                out = resize_bmp(blob, f)
+                nw, nh, rows = _bmp_pixel_rows(out)
+                assert nw == -(-w // f) and nh == -(-h // f)
+                expect = []
+                for y in range(0, h, f):
+                    row = b"".join(
+                        pixels[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+                        for x in range(0, w, f)
+                    )
+                    expect.append(row)
+                assert rows == expect, (w, h, f)
