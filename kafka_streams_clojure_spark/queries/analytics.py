@@ -331,3 +331,55 @@ def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("value") - F.col("med")) > 5.0 * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad")
     )
+
+
+@query(
+    "q_events_corr",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             {sql_davg('value')} AS mx,
+             {sql_davg('CAST(hour(ts) AS DOUBLE)')} AS my,
+             {sql_davg('value * CAST(hour(ts) AS DOUBLE)')} AS mxy,
+             {sql_davg('value * value')} AS mxx,
+             {sql_davg('CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)')} AS myy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           (mxy - mx * my) AS covar_value_hour,
+           (mxy - mx * my)
+             / (sqrt(mxx - mx * mx) * sqrt(myy - my * my)) AS corr_value_hour
+    FROM s
+    """,
+)
+def q_events_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation (and covariance) between event
+    value and hour-of-day — the does-this-metric-follow-a-daily-cycle
+    probe. Spark's builtin `corr()` sums doubles in partial-agg order
+    (nondeterministic across partitions), so the key computes the five
+    moments through the shared decimal-cast `davg` twins and assembles
+    corr per-row (products, differences, correctly-rounded sqrt —
+    never libm pow). hour() is integer field extraction on both
+    engines, no epoch rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.hour("ts").cast("double")
+    s = ev.groupBy("event_type").agg(
+        davg(x).alias("mx"),
+        davg(y).alias("my"),
+        davg(x * y).alias("mxy"),
+        davg(x * x).alias("mxx"),
+        davg(y * y).alias("myy"),
+    )
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    return s.select(
+        "event_type",
+        cov.alias("covar_value_hour"),
+        (
+            cov
+            / (
+                F.sqrt(F.col("mxx") - F.col("mx") * F.col("mx"))
+                * F.sqrt(F.col("myy") - F.col("my") * F.col("my"))
+            )
+        ).alias("corr_value_hour"),
+    )
