@@ -309,7 +309,7 @@ def q_events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
     SELECT d.event_id, d.event_type, d.value, d.med, m.mad
     FROM dev d JOIN mad m USING (event_type)
-    WHERE abs(d.value - d.med) > 5.0 * m.mad
+    WHERE d.absdev > 5.0 * m.mad
     """,
 )
 def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,7 +328,7 @@ def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(F.percentile("absdev", 0.5).alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
-        .filter(F.abs(F.col("value") - F.col("med")) > 5.0 * F.col("mad"))
+        .filter(F.col("absdev") > 5.0 * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad")
     )
 
@@ -345,10 +345,19 @@ def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
              {sql_davg('CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)')} AS myy
       FROM events GROUP BY event_type
     )
+    -- greatest(var, 0): decimal quantization can push a degenerate
+    -- (single-row / constant) group's variance a hair negative, which
+    -- hard-errors DuckDB's sqrt while Spark returns NaN; the CASE
+    -- nulls corr when either variance is zero (Spark's non-ANSI /0
+    -- would yield NULL, DuckDB inf — make both NULL explicitly)
     SELECT event_type,
            (mxy - mx * my) AS covar_value_hour,
-           (mxy - mx * my)
-             / (sqrt(mxx - mx * mx) * sqrt(myy - my * my)) AS corr_value_hour
+           CASE WHEN sqrt(greatest(mxx - mx * mx, 0))
+                     * sqrt(greatest(myy - my * my, 0)) > 0
+                THEN (mxy - mx * my)
+                     / (sqrt(greatest(mxx - mx * mx, 0))
+                        * sqrt(greatest(myy - my * my, 0)))
+           END AS corr_value_hour
     FROM s
     """,
 )
@@ -372,14 +381,13 @@ def q_events_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(y * y).alias("myy"),
     )
     cov = F.col("mxy") - F.col("mx") * F.col("my")
+    # clip-to-zero + null-on-zero-denominator mirrors the oracle's
+    # CASE/greatest guard for degenerate (constant or single-row) groups
+    denom = F.sqrt(
+        F.greatest(F.col("mxx") - F.col("mx") * F.col("mx"), F.lit(0.0))
+    ) * F.sqrt(F.greatest(F.col("myy") - F.col("my") * F.col("my"), F.lit(0.0)))
     return s.select(
         "event_type",
         cov.alias("covar_value_hour"),
-        (
-            cov
-            / (
-                F.sqrt(F.col("mxx") - F.col("mx") * F.col("mx"))
-                * F.sqrt(F.col("myy") - F.col("my") * F.col("my"))
-            )
-        ).alias("corr_value_hour"),
+        F.when(denom > 0, cov / denom).alias("corr_value_hour"),
     )

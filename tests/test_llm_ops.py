@@ -754,3 +754,36 @@ def test_resize_bmp_all_small_geometries():
                     )
                     expect.append(row)
                 assert rows == expect, (w, h, f)
+
+
+def test_containment_stop_shingle_cut(spark):
+    """containment's max_doc_freq mirrors jaccard's: boilerplate-only
+    pairs drop, the true contained pair survives, and its reported
+    containment (counted over rare shingles, divided by the FULL set
+    size) is a lower bound of the uncapped score."""
+    from kafka_streams_clojure_spark.operators.dedup import ngram_containment_pairs
+
+    boiler = "copyright footer terms apply all rights reserved"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon zeta extra words here {boiler}"),
+        (3, f"one two three four five six {boiler}"),
+        (4, f"seven eight nine ten eleven twelve {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.id_a, r.id_b): r.cont_a
+        for r in ngram_containment_pairs(df, k=3, threshold=0.05).collect()
+    }
+    assert (1, 3) in exact or (3, 4) in exact  # boilerplate connects all
+
+    cut = {
+        (r.id_a, r.id_b): r.cont_a
+        for r in ngram_containment_pairs(
+            df, k=3, threshold=0.05, max_doc_freq=2
+        ).collect()
+    }
+    assert (1, 2) in cut, "true contained pair lost by the stop-shingle cut"
+    assert set(cut) == {(1, 2)}, f"boilerplate-only pairs survived: {set(cut)}"
+    assert cut[(1, 2)] <= exact[(1, 2)] + 1e-12
