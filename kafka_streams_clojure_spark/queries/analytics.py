@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_clojure_spark.queries import query
-from kafka_streams_clojure_spark.queries._util import davg, load_table, sql_davg, sql_dsum
+from kafka_streams_clojure_spark.queries._util import davg, dsum, load_table, sql_davg, sql_dsum
 
 # Funnel stages: first 'view', then first 'click' AFTER that view,
 # then first 'purchase' AFTER that click — strict event-order funnel,
@@ -390,4 +390,89 @@ def q_events_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         cov.alias("covar_value_hour"),
         F.when(denom > 0, cov / denom).alias("corr_value_hour"),
+    )
+
+
+@query(
+    "q_events_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bar, event_type,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (the candlestick resample every
+    metrics/market pipeline runs): open/close are the first/last value
+    in (ts, event_id) order via `min_by`/`max_by` over a packed order
+    struct — a pure two-phase aggregation, no per-bar sort, no window;
+    high/low are plain min/max. All four picks are existing doubles
+    (no arithmetic), so parity needs no decimal discipline — only the
+    pinned tie order."""
+    ev = load_table(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bar"), "event_type"
+    ).agg(
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_events_twap",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, value,
+             CAST(CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))) AS BIGINT)
+                  - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           CASE WHEN {sql_dsum('dt')} > 0
+                THEN CAST({sql_dsum('value * dt')} / {sql_dsum('dt')} AS DOUBLE)
+           END AS twap,
+           count(*) AS n_intervals
+    FROM d WHERE dt IS NOT NULL GROUP BY user_id
+    """,
+)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    holds until the next one, so it is weighted by its holding
+    interval — sum(value·dt)/sum(dt) over lead-diffed timestamps, the
+    last (open-ended) observation excluded. dt is WHOLE SECONDS on
+    both engines (Spark unix_timestamp = DuckDB floor(epoch) — the
+    CLAUDE.md rounding rule): second-granular weights keep the
+    decimal-cast products small and far from rounding-tie territory
+    (µs-scale products put the tie digit inside the double's noise
+    floor — measured last-ulp divergence). A user whose surviving
+    intervals sum to zero seconds gets NULL, identically in both
+    engines (the q_events_corr degenerate-group lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn(
+            "dt",
+            (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("dt").isNotNull())
+    )
+    num = dsum(F.col("value") * F.col("dt"))
+    den = dsum(F.col("dt"))
+    return d.groupBy("user_id").agg(
+        F.when(den > 0, (num / den).cast("double")).alias("twap"),
+        F.count("*").alias("n_intervals"),
     )
