@@ -132,3 +132,59 @@ def dedup_clusters(
         F.col("component").alias("canonical_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def triangle_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient over
+    an undirected pair graph given as ordered edges (src < dst).
+
+    Triangles close the dedup feedback loop: a near-dup pair inside a
+    triangle is corroborated by a third document, while a bridge edge
+    (clustering 0) is the classic false-positive shape — so the
+    coefficient is a per-vertex confidence feature for keep/drop
+    decisions on top of :func:`dedup_clusters`.
+
+    Scale shape: the standard distributed ordered-triple algorithm —
+    every triangle a<b<c is found exactly once by joining edge (a,b)
+    to (b,c) and closing with (a,c); two equi-joins on vertex ids,
+    shuffle ∝ |E| + path counts, never vertices². Degrees are one
+    union+groupBy. Returns (doc_id, degree, n_triangles, clustering)
+    with clustering NULL for degree-1 vertices.
+    """
+    e = persist_scoped(pairs.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")))[0]
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .select(
+            F.col("e1.id_a").alias("a"),
+            F.col("e1.id_b").alias("b"),
+            F.col("e2.id_b").alias("c"),
+        )
+    )
+    per_vertex = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("id_a").alias("doc_id"))
+        .unionAll(e.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    n_tri = F.coalesce("n_triangles", F.lit(0)).cast("bigint")
+    return deg.join(per_vertex, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        n_tri.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (2.0 * n_tri.cast("double"))
+            / (F.col("degree").cast("double") * (F.col("degree") - 1).cast("double")),
+        ).alias("clustering"),
+    )

@@ -308,6 +308,49 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_graph_triangles",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    e AS (SELECT id_a, id_b FROM jpairs),
+    tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
+      JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tv AS (
+      SELECT doc_id, count(*) AS n_triangles
+      FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri) GROUP BY doc_id
+    ),
+    deg AS (
+      SELECT doc_id, count(*) AS degree FROM (
+        SELECT id_a AS doc_id FROM e UNION ALL SELECT id_b FROM e
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.degree,
+           CAST(coalesce(tv.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN 2.0 * CAST(coalesce(tv.n_triangles, 0) AS DOUBLE)
+                     / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))
+           END AS clustering
+    FROM deg d LEFT JOIN tv ON tv.doc_id = d.doc_id
+    """,
+)
+def q_llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the Jaccard
+    near-dup graph (operators/graph.triangle_stats): a pair inside a
+    triangle is corroborated by a third document, a clustering-0
+    bridge edge is the classic dedup false-positive shape — a
+    per-vertex confidence feature on top of the cluster closure. The
+    ordered-triple join finds each triangle exactly once; integers
+    end-to-end except the final coefficient ratio (identical IEEE
+    division both engines)."""
+    from kafka_streams_clojure_spark.operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return triangle_stats(ngram_jaccard_pairs(docs, k=4, threshold=0.5))
+
+
+@query(
     "q_llm_containment",
     oracle=f"""
     WITH toks AS (
