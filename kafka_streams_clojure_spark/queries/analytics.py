@@ -476,3 +476,125 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(den > 0, (num / den).cast("double")).alias("twap"),
         F.count("*").alias("n_intervals"),
     )
+
+
+@query(
+    "q_events_funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT CAST(stage AS VARCHAR) AS stage, CAST(users AS BIGINT) AS users
+    FROM (
+      SELECT 'view' AS stage, count(*) AS users FROM s1
+      UNION ALL SELECT 'view>click_1d', count(*) FROM s2
+      UNION ALL SELECT 'view>click>purchase_1d', count(*) FROM s3
+    )
+    """,
+)
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel: each stage must fire within 1 day of the
+    previous stage's first event — the conversion-window constraint
+    that distinguishes a real attribution funnel from the unbounded
+    event-order funnel (q_events_funnel). Same chained per-user min
+    aggregation plan; the window bound is one extra pushdown predicate
+    per stage, so cost is unchanged."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    ev = load_table(spark, sf_dir, "events")
+    s1 = persist_if_uncached(
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = persist_if_uncached(
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count("*").cast("bigint").alias("users")
+        )
+
+    return (
+        stage(s1, "view")
+        .unionAll(stage(s2, "view>click_1d"))
+        .unionAll(stage(s3, "view>click>purchase_1d"))
+    )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH tr AS (
+      SELECT user_id, event_type AS curr,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    c AS (SELECT prev, curr, count(*) AS n FROM tr WHERE prev IS NOT NULL
+          GROUP BY 1, 2),
+    t AS (SELECT prev, sum(n) AS n_prev FROM c GROUP BY prev)
+    SELECT c.prev, c.curr, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.n_prev AS DOUBLE) AS p
+    FROM c JOIN t USING (prev)
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: what does each event type lead to, and with what
+    probability (count / row total — an exact integer ratio, no
+    decimal discipline needed). The behavioral-model shape behind
+    next-action prediction and anomaly scoring on event streams; one
+    per-user lag window + two small aggregations."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    counts = tr.groupBy("prev", F.col("event_type").alias("curr")).agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    return counts.join(tot, "prev").select(
+        "prev",
+        "curr",
+        "n",
+        (F.col("n").cast("double") / F.col("n_prev").cast("double")).alias("p"),
+    )
