@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_streams_clojure_spark.operators._cache import persist_scoped
+from kafka_streams_clojure_spark.operators._cache import persist_if_uncached, persist_scoped
 
 
 def connected_components(
@@ -136,7 +136,7 @@ def dedup_clusters(
 
 def triangle_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
     """Per-vertex triangle counts + local clustering coefficient over
-    an undirected pair graph given as ordered edges (src < dst).
+    an undirected pair graph (edges in any orientation/multiplicity).
 
     Triangles close the dedup feedback loop: a near-dup pair inside a
     triangle is corroborated by a third document, while a bridge edge
@@ -150,8 +150,20 @@ def triangle_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     shuffle ∝ |E| + path counts, never vertices². Degrees are one
     union+groupBy. Returns (doc_id, degree, n_triangles, clustering)
     with clustering NULL for degree-1 vertices.
+
+    Input is normalized like :func:`connected_components`' is: edges
+    are least/greatest-ordered, dedup'd, and self-loops dropped, so a
+    raw pair list containing (1,2) AND (2,1) (or duplicates) counts
+    as ONE edge instead of doubling degrees and triangle counts.
     """
-    e = persist_scoped(pairs.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")))[0]
+    e = persist_if_uncached(
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("id_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tris = (
         e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))

@@ -19,31 +19,96 @@ from kafka_streams_clojure_spark.queries._util import davg, dsum, load_table, sq
 
 # Funnel stages: first 'view', then first 'click' AFTER that view,
 # then first 'purchase' AFTER that click — strict event-order funnel,
-# not a bag-of-events intersection.
-_FUNNEL_ORACLE = """
-WITH s1 AS (
-  SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id
-),
-s2 AS (
-  SELECT e.user_id, min(e.ts) AS t2
-  FROM events e JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'click' AND e.ts > s1.t1
-  GROUP BY e.user_id
-),
-s3 AS (
-  SELECT e.user_id, min(e.ts) AS t3
-  FROM events e JOIN s2 ON e.user_id = s2.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-  GROUP BY e.user_id
-)
-SELECT CAST(stage AS VARCHAR) AS stage, CAST(users AS BIGINT) AS users
-FROM (
-  SELECT 'view' AS stage, count(*) AS users FROM s1
-  UNION ALL SELECT 'view>click', count(*) FROM s2
-  UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
-)
-"""
+# not a bag-of-events intersection. ONE builder serves the unbounded
+# and the conversion-window variants on BOTH engines (the
+# _JACCARD_CTES pattern: shared text so the twins' oracles can't
+# drift); ``bound`` is a SQL interval literal like '1 DAY' or None.
+
+
+def _funnel_sql(bound: "str | None", labels: "tuple[str, str, str]") -> str:
+    b1 = f" AND e.ts <= s1.t1 + INTERVAL {bound}" if bound else ""
+    b2 = f" AND e.ts <= s2.t2 + INTERVAL {bound}" if bound else ""
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1{b1}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2{b2}
+      GROUP BY e.user_id
+    )
+    SELECT CAST(stage AS VARCHAR) AS stage, CAST(users AS BIGINT) AS users
+    FROM (
+      SELECT '{labels[0]}' AS stage, count(*) AS users FROM s1
+      UNION ALL SELECT '{labels[1]}', count(*) FROM s2
+      UNION ALL SELECT '{labels[2]}', count(*) FROM s3
+    )
+    """
+
+
+def _funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    bound: "str | None",
+    labels: "tuple[str, str, str]",
+) -> DataFrame:
+    """Spark twin of :func:`_funnel_sql` (see q_events_funnel for the
+    plan-shape notes: chained per-user mins, s1/s2 persisted because
+    each is read by its stage count AND the next stage's join)."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def within(prev_t: str):
+        cond = F.col("ts") > F.col(prev_t)
+        if bound:
+            cond = cond & (
+                F.col("ts") <= F.col(prev_t) + F.expr(f"INTERVAL {bound}")
+            )
+        return cond
+
+    s1 = persist_if_uncached(
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = persist_if_uncached(
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(within("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(within("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count("*").cast("bigint").alias("users")
+        )
+
+    return (
+        stage(s1, labels[0])
+        .unionAll(stage(s2, labels[1]))
+        .unionAll(stage(s3, labels[2]))
+    )
+
+
+_FUNNEL_LABELS = ("view", "view>click", "view>click>purchase")
+_FUNNEL_ORACLE = _funnel_sql(None, _FUNNEL_LABELS)
 
 
 @query("q_events_funnel", oracle=_FUNNEL_ORACLE)
@@ -60,39 +125,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + the next stage's join), so both are persisted — exchange
     reuse across the union branches is plan-shape sensitive and must
     not be relied on to avoid a 3× events scan."""
-    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
-
-    ev = load_table(spark, sf_dir, "events")
-    s1 = persist_if_uncached(
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = persist_if_uncached(
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"), F.count("*").cast("bigint").alias("users")
-        )
-
-    return (
-        stage(s1, "view")
-        .unionAll(stage(s2, "view>click"))
-        .unionAll(stage(s3, "view>click>purchase"))
-    )
+    return _funnel(spark, sf_dir, None, _FUNNEL_LABELS)
 
 
 _RETENTION_ORACLE = """
@@ -480,78 +513,17 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_events_funnel_windowed",
-    oracle="""
-    WITH s1 AS (
-      SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    s2 AS (
-      SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN s1 ON e.user_id = s1.user_id
-      WHERE e.event_type = 'click'
-        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 DAY
-      GROUP BY e.user_id
-    ),
-    s3 AS (
-      SELECT e.user_id, min(e.ts) AS t3
-      FROM events e JOIN s2 ON e.user_id = s2.user_id
-      WHERE e.event_type = 'purchase'
-        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 DAY
-      GROUP BY e.user_id
-    )
-    SELECT CAST(stage AS VARCHAR) AS stage, CAST(users AS BIGINT) AS users
-    FROM (
-      SELECT 'view' AS stage, count(*) AS users FROM s1
-      UNION ALL SELECT 'view>click_1d', count(*) FROM s2
-      UNION ALL SELECT 'view>click>purchase_1d', count(*) FROM s3
-    )
-    """,
+    oracle=_funnel_sql("1 DAY", ("view", "view>click_1d", "view>click>purchase_1d")),
 )
 def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-BOUNDED funnel: each stage must fire within 1 day of the
     previous stage's first event — the conversion-window constraint
     that distinguishes a real attribution funnel from the unbounded
-    event-order funnel (q_events_funnel). Same chained per-user min
-    aggregation plan; the window bound is one extra pushdown predicate
+    event-order funnel (q_events_funnel, the SAME shared builder with
+    ``bound=None``). The window bound is one extra pushdown predicate
     per stage, so cost is unchanged."""
-    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
-
-    ev = load_table(spark, sf_dir, "events")
-    s1 = persist_if_uncached(
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = persist_if_uncached(
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 DAY"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"), F.count("*").cast("bigint").alias("users")
-        )
-
-    return (
-        stage(s1, "view")
-        .unionAll(stage(s2, "view>click_1d"))
-        .unionAll(stage(s3, "view>click>purchase_1d"))
+    return _funnel(
+        spark, sf_dir, "1 DAY", ("view", "view>click_1d", "view>click>purchase_1d")
     )
 
 

@@ -787,3 +787,27 @@ def test_containment_stop_shingle_cut(spark):
     assert (1, 2) in cut, "true contained pair lost by the stop-shingle cut"
     assert set(cut) == {(1, 2)}, f"boilerplate-only pairs survived: {set(cut)}"
     assert cut[(1, 2)] <= exact[(1, 2)] + 1e-12
+
+
+def test_triangle_stats_normalizes_raw_edges(spark):
+    """Mirrored, duplicated, and self-loop edge rows must collapse:
+    both-direction (1,2)/(2,1) plus a duplicate is ONE edge (degree 1
+    each, clustering NULL); a true triangle counts once per vertex."""
+    from kafka_streams_clojure_spark.operators.graph import triangle_stats
+
+    raw = spark.createDataFrame(
+        [
+            (1, 2), (2, 1), (1, 2),   # one edge, three raw rows
+            (3, 3),                   # self-loop: dropped
+            (4, 5), (5, 6), (6, 4),   # triangle
+        ],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r for r in triangle_stats(raw).collect()}
+    assert set(out) == {1, 2, 4, 5, 6}
+    assert out[1].degree == 1 and out[1].n_triangles == 0
+    assert out[1].clustering is None
+    assert out[2].degree == 1
+    for v in (4, 5, 6):
+        assert out[v].degree == 2 and out[v].n_triangles == 1
+        assert out[v].clustering == 1.0
