@@ -308,6 +308,79 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_collocations",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
+             generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+               AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks
+    ),
+    b AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    tot AS (SELECT count(*) AS n_tot FROM b),
+    ul AS (SELECT w, count(*) AS n_w FROM b GROUP BY w),
+    ur AS (SELECT w2, count(*) AS n_w2 FROM b GROUP BY w2),
+    pc AS (SELECT w, w2, count(*) AS n_pair FROM b GROUP BY w, w2
+           HAVING count(*) >= 5)
+    SELECT pc.w, pc.w2, pc.n_pair,
+           (CAST(pc.n_pair AS DOUBLE) * CAST(tot.n_tot AS DOUBLE))
+             / (CAST(ul.n_w AS DOUBLE) * CAST(ur.n_w2 AS DOUBLE)) AS lift
+    FROM pc JOIN ul USING (w) JOIN ur USING (w2), tot
+    ORDER BY lift DESC, w, w2 LIMIT 20
+    """,
+)
+def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram COLLOCATIONS by lift — p(w1,w2)/(p(w1)·p(w2)),
+    the division-only twin of PMI (ln is libm-banned on oracle paths;
+    lift preserves PMI's ranking exactly). The corpus-statistics probe
+    behind tokenizer-merge candidates, stopword-phrase detection, and
+    boilerplate discovery. Bigram generation is the codegen
+    posexplode + window-lead idiom (shingle_sets' pattern, pinned
+    repartition against the AQE one-partition trap); counts are exact
+    integers, lift is one IEEE division; a count floor (>= 5) plus
+    (lift, w, w2) ordering makes the top-20 deterministic."""
+    from pyspark.sql import Window as W
+
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+        )
+        .repartition(par, "doc_id")
+    )
+    w_ = W.partitionBy("doc_id").orderBy("pos")
+    b = persist_if_uncached(
+        toks.withColumn("w2", F.lead("w").over(w_))
+        .filter(F.col("w2").isNotNull())
+        .select("w", "w2")
+    )
+    tot = b.agg(F.count("*").alias("n_tot"))
+    ul = b.groupBy("w").agg(F.count("*").alias("n_w"))
+    ur = b.groupBy("w2").agg(F.count("*").alias("n_w2"))
+    pc = b.groupBy("w", "w2").agg(F.count("*").alias("n_pair")).filter(
+        F.col("n_pair") >= 5
+    )
+    lift = (
+        F.col("n_pair").cast("double") * F.col("n_tot").cast("double")
+    ) / (F.col("n_w").cast("double") * F.col("n_w2").cast("double"))
+    return (
+        pc.join(ul, "w")
+        .join(ur, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w", "w2", "n_pair", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w", "w2")
+        .limit(20)
+    )
+
+
+@query(
     "q_llm_graph_triangles",
     oracle=f"""
     WITH {_JACCARD_CTES},

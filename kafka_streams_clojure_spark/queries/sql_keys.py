@@ -614,3 +614,19 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     POINT rather than a lateral correlation example.
     """
     return sql(spark, sf_dir, _LATERAL_TOP2)
+
+
+_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY ALL
+"""
+
+
+@query("q_sql_group_by_all", oracle=_GROUP_BY_ALL)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (the DuckDB-popularized shorthand Spark adopted in
+    3.4): every non-aggregate select item becomes a grouping key — one
+    byte-identical text through both engines, rounding out the shared
+    modern-SQL dialect surface next to WITH RECURSIVE and LATERAL."""
+    return sql(spark, sf_dir, _GROUP_BY_ALL)

@@ -31,6 +31,7 @@ _NONEQUI_OK = {
     "q_llm_tfidf_linear",
     "q_win_ntile",
     "q_llm_length_band",
+    "q_llm_collocations",  # 1-row broadcast bigram total
     # MG sketch: crossJoins of TWO 1-row broadcast aggregates (the
     # global err bound and n_total) onto a <= capacity×partitions table
     "q_events_heavy_hitters_sketch",
