@@ -134,6 +134,77 @@ def dedup_clusters(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    unit: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """INTEGER-EXACT damped PageRank over the symmetrized pair graph
+    (fixed ``iters`` power iterations, no convergence test).
+
+    Ranks are kept as BIGINT micro-units (``unit`` total mass ≈ 1.0)
+    and every update uses only integer multiply + integer division
+    (``DIV``), so the result is bit-identical on any engine — the same
+    determinism trick as the repo's decimal-cast sums, which makes a
+    fixed-iteration PageRank fully DuckDB-oracle-able (float PageRank
+    would diverge: per-vertex contribution sums are partial-agg-order
+    dependent). Update rule per vertex v::
+
+        r'[v] = (dd-dn)*unit DIV (dd*N)  +  Σ_{u→v} (dn*r[u]) DIV (dd*deg[u])
+
+    with dn/dd the damping fraction (85/100). Rounding loss from DIV
+    leaks a few units of mass per vertex per round — irrelevant for
+    ranking at unit=1e12 (relative error ~1e-10) and identical across
+    engines, which is the property that matters here.
+
+    Input edges are normalized exactly like :func:`connected_components`:
+    both orientations united + distinct, so the walk is undirected and
+    every vertex has degree ≥ 1 (no dangling-mass term needed — the
+    classic dangling-node redistribution is a directed-graph concern).
+
+    Scale shape: per round, one equi-join (ranks ⋈ out-edges) + one
+    groupBy-sum — shuffle ∝ |E|, state ∝ |V|; ``localCheckpoint`` per
+    round truncates lineage exactly as in :func:`connected_components`.
+    The vertex count is one scalar driver-side count (metadata-scale,
+    same as the Pregel convergence check). Returns ``(id, rank)`` with
+    rank in micro-units of ``unit``.
+    """
+    und, we_cached = persist_scoped(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    try:
+        deg = und.groupBy("a").agg(F.count("*").alias("d"))
+        ed = und.join(deg, "a")
+        verts = und.select(F.col("a").alias("id")).distinct()
+        n = verts.count()
+        if n == 0:
+            return verts.withColumn("rank", F.lit(0).cast("long"))
+        base = ((damp_den - damp_num) * unit) // (damp_den * n)
+        ranks = verts.withColumn(
+            "r", F.lit(unit // n).cast("long")
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            contrib = ed.join(ranks.withColumnRenamed("id", "a"), "a").select(
+                F.col("b").alias("id"),
+                F.expr(f"({damp_num} * r) DIV ({damp_den} * d)").alias("share"),
+            )
+            ranks = (
+                contrib.groupBy("id")
+                .agg((F.lit(base) + F.sum("share")).cast("long").alias("r"))
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select("id", F.col("r").alias("rank"))
+    finally:
+        if we_cached:
+            und.unpersist()
+
+
 def triangle_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
     """Per-vertex triangle counts + local clustering coefficient over
     an undirected pair graph (edges in any orientation/multiplicity).

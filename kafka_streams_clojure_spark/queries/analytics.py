@@ -570,3 +570,67 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_prev").cast("double")).alias("p"),
     )
+
+
+# ── PageRank (integer-exact, fixed-iteration — oracle-able) ─────────
+
+_PR_ITERS = 5
+_PR_UNIT = 10**12
+_PR_DN, _PR_DD = 85, 100  # damping 0.85 as an integer fraction
+
+
+def _pagerank_sql(iters: int, unit: int, dn: int, dd: int) -> str:
+    """Unrolled power iteration as plain CTE levels (recursive CTEs
+    can't aggregate over the recursive relation in standard SQL), over
+    the customer↔supplier co-purchase graph. Integer arithmetic only
+    (`//` = Spark `DIV` for the all-positive values here), so every
+    level is bit-identical to the Spark loop in operators.graph.pagerank."""
+    base = f"({(dd - dn) * unit} // ({dd} * (SELECT n FROM params)))"
+    sep = ",\n    "
+    levels = []
+    for i in range(1, iters + 1):
+        levels.append(
+            f"""r{i} AS (
+      SELECT und.b AS id,
+             CAST({base} + sum(({dn} * r{i - 1}.r) // ({dd} * deg.d)) AS BIGINT) AS r
+      FROM und JOIN r{i - 1} ON und.a = r{i - 1}.id JOIN deg ON deg.a = und.a
+      GROUP BY und.b
+    )"""
+        )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+    params AS (SELECT count(DISTINCT a) AS n FROM und),
+    r0 AS (SELECT DISTINCT a AS id, {unit} // (SELECT n FROM params) AS r FROM und),
+    {sep.join(levels)}
+    SELECT id, r AS rank FROM r{iters}
+    """
+
+
+@query("q_graph_pagerank", oracle=_pagerank_sql(_PR_ITERS, _PR_UNIT, _PR_DN, _PR_DD))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer↔supplier co-purchase
+    graph (an entity-importance score for recommendation/risk ranking
+    downstream of an event pipeline). INTEGER-EXACT fixed-iteration
+    power method — see operators.graph.pagerank — which is what makes
+    an iterative algorithm exactly DuckDB-oracle-able: the oracle
+    unrolls the same 5 integer iterations as CTE levels. Supplier ids
+    are offset by 1e6 into a disjoint id space before the graphs are
+    symmetrized."""
+    from kafka_streams_clojure_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("id_a"),
+            (F.col("l_suppkey") + 1000000).alias("id_b"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iters=_PR_ITERS, unit=_PR_UNIT, damp_num=_PR_DN, damp_den=_PR_DD)

@@ -54,6 +54,43 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_hopping_window",
+    oracle=f"""
+    WITH offs AS (SELECT unnest([0, 1]) AS i)
+    -- make_timestamp(us) yields a naive TIMESTAMP matching Spark's
+    -- window().start (to_timestamp() would be TIMESTAMPTZ).
+    SELECT make_timestamp(
+             ((CAST(floor(epoch(ts) / 43200) AS BIGINT) - i) * 43200) * 1000000)
+             AS window_start,
+           event_type,
+           count(*)            AS n,
+           {sql_dsum('value')} AS total
+    FROM events CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING-window aggregate on the real STREAMING engine (KS
+    TimeWindows.advanceBy parity — the streaming twin of the batch
+    `q_agg_sliding_window`): 1-day windows sliding every 12h, so every
+    event lands in 2 window instances, watermark bounds the per-window
+    state. Update mode + one AvailableNow batch → final table equals
+    the batch answer; the oracle rebuilds Spark's epoch-aligned window
+    starts arithmetically (floor(epoch/slide)−i). At scale state is
+    (windows × keys), evicted as the watermark passes window ends —
+    the overlap factor (size/slide) multiplies state, which is why the
+    slide is kept at half the size rather than a fine-grained hop."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+    return run_available_now(agg, output_mode="update")
+
+
+@query(
     "q_stream_stateful_counter",
     oracle=f"""
     SELECT user_id AS key, count(*) AS n, {sql_dsum('value')} AS total

@@ -136,12 +136,16 @@ def run_available_now(
       compaction is one shuffle on the upsert key at read time; a
       production deployment with Delta/Iceberg available swaps the
       append+compact pair for a real MERGE and keeps the same reader
-      contract. CONTRACT: the streamed query must emit at most one row
-      per key per micro-batch — true for streaming AGGREGATES (what
-      update mode exists for); a custom stateful query emitting several
-      rows for one key in one epoch would hit a ``max_by`` tie on
-      ``__epoch`` and keep an arbitrary one. ``upsert_keys`` is only
-      meaningful with ``output_mode='update'`` — any other mode raises.
+      contract. CONTRACT (ENFORCED): the streamed query must emit at
+      most one row per key per micro-batch — true for streaming
+      AGGREGATES (what update mode exists for). A custom stateful query
+      emitting several rows for one key in one epoch would hit a
+      ``max_by`` tie on ``__epoch`` and keep an arbitrary one, so the
+      sink checks per-epoch key uniqueness on each batch (one count
+      over the persisted batch — batch-sized, not stream-sized) and
+      raises naming the duplicated keys instead of compacting silently.
+      ``upsert_keys`` is only meaningful with ``output_mode='update'``
+      — any other mode raises.
     - each call leaves its store directory on disk until interpreter
       exit (the reader stays lazy, so eager cleanup would race it).
       Long-lived sessions sweeping many streaming keys can call
@@ -176,9 +180,36 @@ def run_available_now(
 
     def _to_store(batch_df: DataFrame, epoch_id: int) -> None:
         if upserting:
-            batch_df.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
-                "append"
-            ).parquet(store)
+            # Loud per-epoch key-uniqueness guard: the reader's max_by
+            # compaction is only well-defined when each epoch carries at
+            # most one row per key (true for streaming aggregates). A
+            # violating query must fail HERE, not silently keep an
+            # arbitrary row at read time. Persist so the guard count and
+            # the write share one computation of the batch.
+            batch_df.persist()
+            try:
+                dup = (
+                    batch_df.groupBy(*upsert_keys)
+                    .agg(F.count("*").alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .limit(5)
+                    .collect()
+                )
+                if dup:
+                    raise RuntimeError(
+                        f"run_available_now(upsert_keys={upsert_keys}): epoch "
+                        f"{epoch_id} emitted multiple rows for key(s) "
+                        f"{[tuple(r[k] for k in upsert_keys) for r in dup]} — "
+                        "the latest-per-key compaction would keep an arbitrary "
+                        "one. Upsert stores require at-most-one row per key "
+                        "per micro-batch (streaming aggregates); use plain "
+                        "append mode for multi-row emitters."
+                    )
+                batch_df.withColumn("__epoch", F.lit(int(epoch_id))).write.mode(
+                    "append"
+                ).parquet(store)
+            finally:
+                batch_df.unpersist()
             return
         if output_mode == "update" and epoch_id > 0:
             # Watermarked queries legitimately run a trailing NO-DATA

@@ -1,0 +1,53 @@
+"""Integer-exact PageRank invariants on synthetic graphs (the oracle
+key q_graph_pagerank checks engine parity; these check the MATH)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_clojure_spark.operators.graph import pagerank
+
+UNIT = 10**12
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    return {r.id: r.rank for r in pagerank(df, unit=UNIT, **kw).collect()}
+
+
+def test_star_hub_dominates_and_leaves_tie(spark):
+    """Star K1,4: the hub must outrank every leaf; all leaves equal
+    (exact integer equality — determinism is the whole point)."""
+    r = _ranks(spark, [(0, i) for i in range(1, 5)])
+    leaves = [r[i] for i in range(1, 5)]
+    assert len(set(leaves)) == 1
+    assert r[0] > leaves[0]
+
+
+def test_path_symmetry_and_center(spark):
+    """Path 1-2-3: ends are symmetric (bit-identical ranks), center
+    strictly higher."""
+    r = _ranks(spark, [(1, 2), (2, 3)])
+    assert r[1] == r[3]
+    assert r[2] > r[1]
+
+
+def test_mass_conservation_bound(spark):
+    """Total rank mass stays within the integer-DIV rounding-loss
+    bound: each vertex loses < (iters+1) units of truncation per
+    round, so unit - total <= (iters+1) * n * 2 — at unit=1e12 the
+    relative leak is ~1e-10."""
+    edges = [(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (2, 5)]
+    iters = 5
+    r = _ranks(spark, edges, iters=iters)
+    total = sum(r.values())
+    n = len(r)
+    assert total <= UNIT
+    assert UNIT - total <= (iters + 1) * n * 2, (UNIT - total, n)
+
+
+def test_regular_graph_uniform(spark):
+    """On a vertex-transitive graph (cycle), every vertex has the same
+    rank exactly."""
+    r = _ranks(spark, [(i, (i + 1) % 6) for i in range(6)])
+    assert len(set(r.values())) == 1

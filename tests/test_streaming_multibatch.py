@@ -160,6 +160,22 @@ def test_upsert_store_across_batches(spark, sf_dir, split_events_dir):
     assert got == exp, "compacted upsert store diverges from batch aggregate"
 
 
+def test_upsert_store_rejects_multirow_epoch(spark, sf_dir):
+    """The upsert store's max_by compaction is only well-defined for
+    at-most-one row per key per epoch; a non-aggregate update-mode
+    query emitting many rows per key in one batch must trip the sink's
+    per-epoch uniqueness guard loudly (round-4 advisor item), never
+    silently keep an arbitrary row."""
+    from kafka_streams_clojure_spark import streaming
+    from kafka_streams_clojure_spark.streaming import stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "value")
+    with pytest.raises(Exception, match="multiple rows"):
+        streaming.run_available_now(
+            ev, output_mode="update", upsert_keys=["user_id"]
+        )
+
+
 def test_upsert_keys_rejects_non_update_mode(spark, sf_dir):
     """upsert_keys with append/complete would silently produce a plain
     uncompacted store — must raise instead."""
