@@ -84,6 +84,63 @@ def global_index(
     )
 
 
+# Morton (Z-order) interleave: the space-filling-curve layout key for
+# MULTI-dimensional pruning. Sorting/range-partitioning by a single
+# column clusters one dimension only; writing files ordered by
+# morton2(x, y) keeps every file's (x, y) bounding box small, so a scan
+# filtered on EITHER dimension (or a 2-D box) skips most files via
+# parquet min/max stats — the Databricks Z-ORDER / Iceberg sort-order
+# technique expressed as a plain deterministic integer column. Pure
+# shift/mask integer ops → codegen on Spark, bit-identical in any
+# engine (oracle-able).
+
+#: (shift, mask) ladder spreading 16 bits into the even bit positions
+_SPREAD = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def spread_bits(col: Column, bits: int = 16) -> Column:
+    """The low ``bits`` of ``col`` moved to even bit positions (bit i →
+    bit 2i). Two's-complement masking makes negative inputs well-defined
+    and engine-identical."""
+    c = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    for sh, mask in _SPREAD:
+        c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton2(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave two ``bits``-bit integers into the Z-order curve key:
+    result bit 2i = bit i of x, bit 2i+1 = bit i of y."""
+    return spread_bits(x, bits).bitwiseOR(F.shiftleft(spread_bits(y, bits), 1))
+
+
+def compact_bits(col: Column) -> Column:
+    """Inverse of :func:`spread_bits`: gather the even bit positions
+    back into the low 16 bits."""
+    c = col.cast("long").bitwiseAND(F.lit(0x55555555))
+    for sh, mask in ((1, 0x33333333), (2, 0x0F0F0F0F), (4, 0x00FF00FF), (8, 0x0000FFFF)):
+        c = c.bitwiseOR(F.shiftright(c, sh)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton2_inverse(z: Column) -> tuple[Column, Column]:
+    """(x, y) back out of a :func:`morton2` key."""
+    return compact_bits(z), compact_bits(F.shiftright(z, 1))
+
+
+def _sql_spread(expr: str, bits: int = 16) -> str:
+    e = f"(({expr}) & {(1 << bits) - 1})"
+    for sh, mask in _SPREAD:
+        e = f"((({e}) | (({e}) << {sh})) & {mask})"
+    return e
+
+
+def morton2_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """DuckDB/ANSI twin of :func:`morton2` — textual shift/mask ladder
+    over the same constants, so oracle parity is structural."""
+    return f"({_sql_spread(x_expr, bits)} | ({_sql_spread(y_expr, bits)} << 1))"
+
+
 def take_while_global(
     df: DataFrame,
     pred: Column,

@@ -634,3 +634,131 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, iters=_PR_ITERS, unit=_PR_UNIT, damp_num=_PR_DN, damp_den=_PR_DD)
+
+
+@query(
+    "q_events_resample",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, sec, arg_max(value, event_id) AS v
+      FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   event_id, value
+            FROM events)
+      GROUP BY user_id, sec
+    ),
+    b AS (
+      SELECT user_id,
+             ((min(sec) + 21599) // 21600) * 21600 AS lo,
+             (max(sec) // 21600) * 21600            AS hi
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS gsec
+      FROM b WHERE hi >= lo
+    ),
+    un AS (
+      SELECT user_id, sec, 0 AS is_grid, v FROM obs
+      UNION ALL
+      SELECT user_id, gsec AS sec, 1 AS is_grid, NULL AS v FROM grid
+    ),
+    f AS (
+      SELECT user_id, sec, is_grid,
+        last_value(CASE WHEN is_grid = 0 THEN sec END IGNORE NULLS) OVER w_p AS t1,
+        last_value(CASE WHEN is_grid = 0 THEN v   END IGNORE NULLS) OVER w_p AS v1,
+        first_value(CASE WHEN is_grid = 0 THEN sec END IGNORE NULLS) OVER w_n AS t2,
+        first_value(CASE WHEN is_grid = 0 THEN v   END IGNORE NULLS) OVER w_n AS v2
+      FROM un
+      WINDOW
+        w_p AS (PARTITION BY user_id ORDER BY sec, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_n AS (PARTITION BY user_id ORDER BY sec, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, sec AS gsec,
+           CASE WHEN t2 IS NULL OR t2 = t1 THEN v1
+                ELSE v1 + (v2 - v1)
+                     * (CAST(sec - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
+           END AS v_interp
+    FROM f WHERE is_grid = 1
+    """,
+)
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resampling with LINEAR interpolation (the financial /
+    sensor `resample().interpolate()` shape): per user, value sampled
+    onto epoch-aligned 6-hour marks between that user's first and last
+    observation, each mark interpolated between its bracketing
+    observations. Implementation is the classic union-and-fill: grid
+    rows (null value) merged with observations, per-user forward fill
+    of (t1, v1) and backward fill of (t2, v2) via ignore-nulls window
+    frames — two sorts on one user-keyed shuffle, no join explosion;
+    at 100 TB both windows ride the same user_id partitioning.
+    Determinism discipline: observations are deduped per whole SECOND
+    (arg_max on event_id), seconds via the unix_timestamp =
+    floor(epoch) rule, the obs-before-grid tie order makes a mark that
+    coincides with an observation return that observation exactly, and
+    the interpolation arithmetic is the same per-row IEEE expression
+    tree in both engines."""
+    from pyspark.sql import Window as W
+
+    step = 21600
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "sec")
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    bounds = obs.groupBy("user_id").agg(
+        (((F.min("sec") + (step - 1)) / step).cast("long") * step).alias("lo"),
+        ((F.max("sec") / step).cast("long") * step).alias("hi"),
+    )
+    grid = bounds.filter(F.col("hi") >= F.col("lo")).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.lit(step).cast("long"))).alias("gsec"),
+    )
+    un = obs.select(
+        "user_id", "sec", F.lit(0).alias("is_grid"), "v"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.col("gsec").alias("sec"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    w_p = (
+        W.partitionBy("user_id")
+        .orderBy("sec", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_n = (
+        W.partitionBy("user_id")
+        .orderBy("sec", "is_grid")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    o_sec = F.when(F.col("is_grid") == 0, F.col("sec"))
+    o_v = F.when(F.col("is_grid") == 0, F.col("v"))
+    f = un.select(
+        "user_id",
+        "sec",
+        "is_grid",
+        F.last(o_sec, ignorenulls=True).over(w_p).alias("t1"),
+        F.last(o_v, ignorenulls=True).over(w_p).alias("v1"),
+        F.first(o_sec, ignorenulls=True).over(w_n).alias("t2"),
+        F.first(o_v, ignorenulls=True).over(w_n).alias("v2"),
+    )
+    interp = F.col("v1") + (F.col("v2") - F.col("v1")) * (
+        (F.col("sec") - F.col("t1")).cast("double")
+        / (F.col("t2") - F.col("t1")).cast("double")
+    )
+    return f.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("sec").alias("gsec"),
+        F.when(F.col("t2").isNull() | (F.col("t2") == F.col("t1")), F.col("v1"))
+        .otherwise(interp)
+        .alias("v_interp"),
+    )

@@ -174,3 +174,33 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+from kafka_streams_clojure_spark.operators.order import morton2, morton2_sql  # noqa: E402
+
+# Z-order key over (user_id, floor(value)) — both comfortably inside
+# 16 bits on the fixture; at scale you'd first quantile-bucket each
+# dimension into 2^16 bins (q_agg_percentile's GK sketch is the tool).
+_Z_SQL = morton2_sql("user_id", "CAST(floor(value) AS BIGINT)")
+
+
+@query(
+    "q_zorder_curve",
+    oracle=f"""
+    SELECT event_id, {_Z_SQL} AS zkey
+    FROM events
+    """,
+)
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key over two dimensions of the events
+    table — the space-filling-curve column you `repartitionByRange` +
+    sort files by so multi-dimensional box filters prune via parquet
+    min/max stats (single-column sort clusters ONE dimension; Z-order
+    bounds every file's box in BOTH). Pure shift/mask integer ladder
+    (operators/order.py:morton2) — codegen, bit-identical across
+    engines; round-trip + tile-contiguity invariants in
+    tests/test_zorder.py, file-skipping demo in
+    tests/test_storage_layout.py."""
+    ev = load_table(spark, sf_dir, "events")
+    z = morton2(F.col("user_id"), F.floor(F.col("value")).cast("long"))
+    return ev.select("event_id", z.alias("zkey"))
