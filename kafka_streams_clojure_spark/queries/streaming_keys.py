@@ -117,6 +117,46 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_asof_join",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS rv
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    l AS (
+      SELECT user_id, event_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id AS key, l.event_id AS left_id,
+           l.value AS left_value, r.rv AS right_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM as-of join via an explicit per-key state store
+    (streaming/stateful.py:stateful_asof_join): clicks accumulate per
+    user as the versioned KTable, purchases are enriched with the
+    latest click value at-or-before their timestamp — the KS
+    KStream⋈KTable join running on the real streaming engine, which
+    has no native as-of join. One AvailableNow batch → equals the
+    batch ASOF LEFT JOIN, which the oracle checks."""
+    ev = stream_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.lit("l"))
+        .otherwise(F.lit("r"))
+        .alias("side"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    from kafka_streams_clojure_spark.streaming.stateful import stateful_asof_join
+
+    return run_available_now(stateful_asof_join(tagged), output_mode="append")
+
+
+@query(
     "q_store_point_lookup",
     oracle=f"""
     SELECT user_id, count(*) AS n, {sql_dsum('value')} AS total

@@ -67,6 +67,98 @@ def running_counter(
     )
 
 
+def stateful_asof_join(
+    tagged: DataFrame,
+    key_col: str = "user_id",
+    side_col: str = "side",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """KStream⋈KTable as-of join ON THE STREAMING ENGINE with an
+    explicit per-key state store (the Stores-API join the reference
+    targets, README.md:66-68): the right side ('r' rows of the tagged
+    union) is accumulated per key as the versioned table; every left
+    row ('l') is enriched with the LATEST right value at-or-before its
+    timestamp. Spark has no native stream-stream as-of join — this is
+    the applyInPandasWithState expression of it.
+
+    Determinism contract (mirrors the batch ``q_join_asof``): right
+    rows are deduped per (key, ts) keeping the max ``id_col``'s value;
+    exact-timestamp matches join (>=). Left rows match only right rows
+    from their own or EARLIER micro-batches — with a single
+    AvailableNow batch the result equals the batch as-of join exactly
+    (the oracle), and in continuous operation it is the KS
+    table-lookup semantics (the table is whatever has arrived).
+
+    State per key is the (ts, value) version list — the KTable
+    changelog. A production deployment bounds it with a staleness
+    horizon (drop versions older than watermark − tolerance, the
+    ``q_join_asof_tolerance`` contract); the fixture's per-key version
+    counts are small so the trim is left out of the demo path.
+
+    Output: ``(key, left_id, left_value, right_value)`` with
+    ``right_value`` NULL when no version precedes the left row.
+    """
+    import numpy as np
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            r_ts, r_val = state.get
+            r_ts, r_val = list(r_ts), list(r_val)
+        else:
+            r_ts, r_val = [], []
+        lefts = []
+        for pdf in pdfs:
+            r = pdf[pdf[side_col] == "r"]
+            if len(r):
+                r = r.sort_values([ts_col, id_col]).drop_duplicates(
+                    subset=[ts_col], keep="last"
+                )
+                r_ts.extend(int(t.value) for t in r[ts_col])
+                r_val.extend(float(v) for v in r[value_col])
+            l = pdf[pdf[side_col] == "l"]
+            if len(l):
+                lefts.append(l[[id_col, ts_col, value_col]])
+        # versions sorted once per batch; duplicates across batches
+        # resolved latest-batch-wins (dict keyed by ts keeps last)
+        merged = dict(zip(r_ts, r_val))
+        r_ts = sorted(merged)
+        r_val = [merged[t] for t in r_ts]
+        state.update((r_ts, r_val))
+        if not lefts:
+            return
+        out = pd.concat(lefts)
+        ts_ns = out[ts_col].astype("int64").to_numpy()
+        pos = np.searchsorted(np.asarray(r_ts, dtype="int64"), ts_ns, side="right") - 1
+        rv = [r_val[p] if p >= 0 else None for p in pos]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out),
+                "left_id": out[id_col].to_numpy(),
+                "left_value": out[value_col].to_numpy(),
+                "right_value": rv,
+            }
+        )
+
+    key_type = dict(tagged.dtypes)[key_col]
+    return (
+        tagged.select(key_col, side_col, ts_col, id_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"key {key_type}, left_id long, left_value double, right_value double"
+            ),
+            stateStructType="r_ts array<long>, r_val array<double>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def punctuate_flush(
     events: DataFrame,
     key_col: str = "user_id",

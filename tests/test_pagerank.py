@@ -46,6 +46,37 @@ def test_mass_conservation_bound(spark):
     assert UNIT - total <= (iters + 1) * n * 2, (UNIT - total, n)
 
 
+def test_matches_float_power_iteration(spark):
+    """The integer-exact ranks agree with a plain float power iteration
+    (same damping, same iteration count) to ~1e-9 relative — i.e. the
+    integer trick changes the arithmetic, not the algorithm."""
+    import numpy as np
+
+    rng = [(i, (i * 7 + 3) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    edges = [(a, b) for a, b in rng if a != b]
+    iters = 5
+    got = _ranks(spark, edges, iters=iters)
+
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    verts = sorted({a for a, _ in und})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    deg = np.zeros(n)
+    for a, _ in und:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, 0.15 / n)
+        for a, b in und:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / deg[idx[a]]
+        r = nxt
+    for v in verts:
+        assert abs(got[v] / UNIT - r[idx[v]]) < 1e-8, (v, got[v] / UNIT, r[idx[v]])
+
+
 def test_regular_graph_uniform(spark):
     """On a vertex-transitive graph (cycle), every vertex has the same
     rank exactly."""

@@ -188,3 +188,83 @@ def test_upsert_keys_rejects_non_update_mode(spark, sf_dir):
         streaming.run_available_now(
             agg, output_mode="complete", upsert_keys=["user_id"]
         )
+
+
+def test_stateful_asof_join_across_batches(spark, sf_dir, tmp_path):
+    """Clicks arriving in batch 1 must enrich purchases arriving in
+    batch 2 — the per-key version state survives micro-batches. File
+    arrival is forced (clicks written before the stream starts,
+    purchases added after the first drain), so batch order is
+    deterministic; the result must equal the batch as-of join."""
+    import os
+    import uuid
+
+    from kafka_streams_clojure_spark.streaming.stateful import stateful_asof_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.lit("l"))
+        .otherwise(F.lit("r"))
+        .alias("side"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    d = str(tmp_path / "asof_src")
+    tagged.filter(F.col("side") == "r").coalesce(1).write.parquet(
+        os.path.join(d, "part_a")
+    )
+
+    stream = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "part_*"))
+    )
+    name = f"asof_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_asof_join(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: clicks only → builds state
+        tagged.filter(F.col("side") == "l").coalesce(1).write.parquet(
+            os.path.join(d, "part_b")
+        )
+        q.processAllAvailable()  # batch 2: purchases → join vs state
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = {
+        r.left_id: (r.key, r.left_value, r.right_value)
+        for r in spark.table(name).collect()
+    }
+
+    # expected: python reference as-of over the same rows
+    clicks = {}
+    for r in (
+        tagged.filter(F.col("side") == "r")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        clicks.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for v in clicks.values():
+        v.sort()
+    expected = {}
+    for r in (
+        tagged.filter(F.col("side") == "l")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        best = None
+        for cts, cid, cval in clicks.get(r.user_id, []):
+            if cts <= r.ts:
+                best = cval  # sorted → last kept is (max ts, max event_id)
+            else:
+                break
+        expected[r.event_id] = (r.user_id, r.value, best)
+    assert got == expected
