@@ -2123,3 +2123,91 @@ def q_llm_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id", F.col("doc_id").alias("keep_id"), "quality", "cluster_size"
         )
     )
+
+
+@query(
+    "q_llm_edit_distance",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             length(text) // 100          AS band,
+             substring(text, 1, 60)       AS prefix
+      FROM documents
+      WHERE strlen(text) = length(text)  -- ASCII guard: byte-Levenshtein engines
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 10
+    """,
+)
+def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (Levenshtein) near-dup pairs — the edit-distance
+    member of the dedup family (typo/OCR/template-fill duplication that
+    shingle Jaccard dilutes). Blocked on (lang, source, length band),
+    distance on a 60-char prefix; ASCII-only guard on BOTH engines
+    because Spark counts characters and DuckDB counts bytes. See
+    operators/dedup.py:edit_distance_pairs for the 100 TB blocking
+    notes."""
+    from kafka_streams_clojure_spark.operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs).select(
+        "id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist")
+    )
+
+
+@query(
+    "q_llm_sorted_neighborhood",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             substring(lower(text), 1, 30) AS sk,
+             substring(text, 1, 60)        AS prefix
+      FROM documents
+      WHERE strlen(text) = length(text)  -- ASCII guard (byte vs char levenshtein)
+    ),
+    idxed AS (
+      SELECT doc_id, prefix,
+             row_number() OVER (ORDER BY sk, doc_id) - 1 AS idx
+      FROM base
+    )
+    SELECT least(a.doc_id, b.doc_id)    AS id_a,
+           greatest(a.doc_id, b.doc_id) AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+    FROM idxed a JOIN idxed b
+      ON b.idx > a.idx AND b.idx <= a.idx + 4
+    """,
+)
+def q_llm_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation + edit-distance verify:
+    corpus globally ordered by a lowercased 30-char prefix key, every
+    pair within 5 positions scored by prefix Levenshtein — the
+    record-linkage pattern for near-dups with NO equi-blockable
+    attribute. Parallel global order (global_index — no single-task
+    sort) + binned range join keep candidates at exactly 4·n; the
+    oracle rebuilds the identical order with row_number. See
+    operators/dedup.py:sorted_neighborhood_pairs."""
+    from kafka_streams_clojure_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select(
+            "doc_id",
+            F.substring(F.lower(F.col("text")), 1, 30).alias("__sk"),
+            F.substring(F.col("text"), 1, 60).alias("__prefix"),
+        )
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, sort_cols=("__sk",), window=5, carry=("__prefix",)
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.levenshtein(F.col("__prefix_a"), F.col("__prefix_b"))
+        .cast("int")
+        .alias("edit_dist"),
+    )
