@@ -16,7 +16,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
-@pytest.mark.parametrize("script", ["pipeline.py", "curation.py", "serving.py", "refresh.py"])
+@pytest.mark.parametrize(
+    "script",
+    [
+        "pipeline.py",
+        "curation.py",
+        "serving.py",
+        "refresh.py",
+        "analytics.py",
+        "scale_toolkit.py",
+    ],
+)
 def test_example_runs(script):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), SF_DIR],
