@@ -317,3 +317,71 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "q_data_quality",
+    oracle="""
+    WITH m AS (
+      SELECT count(*)                                        AS n_rows,
+             count(value)                                    AS n_value,
+             count(DISTINCT event_id)                        AS n_ids,
+             count(CASE WHEN value >= 0 AND value <= 1000
+                        THEN 1 END)                          AS n_in_range,
+             count(CASE WHEN event_type IN
+                   ('view','click','purchase','signup','error')
+                        THEN 1 END)                          AS n_known_type,
+             count(CASE WHEN ts IS NOT NULL THEN 1 END)      AS n_ts
+      FROM events
+    )
+    SELECT metric, CAST(ratio AS DOUBLE) AS value FROM (
+      SELECT 'completeness_value' AS metric,
+             CAST(n_value AS DOUBLE) / n_rows AS ratio FROM m
+      UNION ALL SELECT 'uniqueness_event_id',
+             CAST(n_ids AS DOUBLE) / n_rows FROM m
+      UNION ALL SELECT 'compliance_value_range',
+             CAST(n_in_range AS DOUBLE) / n_rows FROM m
+      UNION ALL SELECT 'compliance_event_type',
+             CAST(n_known_type AS DOUBLE) / n_rows FROM m
+      UNION ALL SELECT 'completeness_ts',
+             CAST(n_ts AS DOUBLE) / n_rows FROM m
+    )
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality metric suite over the ingest table —
+    the validation gate a production pipeline runs BEFORE anything
+    downstream trusts a batch: completeness (non-null fractions),
+    uniqueness (distinct-key ratio), compliance (range / domain
+    membership). ONE scan, one aggregate row, unpivoted to (metric,
+    value) rows — the whole suite costs one pass at any scale, and
+    every ratio is integer/integer → exact double parity. Alert
+    thresholds are the consumer's concern; this key is the
+    measurement."""
+    ev = load_table(spark, sf_dir, "events")
+    known = ["view", "click", "purchase", "signup", "error"]
+    m = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.count(
+            F.when((F.col("value") >= 0) & (F.col("value") <= 1000), 1)
+        ).alias("n_in_range"),
+        F.count(F.when(F.col("event_type").isin(known), 1)).alias("n_known_type"),
+        F.count(F.when(F.col("ts").isNotNull(), 1)).alias("n_ts"),
+    )
+    rows = [
+        ("completeness_value", "n_value"),
+        ("uniqueness_event_id", "n_ids"),
+        ("compliance_value_range", "n_in_range"),
+        ("compliance_event_type", "n_known_type"),
+        ("completeness_ts", "n_ts"),
+    ]
+    out = None
+    for name, col in rows:
+        r = m.select(
+            F.lit(name).alias("metric"),
+            (F.col(col).cast("double") / F.col("n_rows")).cast("double").alias("value"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

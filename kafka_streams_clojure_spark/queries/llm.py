@@ -2211,3 +2211,103 @@ def q_llm_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("edit_dist"),
     )
+
+
+@query(
+    "q_llm_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ('join', 'scan', 'filter')
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ((n - df + 0.5e0) / (df + 0.5e0))
+               * (tf * 2.2e0)
+               / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(dl AS DOUBLE) / avgdl)))
+               AS s
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN stats
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             max(CASE WHEN token = 'join'   THEN s END) AS s_join,
+             max(CASE WHEN token = 'scan'   THEN s END) AS s_scan,
+             max(CASE WHEN token = 'filter' THEN s END) AS s_filter
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           coalesce(s_join, 0.0e0) + coalesce(s_scan, 0.0e0)
+             + coalesce(s_filter, 0.0e0) AS bm25
+    FROM pivoted
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query (k1=1.2, b=0.75) with
+    LINEAR idf — (N−df+0.5)/(df+0.5) without the ln(), the same
+    libm-free trade as q_llm_tfidf_linear (per-term ranking order is
+    preserved; the cross-term mix differs from log-BM25, documented).
+    The float-sum-order trap is dodged structurally: per-(doc, term)
+    scores are single rows, pivoted to columns with max() (exact) and
+    summed in a FIXED left-to-right order — no float aggregation
+    anywhere. N and avgdl are folded in-plan as a broadcast 1-row
+    stats side; at 100 TB the corpus scan never moves, the tf table
+    carries only query-term hits, and the top-k is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["join", "scan", "filter"]
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    s = (
+        ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl"))))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", s.alias("s"))
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("s"))).alias(f"s_{t}")
+            for t in terms
+        ]
+    )
+    total = (
+        F.coalesce(F.col("s_join"), F.lit(0.0))
+        + F.coalesce(F.col("s_scan"), F.lit(0.0))
+        + F.coalesce(F.col("s_filter"), F.lit(0.0))
+    )
+    return (
+        pivoted.select("doc_id", total.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
