@@ -205,6 +205,57 @@ def pagerank(
             und.unpersist()
 
 
+def bfs_layers(
+    edges: DataFrame,
+    source,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Breadth-first hop distances from ``source`` over the symmetrized
+    pair graph, bounded at ``max_hops`` — the k-hop neighborhood /
+    blast-radius query (which documents are within k near-dup hops of
+    a flagged one; which entities within k relations of a risk node).
+
+    Same exactness trick as :func:`pagerank`: distances are INTEGERS
+    and each round is ``dist ∪ (neighbors+1) → groupBy-min``, so a
+    fixed-round expansion is bit-identical on any engine and the
+    oracle unrolls rounds as CTE levels. Unreached vertices are simply
+    absent (no sentinel ∞ row to disagree about). Shuffle per round ∝
+    edges incident to the reached set; ``localCheckpoint`` truncates
+    lineage per round as in :func:`connected_components`.
+
+    Returns ``(id, dist)`` for every vertex within ``max_hops``.
+    """
+    und, we_cached = persist_scoped(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    try:
+        dist = (
+            und.select(F.col("a").alias("id"))
+            .distinct()
+            .filter(F.col("id") == source)
+            .withColumn("dist", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_hops):
+            nbr = und.join(dist.withColumnRenamed("id", "a"), "a").select(
+                F.col("b").alias("id"), (F.col("dist") + 1).alias("dist")
+            )
+            dist = (
+                dist.unionByName(nbr)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+        return dist.select("id", F.col("dist").cast("int").alias("dist"))
+    finally:
+        if we_cached:
+            und.unpersist()
+
+
 def triangle_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
     """Per-vertex triangle counts + local clustering coefficient over
     an undirected pair graph (edges in any orientation/multiplicity).

@@ -762,3 +762,57 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp)
         .alias("v_interp"),
     )
+
+
+def _bfs_sql(source: int, hops: int) -> str:
+    """Unrolled BFS rounds as CTE levels over the same co-purchase
+    graph CTEs as :func:`_pagerank_sql` — integer distances, min-merge
+    per round, bit-identical to operators.graph.bfs_layers."""
+    levels = []
+    for i in range(1, hops + 1):
+        levels.append(
+            f"""d{i} AS (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d{i - 1}
+        UNION ALL
+        SELECT und.b AS id, d.dist + 1 AS dist
+        FROM und JOIN d{i - 1} d ON und.a = d.id
+      ) GROUP BY id
+    )"""
+        )
+    sep = ",\n    "
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    d0 AS (SELECT DISTINCT a AS id, 0 AS dist FROM und WHERE a = {source}),
+    {sep.join(levels)}
+    SELECT id, CAST(dist AS INT) AS dist FROM d{hops}
+    """
+
+
+_BFS_SOURCE, _BFS_HOPS = 1, 3
+
+
+@query("q_graph_bfs", oracle=_bfs_sql(_BFS_SOURCE, _BFS_HOPS))
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS neighborhood (blast radius) from customer 1 over the
+    co-purchase graph — hop distances are integers, so the bounded
+    expansion is exactly oracle-able with unrolled CTE rounds (the
+    q_graph_pagerank trick). See operators.graph.bfs_layers for the
+    per-round shuffle shape."""
+    from kafka_streams_clojure_spark.operators.graph import bfs_layers
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("id_a"),
+            (F.col("l_suppkey") + 1000000).alias("id_b"),
+        )
+        .distinct()
+    )
+    return bfs_layers(edges, source=_BFS_SOURCE, max_hops=_BFS_HOPS)

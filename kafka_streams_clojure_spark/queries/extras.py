@@ -377,11 +377,11 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("compliance_event_type", "n_known_type"),
         ("completeness_ts", "n_ts"),
     ]
-    out = None
-    for name, col in rows:
-        r = m.select(
-            F.lit(name).alias("metric"),
-            (F.col(col).cast("double") / F.col("n_rows")).cast("double").alias("value"),
-        )
-        out = r if out is None else out.unionByName(r)
-    return out
+    # stack() unpivots the single aggregate row in-place — ONE scan of
+    # events total (a union of per-metric selects would re-aggregate
+    # the scan once per metric)
+    pairs = ", ".join(
+        f"'{name}', CAST(CAST({col} AS DOUBLE) / n_rows AS DOUBLE)"
+        for name, col in rows
+    )
+    return m.selectExpr(f"stack({len(rows)}, {pairs}) AS (metric, value)")

@@ -82,3 +82,28 @@ def test_regular_graph_uniform(spark):
     rank exactly."""
     r = _ranks(spark, [(i, (i + 1) % 6) for i in range(6)])
     assert len(set(r.values())) == 1
+
+
+def test_bfs_layers_path_graph(spark):
+    """BFS on path 1-2-3-4-5 from 1 with max_hops=2 reaches exactly
+    {1:0, 2:1, 3:2}."""
+    from kafka_streams_clojure_spark.operators.graph import bfs_layers
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    got = {r.id: r.dist for r in bfs_layers(df, source=1, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_min_over_multiple_paths(spark):
+    """Diamond 1-2-4, 1-3-4 plus long tail 2-5-6-4: dist(4) must be 2
+    (shortest), not a longer path's length."""
+    from kafka_streams_clojure_spark.operators.graph import bfs_layers
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5), (5, 6), (6, 4)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.dist for r in bfs_layers(df, source=1, max_hops=4).collect()}
+    assert got[4] == 2 and got[6] == 3

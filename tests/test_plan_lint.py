@@ -37,6 +37,8 @@ _NONEQUI_OK = {
     "q_events_heavy_hitters_sketch",
     # crossJoin of the broadcast 10-row per-label centroid table
     "q_llm_nearest_centroid",
+    # crossJoin of the broadcast 1-row (N, avgdl) stats aggregate
+    "q_llm_bm25",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
