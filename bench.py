@@ -62,6 +62,15 @@ EXTRAS = [
     "q_events_heavy_hitters_sketch",  # Misra-Gries bounded-memory HH
     "q_agg_session_dynamic",   # dynamic-gap session windows
     "q_llm_containment",       # asymmetric containment near-dup
+    # round-5 continuation additions
+    "q_graph_pagerank",        # integer-exact 5-iteration PageRank
+    "q_graph_bfs",             # 3-hop BFS neighborhood
+    "q_zorder_curve",          # Morton layout key (pure map)
+    "q_events_resample",       # 6h-grid linear interpolation
+    "q_llm_edit_distance",     # blocked Levenshtein near-dup
+    "q_llm_sorted_neighborhood",  # sorted-neighborhood blocking
+    "q_llm_bm25",              # BM25 top-20 (linear idf)
+    "q_data_quality",          # one-scan metric suite
 ]
 
 

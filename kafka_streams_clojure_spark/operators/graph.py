@@ -173,14 +173,26 @@ def pagerank(
     same as the Pregel convergence check). Returns ``(id, rank)`` with
     rank in micro-units of ``unit``.
     """
+    # null endpoints: a null-keyed edge can't join (null ≠ null in
+    # equi-joins), so it would receive initial mass in round 0 and then
+    # silently vanish — drop such edges up front (the CLAUDE.md
+    # null-key rule; same contract as the as-of right side)
     und, we_cached = persist_scoped(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(
+            edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+                F.col(dst).alias("a"), F.col(src).alias("b")
+            )
+        )
         .distinct()
     )
     try:
         deg = und.groupBy("a").agg(F.count("*").alias("d"))
-        ed = und.join(deg, "a")
+        # degree-annotated edge list is read once PER ROUND — checkpoint
+        # it eagerly or every iteration re-runs the degree aggregate and
+        # the und⋈deg join (measured 10.1s → ~3s for 5 rounds at sf0.1)
+        ed = und.join(deg, "a").localCheckpoint(eager=True)
         verts = und.select(F.col("a").alias("id")).distinct()
         n = verts.count()
         if n == 0:
@@ -227,9 +239,10 @@ def bfs_layers(
 
     Returns ``(id, dist)`` for every vertex within ``max_hops``.
     """
+    clean = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     und, we_cached = persist_scoped(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        clean.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(clean.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
     try:

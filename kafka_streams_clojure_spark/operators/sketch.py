@@ -134,3 +134,79 @@ def heavy_hitters_sketch(
         .filter((F.col("est") + F.col("err")).cast("double") >= threshold)
         .select("item", "est", "err", "n_total")
     )
+
+
+# ── Count-Min sketch ────────────────────────────────────────────────
+#
+# The point-query twin of the MG heavy-hitter summary: MG answers "which
+# items are frequent", CMS answers "how frequent is THIS item" for any
+# item, from depth × width counters regardless of item cardinality.
+# Pure built-ins (explode + groupBy on xxhash64 slots) — no Python in
+# the row path, unlike the MG pass which needs the decrement loop.
+# Estimates are hash-dependent (overestimates from slot collisions), so
+# consumers are rows-only keys with invariant tests:
+#   est(x) >= true(x) always (counters only ever add), and
+#   per-row mass conservation: Σ_slot cnt(d, slot) == n for every d.
+
+
+def cms_table(
+    df: DataFrame, item_col: str, width: int = 512, depth: int = 4, seed: int = 0
+) -> DataFrame:
+    """Build the sketch: ``(d, slot, cnt)`` rows, ``depth × width``
+    cells max. One explode (×depth) + one two-phase groupBy — the
+    exchange is bounded by the CELL count, not the item cardinality,
+    which is the whole point at 100 TB."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width ({width}) and depth ({depth}) must be >= 1")
+    rows = df.select(F.col(item_col).cast("string").alias("item"))
+    cells = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col("item"), F.lit(seed + d)), F.lit(width)
+                        ).alias("slot"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.slot")
+    return cells.groupBy("d", "slot").agg(F.count("*").alias("cnt"))
+
+
+def cms_query(
+    table: DataFrame,
+    items_df: DataFrame,
+    item_col: str,
+    width: int = 512,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-query estimates for every row of ``items_df``: min over
+    the ``depth`` rows of the item's cell counts (absent cell = 0).
+    The sketch table (≤ depth × width rows) is broadcast — query cost
+    is a map-side join however many items are probed."""
+    probes = items_df.select(F.col(item_col).cast("string").alias("item")).select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col("item"), F.lit(seed + d)), F.lit(width)
+                        ).alias("slot"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", "c.d", "c.slot")
+    return (
+        probes.join(F.broadcast(table), ["d", "slot"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -631,7 +631,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("id_a"),
             (F.col("l_suppkey") + 1000000).alias("id_b"),
         )
-        .distinct()
+        # no .distinct() here: pagerank symmetrizes + distincts anyway,
+        # so a pre-distinct is a pure extra 600k-row shuffle
     )
     return pagerank(edges, iters=_PR_ITERS, unit=_PR_UNIT, damp_num=_PR_DN, damp_den=_PR_DD)
 
@@ -813,6 +814,66 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("id_a"),
             (F.col("l_suppkey") + 1000000).alias("id_b"),
         )
-        .distinct()
+        # pre-distinct omitted: bfs_layers' symmetrize step distincts
     )
     return bfs_layers(edges, source=_BFS_SOURCE, max_hops=_BFS_HOPS)
+
+
+@query("q_events_cms")
+def q_events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-query estimates for every distinct event_type —
+    the 'how frequent is THIS item' twin of the Misra-Gries 'which
+    items are frequent' sketch. Sketch = depth×width counters (bounded
+    by CELLS, not item cardinality); estimates are hash-collision
+    overestimates → rows-only, invariants in tests/test_sketch.py
+    (est ≥ true, per-row mass conservation, bounded overestimate)."""
+    from kafka_streams_clojure_spark.operators.sketch import cms_query, cms_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table = cms_table(ev, "event_type")
+    probes = ev.select("event_type").distinct()
+    return cms_query(table, probes, "event_type")
+
+
+@query(
+    "q_events_recency_weighted",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS t_max FROM events
+    ),
+    w AS (
+      SELECT event_type,
+             greatest(0, 30 - CAST((t_max - CAST(floor(epoch(ts)) AS BIGINT))
+                                   // 86400 AS BIGINT)) AS wt
+      FROM events CROSS JOIN anchor
+    )
+    SELECT event_type,
+           CAST(sum(wt) AS BIGINT)            AS weight,
+           count(CASE WHEN wt > 0 THEN 1 END) AS n_recent
+    FROM w GROUP BY event_type
+    """,
+)
+def q_events_recency_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly recency-decayed activity score per event type: each
+    event contributes max(0, 30 − age_days) INTEGER weight units
+    relative to the newest event — trending-with-decay without exp()
+    (libm-divergent) and without float sums (integer weights sum
+    exactly in any aggregation order). The anchor max-ts is folded
+    in-plan as a broadcast 1-row side; whole-second epochs via the
+    unix_timestamp = floor(epoch) rule."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_timestamp("ts")).alias("t_max"))
+    wt = F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(30)
+        - F.expr("(t_max - unix_timestamp(ts)) DIV 86400"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("event_type", wt.alias("wt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("wt").cast("bigint").alias("weight"),
+            F.count(F.when(F.col("wt") > 0, 1)).alias("n_recent"),
+        )
+    )

@@ -107,3 +107,24 @@ def test_bfs_min_over_multiple_paths(spark):
     )
     got = {r.id: r.dist for r in bfs_layers(df, source=1, max_hops=4).collect()}
     assert got[4] == 2 and got[6] == 3
+
+
+def test_null_edge_endpoints_dropped(spark):
+    """Edges with a null endpoint are dropped up front (they can't
+    equi-join, so they'd otherwise get round-0 mass then vanish):
+    results equal the null-free graph's, and no null vertex appears."""
+    from kafka_streams_clojure_spark.operators.graph import bfs_layers
+
+    clean = [(1, 2), (2, 3)]
+    dirty = clean + [(None, 2), (3, None)]
+    c = spark.createDataFrame(clean, "id_a bigint, id_b bigint")
+    d = spark.createDataFrame(dirty, "id_a bigint, id_b bigint")
+    assert _ranks(spark, clean) == {
+        r.id: r.rank
+        for r in __import__(
+            "kafka_streams_clojure_spark.operators.graph", fromlist=["pagerank"]
+        ).pagerank(d, unit=UNIT).collect()
+    }
+    got_c = {r.id: r.dist for r in bfs_layers(c, source=1, max_hops=3).collect()}
+    got_d = {r.id: r.dist for r in bfs_layers(d, source=1, max_hops=3).collect()}
+    assert got_c == got_d and None not in got_d

@@ -39,6 +39,8 @@ _NONEQUI_OK = {
     "q_llm_nearest_centroid",
     # crossJoin of the broadcast 1-row (N, avgdl) stats aggregate
     "q_llm_bm25",
+    # crossJoin of the broadcast 1-row max-ts anchor
+    "q_events_recency_weighted",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and

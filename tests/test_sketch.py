@@ -110,3 +110,76 @@ def test_validation():
         heavy_hitters_sketch(None, "x", phi=1.5)
     with pytest.raises(ValueError, match="phi"):
         heavy_hitters_sketch(None, "x", phi=None, min_count=None)
+
+
+# ── Count-Min sketch contracts ──────────────────────────────────────
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """est(x) >= true(x) for every probed item — counters only add."""
+    from kafka_streams_clojure_spark.operators.sketch import cms_query, cms_table
+
+    ev = load_table(spark, sf_dir, "events")
+    true = _exact_counts(ev, "event_type")
+    table = cms_table(ev, "event_type")
+    est = {
+        r.item: r.est
+        for r in cms_query(
+            table, ev.select("event_type").distinct(), "event_type"
+        ).collect()
+    }
+    assert set(est) == set(true)
+    for k in true:
+        assert est[k] >= true[k], (k, est[k], true[k])
+
+
+def test_cms_mass_conservation(spark, sf_dir):
+    """Every depth row holds exactly n counts in total."""
+    from kafka_streams_clojure_spark.operators.sketch import cms_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    per_d = {
+        r.d: r.total
+        for r in cms_table(ev, "user_id")
+        .groupBy("d")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    assert set(per_d) == {0, 1, 2, 3}
+    assert all(v == n for v in per_d.values()), per_d
+
+
+def test_cms_overestimate_bounded(spark, sf_dir):
+    """With depth 4 the min-of-rows estimate stays within the classic
+    e·n/width collision band on the fixture (deterministic seeds)."""
+    import math
+
+    from kafka_streams_clojure_spark.operators.sketch import cms_query, cms_table
+
+    ev = load_table(spark, sf_dir, "events")
+    width = 512
+    n = ev.count()
+    true = _exact_counts(ev, "user_id")
+    table = cms_table(ev, "user_id", width=width)
+    est = {
+        r.item: r.est
+        for r in cms_query(
+            table, ev.select("user_id").distinct(), "user_id", width=width
+        ).collect()
+    }
+    bound = math.e * n / width
+    bad = {k: (est[k], true[k]) for k in true if est[k] - true[k] > bound}
+    assert not bad, f"overestimates beyond e*n/width: {bad}"
+
+
+def test_cms_absent_item_zero_or_collision(spark, sf_dir):
+    """An item never inserted estimates 0 unless every one of its cells
+    collides — on the fixture with width 512 it must be small."""
+    from kafka_streams_clojure_spark.operators.sketch import cms_query, cms_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table = cms_table(ev, "event_type")
+    ghost = spark.createDataFrame([("never-seen-type",)], "event_type string")
+    est = cms_query(table, ghost, "event_type").collect()[0].est
+    assert est <= ev.count() // 100
