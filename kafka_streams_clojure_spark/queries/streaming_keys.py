@@ -157,6 +157,48 @@ def q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id AS key,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user strict-order funnel as a streaming STATE MACHINE
+    (streaming/stateful.py:funnel_state): view → click → purchase
+    entry timestamps held in per-key state, advanced event-by-event in
+    time order — the online form of the batch q_events_funnel. One
+    AvailableNow batch → each user's final stage equals the batch
+    chained-min funnel, which the oracle checks per user (the batch
+    key checks only stage COUNTS; this one pins every user's stage)."""
+    from kafka_streams_clojure_spark.streaming.stateful import funnel_state
+
+    ev = stream_table(spark, sf_dir, "events")
+    return run_available_now(funnel_state(ev), output_mode="update")
+
+
+@query(
     "q_store_point_lookup",
     oracle=f"""
     SELECT user_id, count(*) AS n, {sql_dsum('value')} AS total

@@ -159,6 +159,71 @@ def stateful_asof_join(
     )
 
 
+def funnel_state(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Strict-order funnel as a per-key STATE MACHINE on the streaming
+    engine: each user's state is the (t1, t2, t3) stage-entry
+    timestamps; events replay in (ts, id) order within each batch and
+    advance the machine only forward (stage k+1 requires a strictly
+    later event than stage k's entry) — the per-user online form of
+    the batch ``q_events_funnel`` chained-min aggregation.
+
+    One AvailableNow batch processes each key's full history sorted,
+    so the final stage equals the batch funnel exactly (the oracle).
+    In continuous operation, events arriving across batches advance
+    the same state; an out-of-order straggler that would have entered
+    an EARLIER stage is ignored (the machine never rewinds) — the
+    standard online-funnel tradeoff, bounded by the source's
+    disorder, and the reason the batch key remains the reconciliation
+    path.
+
+    Emits ``(key, stage)`` per key seen (stage 1..3), update-mode
+    semantics (later batches re-emit the advanced stage). State is
+    three scalars per key — constant memory per key at any scale.
+    """
+    s1, s2, s3 = stages
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            ev = pd.concat(frames).sort_values([ts_col, id_col])
+            for typ, ts in zip(ev[type_col], ev[ts_col]):
+                t = int(ts.value)
+                if typ == s1 and t1 == 0:
+                    t1 = t
+                elif typ == s2 and t1 != 0 and t > t1 and t2 == 0:
+                    t2 = t
+                elif typ == s3 and t2 != 0 and t > t2 and t3 == 0:
+                    t3 = t
+        state.update((t1, t2, t3))
+        if t1 == 0:
+            return
+        stage = 3 if t3 else (2 if t2 else 1)
+        yield pd.DataFrame({"key": [key[0]], "stage": [stage]})
+
+    key_type = dict(events.dtypes)[key_col]
+    return (
+        events.select(key_col, type_col, ts_col, id_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"key {key_type}, stage int",
+            stateStructType="t1 long, t2 long, t3 long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def punctuate_flush(
     events: DataFrame,
     key_col: str = "user_id",

@@ -268,3 +268,78 @@ def test_stateful_asof_join_across_batches(spark, sf_dir, tmp_path):
                 break
         expected[r.event_id] = (r.user_id, r.value, best)
     assert got == expected
+
+
+def test_funnel_state_across_batches(spark, sf_dir, tmp_path):
+    """The funnel state machine fed two TIME-ORDERED batches (first
+    half of event time, then second half) must land every user on the
+    same final stage as the batch chained-min funnel — stage entry
+    survives the epoch boundary."""
+    import os
+    import uuid
+
+    from kafka_streams_clojure_spark.streaming.stateful import funnel_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    mid = ev.agg(
+        F.expr("timestampadd(SECOND, CAST((max(unix_timestamp(ts)) - "
+               "min(unix_timestamp(ts))) / 2 AS BIGINT), min(ts))").alias("m")
+    ).first().m
+    d = str(tmp_path / "funnel_src")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(os.path.join(d, "p_a"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "p_*"))
+    )
+    name = f"fn_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_state(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(os.path.join(d, "p_b"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # last emission per key = final stage
+    got = {
+        r.key: r.stage
+        for r in spark.table(name)
+        .groupBy("key")
+        .agg(F.max("stage").alias("stage"))
+        .collect()
+    }
+    # batch reference: chained per-user mins
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    exp = {r.user_id: 1 for r in s1.collect()}
+    exp.update({r.user_id: 2 for r in s2.collect()})
+    exp.update({r.user_id: 3 for r in s3.collect()})
+    assert got == exp
