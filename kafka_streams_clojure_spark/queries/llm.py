@@ -2311,3 +2311,41 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_llm_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tok GROUP BY token HAVING count(*) >= 20
+    """,
+)
+def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index construction — token → sorted posting list of
+    doc ids (the core retrieval artifact BM25/tfidf serve from). One
+    explode + distinct + one groupBy; posting lists ride as sorted
+    arrays (comparison surface = joined string, the q_agg_collect_set
+    convention; numeric sort BEFORE stringify — lexicographic '10'<'2'
+    would diverge between engines). At 100 TB postings for stop-words
+    explode — the df floor here doubles as the stop-token cut, and a
+    production index range-partitions by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    postings = F.array_join(
+        F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+        ",",
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("df"), postings.alias("postings"))
+        .filter(F.col("df") >= 20)
+    )
