@@ -385,3 +385,42 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, col in rows
     )
     return m.selectExpr(f"stack({len(rows)}, {pairs}) AS (metric, value)")
+
+
+@query(
+    "q_incremental_agg",
+    oracle=f"""
+    SELECT user_id, count(*) AS n, {sql_dsum('value')} AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance — the mergeable-partial-state
+    idiom every incremental ETL / materialized-view refresh relies on:
+    two disjoint slices of the input (standing store + today's delta)
+    are aggregated INDEPENDENTLY into partial states (count, DECIMAL
+    sum), then merged by summing states — never re-scanning the
+    standing slice's raw rows. The oracle is the plain one-shot
+    aggregate: merged partials must equal it exactly, which is exactly
+    why the partial sum stays DECIMAL until the final cast (a partial
+    DOUBLE sum would make the merge order-dependent — the dsum rule
+    applied across batches instead of across partitions)."""
+    ev = load_table(spark, sf_dir, "events")
+    DEC = "decimal(18,4)"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("value").cast(DEC)).alias("__s"),
+        )
+
+    standing = partial(ev.filter(F.col("event_id") % 2 == 0))
+    delta = partial(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        standing.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n"),
+            F.sum("__s").cast("double").alias("total"),
+        )
+    )
