@@ -877,3 +877,45 @@ def q_events_recency_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("wt") > 0, 1)).alias("n_recent"),
         )
     )
+
+
+@query(
+    "q_events_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step behavior paths (event-type trigrams
+    per user in time order) — the path-mining extension of the
+    first-order q_events_transitions matrix. One per-user lead window
+    (same partitioning as every other per-user key) + a tiny path
+    aggregate; top-k with the full (n, path) tie order."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

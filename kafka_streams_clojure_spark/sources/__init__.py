@@ -124,3 +124,45 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    shuffle: bool = False,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/incremental sink eventually needs: micro-batch and
+    per-task writes accumulate thousands of KB-sized files, and at
+    100 TB the NameNode/listing pressure plus per-file open cost
+    dominate scan time long before the bytes do. Rewrites ``src_path``
+    into ``ceil(total_bytes / target_file_bytes)`` files at
+    ``dst_path`` and returns that file count.
+
+    Input size comes from the filesystem metadata of the scan's own
+    file list (``df.inputFiles()`` + Hadoop ``FileStatus`` — works on
+    any Hadoop-visible FS, not just local), so the sizing needs no
+    data pass. ``shuffle=False`` (default) uses ``coalesce`` — merges
+    partitions with NO exchange, the right tool when output files may
+    inherit input clustering; ``shuffle=True`` re-balances skewed
+    inputs through one round-robin ``repartition`` exchange at the
+    cost of destroying any existing sort order. Compaction is a
+    REWRITE, not in-place: swap directories atomically at the catalog/
+    manifest layer (or use Delta/Iceberg OPTIMIZE where available —
+    this helper is the plain-parquet form of it)."""
+    import math
+
+    df = spark.read.format(fmt).load(src_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    sized = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    sized.write.format(fmt).mode("overwrite").save(dst_path)
+    return n_out

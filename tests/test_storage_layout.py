@@ -73,3 +73,26 @@ def test_bucketed_join_zero_shuffles(spark, warehouse_tables, sf_dir):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_files_merges_small_files(spark, sf_dir, tmp_path):
+    """64 tiny files → few files sized to the target, content identical
+    (count + per-key aggregate equality)."""
+    from kafka_streams_clojure_spark.sources import compact_files
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "small_files")
+    ev.repartition(64).write.parquet(src)
+    n_src = len(spark.read.parquet(src).inputFiles())
+    assert n_src >= 64
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_files(spark, src, dst, target_file_bytes=512 * 1024)
+    files = spark.read.parquet(dst).inputFiles()
+    assert len(files) == n_out < n_src / 4
+
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    a = {r.user_id: r.n for r in back.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    b = {r.user_id: r.n for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    assert a == b
