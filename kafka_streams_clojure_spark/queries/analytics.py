@@ -919,3 +919,101 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "q_events_changepoint",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, value, ts, event_id,
+             CAST(row_number() OVER w AS BIGINT)                  AS i,
+             sum(CAST(value AS DECIMAL(14,4))) OVER w             AS cum,
+             sum(CAST(value AS DECIMAL(14,4)))
+               OVER (PARTITION BY event_type)                     AS s,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, ts, i, n,
+             (CAST(CAST(cum AS DECIMAL(18,4)) AS DOUBLE) / i)
+               - (CAST(CAST(s - cum AS DECIMAL(18,4)) AS DOUBLE) / (n - i))
+               AS d
+      FROM ordered WHERE i < n
+    ),
+    ranked AS (
+      SELECT event_type, ts, i,
+             (d * d) * ((CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE))
+                        / CAST(n AS DOUBLE)) AS score,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (d * d) * ((CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE))
+                                   / CAST(n AS DOUBLE)) DESC, i
+             ) AS rk
+      FROM scored
+    )
+    SELECT event_type, i AS change_idx, ts AS change_ts, score
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection (binary segmentation, first
+    split): per event type, the time index maximizing the weighted
+    between-segment mean gap (meanL − meanR)² · i(n−i)/n — the CUSUM
+    split statistic. One ordered window pass: running DECIMAL sums
+    make every prefix mean exact, the downcast to DECIMAL(18,4) keeps
+    the decimal→double conversion out of the >18-precision
+    double-rounding trap (CLAUDE.md), and the argmax is a row_number
+    with an index tiebreak (arg_max tie behavior is engine-specific).
+    At 100 TB the scan is one shuffle on the partition key and the
+    candidate scoring rides the same sort as any per-key window."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("event_type")
+    dec = F.col("value").cast("decimal(14,4)")
+    ordered = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("ts", "event_id"))
+        .cast("bigint")
+        .alias("i"),
+        F.sum(dec).over(w).alias("cum"),
+        F.sum(dec).over(wp).alias("s"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+    )
+    d = (
+        F.col("cum").cast("decimal(18,4)").cast("double") / F.col("i")
+    ) - (
+        (F.col("s") - F.col("cum")).cast("decimal(18,4)").cast("double")
+        / (F.col("n") - F.col("i"))
+    )
+    scored = ordered.filter(F.col("i") < F.col("n")).select(
+        "event_type", "ts", "i", "n", d.alias("d")
+    )
+    score = (F.col("d") * F.col("d")) * (
+        (F.col("i").cast("double") * (F.col("n") - F.col("i")).cast("double"))
+        / F.col("n").cast("double")
+    )
+    ranked = scored.select(
+        "event_type", "ts", "i", score.alias("score")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("score").desc(), "i")
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("i").alias("change_idx"),
+        F.col("ts").alias("change_ts"),
+        "score",
+    )
