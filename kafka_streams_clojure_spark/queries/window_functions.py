@@ -223,3 +223,38 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("hour_value"),
     )
+
+
+@query(
+    "q_win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW
+           ) AS roll_median
+    FROM events
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over an 11-row trailing frame per user — the
+    robust-smoothing twin of the running mean (one extreme value can't
+    move a median). Exercises percentile-as-WINDOW-aggregate: both
+    engines interpolate the same linear definition (the
+    q_agg_percentile contract) and the frame is a ROWS frame on the
+    standard (ts, event_id) total order, so values are bit-identical.
+    Cost is the one per-user sort every windowed key already pays;
+    the frame re-sorts 11 values per row (no incremental median in
+    either engine) — at 100 TB prefer the GK-sketch bucketed variant
+    for wide frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percentile("value", 0.5).over(w).alias("roll_median"),
+    )
