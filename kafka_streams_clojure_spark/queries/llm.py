@@ -2349,3 +2349,39 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("df"), postings.alias("postings"))
         .filter(F.col("df") >= 20)
     )
+
+
+@query(
+    "q_llm_dedup_report",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(count(DISTINCT f) AS BIGINT)     AS n_unique,
+           CAST(count(*) - count(DISTINCT f) AS BIGINT) AS n_dups,
+           CAST(CAST(count(*) - count(DISTINCT f) AS DOUBLE)
+                / count(*) AS DOUBLE)            AS dup_ratio
+    FROM fp GROUP BY source
+    """,
+)
+def q_llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication report — the summary table a dedup
+    pipeline prints before anyone trusts its keep-list: docs, unique
+    fingerprints, duplicate count and ratio per source. One scan + one
+    two-phase count-distinct per group; ratios are integer/integer →
+    exact parity."""
+    from kafka_streams_clojure_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", fingerprint(F.col("text")).alias("f"))
+    n_dups = F.count("*") - F.countDistinct("f")
+    return fp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("f").cast("bigint").alias("n_unique"),
+        n_dups.cast("bigint").alias("n_dups"),
+        (n_dups.cast("double") / F.count("*")).cast("double").alias("dup_ratio"),
+    )
