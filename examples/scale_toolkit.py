@@ -11,6 +11,8 @@ Covers (each an oracle-checked query key, COVERAGE.md):
   stream-stream AS-OF w/ state      -> q_stream_asof_join
   edit-distance near-dup            -> q_llm_edit_distance
   sorted-neighborhood blocking      -> q_llm_sorted_neighborhood
+  CUSUM changepoint detection       -> q_events_changepoint
+  data-quality metric suite         -> q_data_quality
 """
 
 from __future__ import annotations
@@ -51,6 +53,12 @@ def main(sf_dir: str) -> None:
     run(spark, "q_llm_sorted_neighborhood", sf_dir).orderBy(
         "edit_dist", "id_a", "id_b"
     ).show(5)
+
+    print("7. Where does each event type's value regime shift? (CUSUM):")
+    run(spark, "q_events_changepoint", sf_dir).orderBy("event_type").show(5)
+
+    print("8. Is this batch trustworthy? (one-scan quality suite):")
+    run(spark, "q_data_quality", sf_dir).orderBy("metric").show()
 
     spark.stop()
 
