@@ -199,6 +199,47 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_topk_window",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT day, event_type, n FROM r WHERE rk <= 3
+    """,
+)
+def q_stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous windowed top-k (the live leaderboard): per-day
+    event-type counts maintained by the STREAMING engine in complete
+    mode, ranked top-3-per-day on the materialized store's lazy
+    reader — ranking over streaming aggregates isn't directly
+    supported in-engine, so the store-then-rank split IS the
+    production shape (KS's windowed-count + interactive-query
+    pattern). Rank reads get WindowGroupLimit pruning like any batch
+    top-k; ties break on event_type."""
+    from pyspark.sql import Window as W
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("day"), "event_type", "n")
+    )
+    store = run_available_now(agg, output_mode="complete")
+    rk = F.row_number().over(
+        W.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    )
+    return store.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")
+
+
+@query(
     "q_store_point_lookup",
     oracle=f"""
     SELECT user_id, count(*) AS n, {sql_dsum('value')} AS total
