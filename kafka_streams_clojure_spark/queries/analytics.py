@@ -1017,3 +1017,48 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("change_ts"),
         "score",
     )
+
+
+@query(
+    "q_events_gini",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)      AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST({sql_dsum('(2 * i - n - 1) * value')}
+                / (CAST(n AS DOUBLE) * {sql_dsum('value')}) AS DOUBLE) AS gini
+    FROM ranked GROUP BY event_type, n
+    """,
+)
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration index of value per event type — the
+    inequality metric for spotting skewed mixtures (one whale user /
+    one dominant source): G = Σ(2i−n−1)·xᵢ / (n·Σx) over
+    ascending-sorted values. Rank weights are integers, products stay
+    per-row doubles, and BOTH sums go through the decimal cast (the
+    dsum rule) so the ratio is aggregation-order independent; the sort
+    rides the standard per-type partition with event_id tiebreak."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .cast("bigint")
+        .alias("i"),
+        F.count("*").over(W.partitionBy("event_type")).cast("bigint").alias("n"),
+    )
+    num = dsum((2 * F.col("i") - F.col("n") - 1) * F.col("value"))
+    den = F.col("n").cast("double") * dsum("value")
+    return (
+        ranked.groupBy("event_type", "n")
+        .agg((num / den).cast("double").alias("gini"))
+        .select("event_type", "gini")
+    )
