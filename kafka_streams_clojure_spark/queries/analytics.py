@@ -1062,3 +1062,65 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((num / den).cast("double").alias("gini"))
         .select("event_type", "gini")
     )
+
+
+@query(
+    "q_basket_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    norders AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+    freq AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT p1, p2, n_pair,
+           CAST(CAST(n_pair AS DOUBLE) * n_orders
+                / (CAST(f1.n_p AS DOUBLE) * f2.n_p) AS DOUBLE) AS lift
+    FROM pairs
+    JOIN freq f1 ON p1 = f1.p
+    JOIN freq f2 ON p2 = f2.p
+    CROSS JOIN norders
+    WHERE n_pair >= 3
+    ORDER BY lift DESC, n_pair DESC, p1, p2 LIMIT 20
+    """,
+)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 co-ordered part pairs by lift
+    (P(a,b)/(P(a)P(b))) with a support floor — the transactional twin
+    of the text bigram collocations key. Candidate pairs come from the
+    within-order self-join (never parts²: shuffle ∝ Σ basket², and
+    baskets are small); counts are integers, lift is one per-row
+    double expression, n_orders rides as a broadcast 1-row side, and
+    the top-k carries the full (lift, n_pair, p1, p2) tie order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    norders = items.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    freq = items.groupBy("p").agg(F.count("*").cast("bigint").alias("n_p"))
+    a = items.select(F.col("o"), F.col("p").alias("p1"))
+    b = items.select(F.col("o"), F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_orders")
+        / (F.col("f1_np").cast("double") * F.col("f2_np"))
+    ).cast("double")
+    return (
+        pairs.join(freq.select(F.col("p").alias("p1"), F.col("n_p").alias("f1_np")), "p1")
+        .join(freq.select(F.col("p").alias("p2"), F.col("n_p").alias("f2_np")), "p2")
+        .crossJoin(F.broadcast(norders))
+        .select("p1", "p2", "n_pair", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("n_pair").desc(), "p1", "p2")
+        .limit(20)
+    )

@@ -41,6 +41,8 @@ _NONEQUI_OK = {
     "q_llm_bm25",
     # crossJoin of the broadcast 1-row max-ts anchor
     "q_events_recency_weighted",
+    # crossJoin of the broadcast 1-row n_orders total
+    "q_basket_affinity",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
