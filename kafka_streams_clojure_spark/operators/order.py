@@ -84,6 +84,52 @@ def global_index(
     )
 
 
+def ranked_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[ColumnOrName],
+    value_col: str,
+    idx_col: str = "idx",
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank AND running sum of ``value_col`` in a pinned
+    total order — `sum(x) OVER (ORDER BY ...)` without the single-task
+    global window: per-range-partition local cumsums + ONE broadcast
+    prefix of per-partition (count, sum) summaries (the
+    :func:`global_index` idiom extended to an arbitrary monoid).
+    Exactness: pass a DECIMAL-cast ``value_col`` and the partition
+    split can't change the totals (decimal addition is associative
+    exactly; a double column would make the result layout-dependent).
+    """
+    d = _ranged(df, order_by, num_partitions)
+    w_local = Window.partitionBy("__pid").orderBy("__local_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # one row per partition — the window is over #partitions rows
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"), F.sum(value_col).alias("__psum"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)).alias("__coff"),
+            F.sum("__psum").over(w_prev).alias("__soff"),
+        )
+    )
+    return (
+        d.withColumn("__lcum", F.sum(value_col).over(w_local))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(idx_col, (F.col("__local_idx") + F.col("__coff") + 1).cast("long"))
+        .withColumn(
+            cum_col,
+            F.when(F.col("__soff").isNull(), F.col("__lcum")).otherwise(
+                F.col("__lcum") + F.col("__soff")
+            ),
+        )
+        .drop("__pid", "__local_idx", "__lcum", "__coff", "__soff")
+    )
+
+
 # Morton (Z-order) interleave: the space-filling-curve layout key for
 # MULTI-dimensional pruning. Sorting/range-partitioning by a single
 # column clusters one dimension only; writing files ordered by

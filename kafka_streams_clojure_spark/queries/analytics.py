@@ -1124,3 +1124,61 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("n_pair").desc(), "p1", "p2")
         .limit(20)
     )
+
+
+@query(
+    "q_orders_pareto",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(sum(s) AS DECIMAL(18,4)) AS st FROM t),
+    r AS (
+      SELECT o_custkey, s,
+             CAST(row_number() OVER w AS BIGINT) AS rnk,
+             CAST(sum(s) OVER (w ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(18,4))              AS cum
+      FROM t
+      WINDOW w AS (ORDER BY s DESC, o_custkey)
+    )
+    SELECT o_custkey, rnk,
+           CAST(CAST(cum AS DOUBLE) / CAST(st AS DOUBLE) AS DOUBLE) AS cum_share
+    FROM r CROSS JOIN tot
+    """,
+)
+def q_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (cumulative-share) curve over customer revenue — the
+    80/20 concentration diagnostic: customers ranked by total spend,
+    each with the cumulative fraction of all revenue above them. The
+    global running sum is inherently a total-order scan, so it runs as
+    operators/order.ranked_prefix_sum (range-partitioned local cumsums
+    + one broadcast per-partition prefix — NO single-task window);
+    every sum is DECIMAL(18,4) end-to-end (totals stay ≤18 digits at
+    sf0.1 — above that, raise the scale ceiling BEFORE the double
+    conversion, never past 18: the DuckDB hugeint double-rounding
+    rule), and the share division happens once per row in doubles."""
+    from kafka_streams_clojure_spark.operators.order import ranked_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("s")
+    )
+    tot = t.agg(F.sum("s").cast("decimal(18,4)").alias("st"))
+    ranked = ranked_prefix_sum(
+        t,
+        order_by=[F.col("s").desc(), F.col("o_custkey")],
+        value_col="s",
+        idx_col="rnk",
+        cum_col="cum",
+    )
+    share = (
+        F.col("cum").cast("decimal(18,4)").cast("double")
+        / F.col("st").cast("double")
+    ).cast("double")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey", "rnk", share.alias("cum_share")
+    )

@@ -43,6 +43,8 @@ _NONEQUI_OK = {
     "q_events_recency_weighted",
     # crossJoin of the broadcast 1-row n_orders total
     "q_basket_affinity",
+    # crossJoin of the broadcast 1-row revenue total
+    "q_orders_pareto",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and

@@ -98,3 +98,42 @@ def test_zorder_layout_bounds_both_dims(spark, sf_dir, tmp_path):
     ).first()
     # 8 z-range files → each box covers ~1/8 of the plane; allow 2×.
     assert rel.area < 0.25, f"z-order files not clustered: avg rel box area {rel.area}"
+
+
+def test_ranked_prefix_sum_matches_window(spark, sf_dir):
+    """ranked_prefix_sum == the single-task sum() OVER (ORDER BY ...)
+    it parallelizes, on decimal values (exact), across several
+    partition counts (layout independence)."""
+    from pyspark.sql import Window as W
+
+    from kafka_streams_clojure_spark.operators.order import ranked_prefix_sum
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s")
+    )
+    w = W.orderBy(F.col("s").desc(), "o_custkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    exp = {
+        r.o_custkey: (r.rnk, r.cum)
+        for r in t.select(
+            "o_custkey",
+            F.row_number().over(W.orderBy(F.col("s").desc(), "o_custkey")).alias("rnk"),
+            F.sum("s").over(w).alias("cum"),
+        ).collect()
+    }
+    for n_parts in (3, 8):
+        got = {
+            r.o_custkey: (r.rnk, r.cum)
+            for r in ranked_prefix_sum(
+                t,
+                order_by=[F.col("s").desc(), F.col("o_custkey")],
+                value_col="s",
+                idx_col="rnk",
+                cum_col="cum",
+                num_partitions=n_parts,
+            ).collect()
+        }
+        assert got == exp, f"divergence at num_partitions={n_parts}"
