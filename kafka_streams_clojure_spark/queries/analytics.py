@@ -1182,3 +1182,41 @@ def q_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(tot)).select(
         "o_custkey", "rnk", share.alias("cum_share")
     )
+
+
+@query(
+    "q_events_burst",
+    oracle="""
+    WITH sec AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+    ),
+    win AS (
+      SELECT user_id,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY s
+                                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS in_window
+      FROM sec
+    )
+    SELECT user_id, max(in_window) AS burst_10m
+    FROM win GROUP BY user_id
+    """,
+)
+def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's maximum event count inside any
+    trailing 10-minute window — the rate-spike feature behind abuse /
+    bot flagging and autoscaling triggers. RANGE frame over INTEGER
+    epoch seconds (the unix_timestamp = floor(epoch) rule), so frame
+    membership is exact on both engines and peers at the same second
+    are handled identically (RANGE includes all peers — a ROWS frame
+    here would be tiebreak-dependent). One per-user sort + one
+    per-user max."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = ev.select("user_id", F.unix_timestamp("ts").alias("s"))
+    w = W.partitionBy("user_id").orderBy("s").rangeBetween(-600, 0)
+    return (
+        sec.select("user_id", F.count("*").over(w).cast("bigint").alias("in_window"))
+        .groupBy("user_id")
+        .agg(F.max("in_window").alias("burst_10m"))
+    )
