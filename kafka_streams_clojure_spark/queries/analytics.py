@@ -1220,3 +1220,82 @@ def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("in_window").alias("burst_10m"))
     )
+
+
+@query(
+    "q_events_pop_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n, {sql_dsum('value')} AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n, total,
+           CASE WHEN lag(total) OVER w IS NOT NULL
+                 AND lag(total) OVER w <> 0
+                THEN CAST((total - lag(total) OVER w)
+                          / lag(total) OVER w AS DOUBLE)
+           END AS growth
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def q_events_pop_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — daily totals per event type with
+    (today − yesterday)/yesterday: the BI trendline primitive. Totals
+    are dsum-exact so the lag-ratio operands are bit-identical; the
+    denominator is guarded against NULL (first day) AND zero (the
+    /0-is-inf-in-DuckDB rule) on both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total"))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    growth = F.when(
+        prev.isNotNull() & (prev != 0),
+        ((F.col("total") - prev) / prev).cast("double"),
+    )
+    return d.select("event_type", "day", "n", "total", growth.alias("growth"))
+
+
+@query(
+    "q_events_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id))) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           quantile_cont(gap_s, 0.5)  AS p50_s,
+           quantile_cont(gap_s, 0.95) AS p95_s,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (median / p95
+    whole-second gaps to each user's NEXT event) — the latency/
+    engagement-cadence profile. Gaps are integers via the
+    unix_timestamp = floor(epoch) rule; exact interpolated percentiles
+    (the q_agg_percentile contract) over them are engine-identical."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.percentile("gap_s", 0.5).alias("p50_s"),
+        F.percentile("gap_s", 0.95).alias("p95_s"),
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+    )
