@@ -71,6 +71,10 @@ EXTRAS = [
     "q_llm_sorted_neighborhood",  # sorted-neighborhood blocking
     "q_llm_bm25",              # BM25 top-20 (linear idf)
     "q_data_quality",          # one-scan metric suite
+    "q_orders_pareto",         # parallel global prefix-sum Pareto curve
+    "q_events_changepoint",    # CUSUM split statistic
+    "q_basket_affinity",       # within-basket co-occurrence lift
+    "q_llm_inverted_index",    # posting-list build
 ]
 
 
