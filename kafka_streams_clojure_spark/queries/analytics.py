@@ -644,7 +644,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, sec, arg_max(value, event_id) AS v
       FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                    event_id, value
-            FROM events)
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL)
       GROUP BY user_id, sec
     ),
     b AS (
@@ -703,8 +704,15 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     step = 21600
     ev = load_table(spark, sf_dir, "events")
+    # mirrored null guards (the as-of null-key rule, defensively): a
+    # null ts/value/user would order and fill differently per engine
     obs = (
-        ev.select(
+        ev.filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
             "user_id",
             F.unix_timestamp("ts").alias("sec"),
             "event_id",
