@@ -144,8 +144,12 @@ def stateful_asof_join(
         )
 
     key_type = dict(tagged.dtypes)[key_col]
+    # null key/ts rows are dropped up front (the as-of null-key rule):
+    # a null key would become its own state group that matches nothing,
+    # and pd.NaT.value is a sentinel integer that would silently join
     return (
-        tagged.select(key_col, side_col, ts_col, id_col, value_col)
+        tagged.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(key_col, side_col, ts_col, id_col, value_col)
         .groupBy(key_col)
         .applyInPandasWithState(
             update,

@@ -367,3 +367,43 @@ def test_asof_tolerance_boundary_inclusive(spark):
     }
     assert out[1] == 10  # exactly 1h old: inside the band
     assert out[2] is None  # 4h old: nulled
+
+
+def test_stateful_asof_drops_null_keys_and_ts(spark):
+    """stateful_asof_join filters null key/ts rows up front (the as-of
+    null-key rule): a null-ts click must never become a version
+    (pd.NaT.value is a sentinel int that would otherwise join), and a
+    null-key purchase must not emit."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.streaming.stateful import stateful_asof_join
+
+    rows = [
+        (1, "r", "2020-01-01 01:00:00", 100, 10.0),
+        (1, "r", None, 101, 99.0),            # null-ts version: dropped
+        (None, "l", "2020-01-01 02:00:00", 102, 1.0),  # null key: dropped
+        (1, "l", "2020-01-01 03:00:00", 103, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, side string, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import uuid
+
+    src = f"/tmp/kscs_null_asof_{uuid.uuid4().hex[:8]}"
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    name = f"na_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_asof_join(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {(r.key, r.left_id): r.right_value for r in spark.table(name).collect()}
+    assert got == {(1, 103): 10.0}
