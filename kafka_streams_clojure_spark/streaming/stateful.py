@@ -215,8 +215,11 @@ def funnel_state(
         yield pd.DataFrame({"key": [key[0]], "stage": [stage]})
 
     key_type = dict(events.dtypes)[key_col]
+    # null key/ts guard (as-of rule): pd.NaT.value is a sentinel int
+    # that would sort before every real event and corrupt the machine
     return (
-        events.select(key_col, type_col, ts_col, id_col)
+        events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(key_col, type_col, ts_col, id_col)
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
