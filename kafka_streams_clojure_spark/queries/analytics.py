@@ -1307,3 +1307,78 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_s", 0.95).alias("p95_s"),
         F.count("gap_s").cast("bigint").alias("n_gaps"),
     )
+
+
+@query(
+    "q_events_seasonality",
+    oracle=f"""
+    SELECT event_type,
+           -- DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT)      AS hod,
+           count(*)                   AS n,
+           {sql_dsum('value')}        AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap: activity by (day-of-week × hour-of-day)
+    per event type — the load-forecasting / staffing matrix. One
+    two-phase aggregate; extraction functions agree because the
+    session is forced UTC; DuckDB's dayofweek is 0=Sunday vs
+    Spark's 1=Sunday — the oracle shifts by one (an engine-dialect
+    trap worth the comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total"))
+
+
+@query(
+    "q_orders_bookings",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS day_idx,
+           n_orders,
+           CAST(s AS DOUBLE) AS day_total,
+           CAST(CAST(sum(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                     AS DECIMAL(18,4)) AS DOUBLE) AS cum_total
+    FROM d
+    """,
+)
+def q_orders_bookings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bookings-to-date: daily order counts/revenue with the running
+    cumulative total — the finance dashboard's headline series. The
+    global running sum reuses operators/order.ranked_prefix_sum
+    (range-partitioned cumsums + broadcast prefix, no single-task
+    window — same primitive as q_orders_pareto, different monoid
+    consumer); revenue stays DECIMAL(18,4) until the final double
+    cast."""
+    from kafka_streams_clojure_spark.operators.order import ranked_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("s"),
+    )
+    ranked = ranked_prefix_sum(
+        d, order_by=["day"], value_col="s", idx_col="day_idx", cum_col="cum"
+    )
+    return ranked.select(
+        "day",
+        "day_idx",
+        "n_orders",
+        F.col("s").cast("double").alias("day_total"),
+        F.col("cum").cast("decimal(18,4)").cast("double").alias("cum_total"),
+    )
