@@ -2385,3 +2385,37 @@ def q_llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_dups.cast("bigint").alias("n_dups"),
         (n_dups.cast("double") / F.count("*")).cast("double").alias("dup_ratio"),
     )
+
+
+@query(
+    "q_llm_boolean_search",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    )
+    SELECT doc_id
+    FROM tok WHERE token IN ('join', 'scan', 'filter')
+    GROUP BY doc_id HAVING count(*) = 3
+    """,
+)
+def q_llm_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval: documents containing ALL
+    query terms — the query side of the inverted index
+    (`q_llm_inverted_index` builds it; this is the postings
+    intersection, expressed as the count-of-matched-distinct-terms
+    idiom: one shuffle on doc_id, no N-way self-join). BM25
+    (`q_llm_bm25`) ranks what this filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["join", "scan", "filter"]
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__k"))
+        .filter(F.col("__k") == len(terms))
+        .select("doc_id")
+    )
