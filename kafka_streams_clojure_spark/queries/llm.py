@@ -2419,3 +2419,54 @@ def q_llm_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__k") == len(terms))
         .select("doc_id")
     )
+
+
+@query(
+    "q_llm_phrase_search",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l
+            FROM documents)
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT)  AS n_hits,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM t a JOIN t b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'table' AND b.tok = 'hash'
+    GROUP BY a.doc_id
+    """,
+)
+def q_llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("table hash" as adjacent tokens) — the
+    positional-index query single-token retrieval can't answer. Spark
+    side: posexplode + a per-doc lead window (the shingle_sets codegen
+    idiom — positions are free); the oracle reconstructs positions
+    with generate_subscripts (DuckDB lacks WITH ORDINALITY) and joins
+    pos+1. Returns (doc_id, n_hits, first_pos). At scale the phrase
+    probe runs against a stored positional posting list for the rarer
+    term, not a corpus re-tokenization — same plan shape, indexed
+    input."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos0", "tok")
+    ).repartition(par, "doc_id")
+    w = W.partitionBy("doc_id").orderBy("pos0")
+    pairs = toks.select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "tok",
+        F.lead("tok").over(w).alias("nxt"),
+    )
+    return (
+        pairs.filter((F.col("tok") == "table") & (F.col("nxt") == "hash"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )
