@@ -1382,3 +1382,40 @@ def q_orders_bookings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("day_total"),
         F.col("cum").cast("decimal(18,4)").cast("double").alias("cum_total"),
     )
+
+
+@query(
+    "q_orders_ship_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           quantile_cont(lag_days, 0.5)  AS p50_days,
+           quantile_cont(lag_days, 0.95) AS p95_days,
+           CAST(count(*) AS BIGINT)      AS n_lines
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def q_orders_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority class (p50/p95
+    whole days) — the fulfillment-SLA view; the TPC-H twin of
+    q_events_interarrival. Integer day gaps via DATE datediff (no
+    epoch arithmetic at all), exact interpolated percentiles, one
+    fact⋈fact equi-join on the order key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).cast("bigint").alias("lag_days"),
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.percentile("lag_days", 0.5).alias("p50_days"),
+        F.percentile("lag_days", 0.95).alias("p95_days"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
