@@ -2470,3 +2470,46 @@ def q_llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("bigint").alias("first_pos"),
         )
     )
+
+
+@query(
+    "q_llm_zipf",
+    oracle="""
+    WITH tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, tf,
+             CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rnk
+      FROM tf
+    )
+    SELECT rnk, token, tf, CAST(rnk * tf AS BIGINT) AS rank_freq
+    FROM ranked WHERE rnk <= 50
+    """,
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table: the top-50 tokens with rank×frequency
+    (≈ constant under Zipf's law — the corpus-health check a tokenizer
+    team eyeballs before trusting frequency stats). The global rank
+    runs on operators/order.global_index (parallel — no single-task
+    window) over the full vocabulary, THEN takes the prefix; integer
+    products, full tie order on (tf desc, token)."""
+    from kafka_streams_clojure_spark.operators.order import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    ranked = global_index(
+        tf, order_by=[F.col("tf").desc(), F.col("token")], idx_col="rnk0"
+    )
+    return (
+        ranked.withColumn("rnk", (F.col("rnk0") + 1).cast("bigint"))
+        .filter(F.col("rnk") <= 50)
+        .select("rnk", "token", "tf", (F.col("rnk") * F.col("tf")).cast("bigint").alias("rank_freq"))
+    )

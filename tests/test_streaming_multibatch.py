@@ -343,3 +343,45 @@ def test_funnel_state_across_batches(spark, sf_dir, tmp_path):
     exp.update({r.user_id: 2 for r in s2.collect()})
     exp.update({r.user_id: 3 for r in s3.collect()})
     assert got == exp
+
+
+def test_hopping_window_across_batches(spark, sf_dir, split_events_dir):
+    """Hopping (1d/12h) windows fed 4 micro-batches: final per
+    (window, type) counts equal the batch double-counted hopping
+    aggregate — overlapping window state survives epochs."""
+    batch_ev = load_table(spark, sf_dir, "events")
+    stream = _stream_split(spark, split_events_dir, batch_ev.schema)
+    agg = (
+        stream.withWatermark("ts", "40 days")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    name = f"hop_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    final = spark.table(name).groupBy("ws", "event_type").agg(F.max("n").alias("n"))
+    # batch reference: each event belongs to the two windows starting at
+    # floor(epoch/12h)*12h and that minus 12h
+    sec = F.unix_timestamp("ts")
+    base = (F.floor(sec / 43200) * 43200).cast("long")
+    exp = (
+        batch_ev.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.timestamp_seconds(base),
+                    F.timestamp_seconds(base - 43200),
+                )
+            ).alias("ws"),
+        )
+        .groupBy("ws", "event_type")
+        .agg(F.count("*").alias("n_exp"))
+    )
+    j = final.join(exp, ["ws", "event_type"], "full_outer")
+    assert j.filter(F.col("n").isNull() | F.col("n_exp").isNull()).count() == 0
+    assert j.filter(F.col("n") != F.col("n_exp")).count() == 0
