@@ -1419,3 +1419,56 @@ def q_orders_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("lag_days", 0.95).alias("p95_days"),
         F.count("*").cast("bigint").alias("n_lines"),
     )
+
+
+@query(
+    "q_events_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    cover AS (
+      SELECT user_id, day + to_days(CAST(i AS INT)) AS cover_day
+      FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS i)
+    ),
+    wau AS (
+      SELECT cover_day AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM cover GROUP BY cover_day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(CAST(d.dau AS DOUBLE) / w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the growth-analytics engagement
+    ratio. Rolling DISTINCT counts aren't windowable (count(DISTINCT)
+    over a frame is unsupported in both engines), so the trailing-7-day
+    uniques come from the cover-set trick: each (user, active-day)
+    pair is exploded onto the 7 days it covers, then one
+    count-distinct per cover day — shuffle ∝ 7 × user-day pairs,
+    never days × users. Only days that appear as cover days of actual
+    activity are emitted (inner join vs DAU prunes the 6-day tail
+    after the last activity)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.col("day") + F.expr(f"INTERVAL {i} DAYS") for i in range(7)])
+        ).alias("day"),
+    )
+    wau = cover.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).cast("double").alias("stickiness"),
+    )
