@@ -1472,3 +1472,99 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).cast("double").alias("stickiness"),
     )
+
+
+@query(
+    "q_events_session_conversion",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_type,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    f AS (
+      SELECT user_id, sid,
+             min(ts) AS s_start,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM s GROUP BY user_id, sid
+    ),
+    conv AS (
+      SELECT f.user_id, f.sid, f.s_start,
+             CASE WHEN f.t_view IS NOT NULL AND EXISTS (
+               SELECT 1 FROM s e
+               WHERE e.user_id = f.user_id AND e.sid = f.sid
+                 AND e.event_type = 'purchase' AND e.ts > f.t_view
+             ) THEN 1 ELSE 0 END AS converted
+      FROM f
+    )
+    SELECT date_trunc('day', s_start) AS day,
+           CAST(count(*) AS BIGINT)       AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(CAST(sum(converted) AS DOUBLE) / count(*) AS DOUBLE) AS conv_rate
+    FROM conv GROUP BY 1
+    """,
+)
+def q_events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-SESSION conversion rate per day: 30-minute-gap sessions
+    (the gaps-and-islands idiom shared with q_agg_session_window)
+    scored by whether a view is followed by a purchase INSIDE the same
+    session — the composition of sessionization and funnel logic the
+    global q_events_funnel can't express (a purchase in next week's
+    session shouldn't convert today's view). All shuffles stay on
+    user_id until the tiny per-day rollup; the purchase probe is a
+    per-session semi-join, not a correlated re-scan."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wc)
+        .alias("sid"),
+    )
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    s = persist_if_uncached(s)
+    f = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    purchases = s.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sid", F.col("ts").alias("p_ts")
+    )
+    hit = (
+        f.filter(F.col("t_view").isNotNull())
+        .join(purchases, ["user_id", "sid"])
+        .filter(F.col("p_ts") > F.col("t_view"))
+        .select("user_id", "sid")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    conv = f.join(hit, ["user_id", "sid"], "left").select(
+        "s_start", F.coalesce(F.col("__c"), F.lit(0)).alias("converted")
+    )
+    return conv.groupBy(F.date_trunc("day", "s_start").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count("*"))
+        .cast("double")
+        .alias("conv_rate"),
+    )
