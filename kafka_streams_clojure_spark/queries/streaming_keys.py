@@ -872,3 +872,55 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("kscs_orc_")
     ev.write.mode("overwrite").orc(out)
     return read_batch(spark, out, fmt="orc")
+
+
+@query(
+    "q_stream_data_quality",
+    oracle="""
+    WITH m AS (
+      SELECT count(*)                                        AS n_rows,
+             count(value)                                    AS n_value,
+             count(CASE WHEN ts IS NOT NULL THEN 1 END)      AS n_ts,
+             count(CASE WHEN value >= 0 AND value <= 1000
+                        THEN 1 END)                          AS n_in_range
+      FROM events
+    )
+    SELECT metric, CAST(ratio AS DOUBLE) AS value FROM (
+      SELECT 'completeness_value' AS metric,
+             CAST(n_value AS DOUBLE) / n_rows AS ratio FROM m
+      UNION ALL SELECT 'completeness_ts',
+             CAST(n_ts AS DOUBLE) / n_rows FROM m
+      UNION ALL SELECT 'compliance_value_range',
+             CAST(n_in_range AS DOUBLE) / n_rows FROM m
+    )
+    """,
+)
+def q_stream_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate ON THE STREAMING ENGINE — the
+    validate-before-trust metrics computed as a streaming aggregate
+    (complete mode), so a production topology can alert on a bad batch
+    BEFORE downstream state ingests it. One AvailableNow batch → the
+    metrics equal the batch q_data_quality subset, which the oracle
+    checks; the stack() unpivot happens on the store's batch reader
+    (streaming aggregates can't unpivot in-flight), and the uniqueness
+    metric is batch-only — DISTINCT aggregates are unsupported on
+    streams (the HLL sketch is the streamable stand-in)."""
+    ev = stream_table(spark, sf_dir, "events")
+    m = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.count(F.when(F.col("ts").isNotNull(), 1)).alias("n_ts"),
+        F.count(
+            F.when((F.col("value") >= 0) & (F.col("value") <= 1000), 1)
+        ).alias("n_in_range"),
+    )
+    store = run_available_now(m, output_mode="complete")
+    pairs = ", ".join(
+        f"'{name}', CAST(CAST({col} AS DOUBLE) / n_rows AS DOUBLE)"
+        for name, col in [
+            ("completeness_value", "n_value"),
+            ("completeness_ts", "n_ts"),
+            ("compliance_value_range", "n_in_range"),
+        ]
+    )
+    return store.selectExpr(f"stack(3, {pairs}) AS (metric, value)")
