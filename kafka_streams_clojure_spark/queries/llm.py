@@ -2513,3 +2513,47 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .select("rnk", "token", "tf", (F.col("rnk") * F.col("tf")).cast("bigint").alias("rank_freq"))
     )
+
+
+@query(
+    "q_llm_novelty",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    first_seen AS (
+      SELECT shingle, min(doc_id) AS fdoc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(CASE WHEN fs.fdoc = sh.doc_id THEN 1 END) AS BIGINT)
+             AS n_novel,
+           CAST(CAST(count(CASE WHEN fs.fdoc = sh.doc_id THEN 1 END) AS DOUBLE)
+                / count(*) AS DOUBLE) AS novelty
+    FROM sh JOIN first_seen fs ON sh.shingle = fs.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's word-4-gram set
+    never seen in any LOWER-id document — the redundancy-growth curve
+    a crawl pipeline watches to decide when a source is mined out
+    (novelty trending to 0 = stop crawling it). First-seen ownership
+    is one min-per-shingle aggregate over the shared shingle-set
+    representation (operators/dedup.shingle_sets — same codegen path
+    as every Jaccard key), then a shingle equi-join back; integer
+    ratios, exact."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+    from kafka_streams_clojure_spark.operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = persist_if_uncached(shingle_sets(docs, "doc_id", "text", k=4))
+    first_seen = sets.groupBy("shingle").agg(F.min("doc_id").alias("fdoc"))
+    novel = F.count(F.when(F.col("fdoc") == F.col("doc_id"), 1))
+    return (
+        sets.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count("*")).cast("double").alias("novelty"),
+        )
+    )
