@@ -1568,3 +1568,123 @@ def q_events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("conv_rate"),
     )
+
+
+@query(
+    "q_events_conversion_latency",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(floor(epoch(t3)) AS BIGINT)
+               - CAST(floor(epoch(t1)) AS BIGINT) AS lat_s
+      FROM s1 JOIN s3 USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT)     AS n_converted,
+           quantile_cont(lat_s, 0.5)    AS p50_s,
+           quantile_cont(lat_s, 0.95)   AS p95_s
+    FROM lat
+    """,
+)
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from first view to first
+    subsequent purchase, p50/p95 over converted users — the latency
+    companion to the funnel's conversion COUNTS (how fast, not just
+    how many). Two chained per-user mins (the funnel skeleton), whole-
+    second gaps, exact percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = s1.join(s3, "user_id").select(
+        (F.unix_timestamp("t3") - F.unix_timestamp("t1")).alias("lat_s")
+    )
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.percentile("lat_s", 0.5).alias("p50_s"),
+        F.percentile("lat_s", 0.95).alias("p95_s"),
+    )
+
+
+@query(
+    "q_orders_cohort_ltv",
+    oracle="""
+    WITH first_m AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort,
+             CAST(date_diff('month', CAST(f.cohort AS DATE),
+                            CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                  AS INT) AS m_offset,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS rev
+      FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort, m_offset,
+           CAST(rev AS DOUBLE) AS month_rev,
+           CAST(CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY m_offset
+                                    ROWS UNBOUNDED PRECEDING)
+                     AS DECIMAL(18,4)) AS DOUBLE) AS cum_rev
+    FROM rev
+    """,
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value table: customers grouped by first-order
+    month; revenue per (cohort, month offset) with the running
+    cumulative — the LTV curve finance reads off cohort rows. The
+    cumulative window is PARTITIONED by cohort (lint-safe), revenue
+    stays DECIMAL(18,4) until the final double casts."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            )
+            .cast("int")
+            .alias("m_offset"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("rev")
+        )
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("m_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return rev.select(
+        "cohort",
+        "m_offset",
+        F.col("rev").cast("double").alias("month_rev"),
+        F.sum("rev").over(w).cast("decimal(18,4)").cast("double").alias("cum_rev"),
+    )
