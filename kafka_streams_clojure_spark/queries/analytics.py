@@ -1688,3 +1688,57 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("month_rev"),
         F.sum("rev").over(w).cast("decimal(18,4)").cast("double").alias("cum_rev"),
     )
+
+
+@query(
+    "q_market_hhi",
+    oracle="""
+    WITH q AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT p_brand,
+             CAST(sum(qty * qty) AS BIGINT) AS sum_sq,
+             CAST(sum(qty) AS BIGINT)       AS total,
+             CAST(count(*) AS BIGINT)       AS n_suppliers
+      FROM q GROUP BY p_brand
+    )
+    SELECT p_brand, n_suppliers,
+           CAST(CAST(sum_sq AS DOUBLE)
+                / (CAST(total AS DOUBLE) * total) AS DOUBLE) AS hhi
+    FROM m
+    """,
+)
+def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per brand market: HHI
+    = Σ shareᵢ² over supplier quantity shares — the antitrust /
+    supply-risk concentration metric. Float-sum-order is dodged
+    ALGEBRAICALLY: Σ(qᵢ/T)² = Σqᵢ²/T², so both sums are exact BIGINT
+    (l_quantity is integral — cast asserted by values) and the single
+    division happens once per market in doubles. Two two-phase
+    aggregates, dimension join broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+    m = q.groupBy("p_brand").agg(
+        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("sum_sq"),
+        F.sum("qty").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    return m.select(
+        "p_brand",
+        "n_suppliers",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total"))
+        )
+        .cast("double")
+        .alias("hhi"),
+    )
