@@ -2557,3 +2557,38 @@ def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count("*")).cast("double").alias("novelty"),
         )
     )
+
+
+@query(
+    "q_llm_source_overlap",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    exact-duplicate documents (normalized fingerprints) they share —
+    the which-mirror-copies-which view that decides scrape-list pruning
+    before any per-document dedup runs. Equi-join on the 128-bit
+    fingerprint (never sources × docs), distinct (source, fp) first so
+    within-source duplicates don't inflate the pair counts."""
+    from kafka_streams_clojure_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", fingerprint(F.col("text")).alias("f")).distinct()
+    a = fp.select(F.col("source").alias("src_a"), "f")
+    b = fp.select(F.col("source").alias("src_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
