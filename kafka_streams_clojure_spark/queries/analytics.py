@@ -1742,3 +1742,63 @@ def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hhi"),
     )
+
+
+@query(
+    "q_events_streaks",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    marked AS (
+      SELECT user_id, d,
+             CASE WHEN lag(d) OVER w IS NULL
+                   OR date_diff('day', lag(d) OVER w, d) > 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    isl AS (
+      SELECT user_id, d,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           max(len)                    AS longest_streak,
+           CAST(count(*) AS BIGINT)    AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak
+    count) — the engagement-streak feature, i.e. gaps-and-islands on
+    DATES: a break starts wherever the day gap exceeds 1, islands are
+    the running break count, streak length is the island size. Every
+    window shares the per-user partitioning; integer day arithmetic
+    end-to-end."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = ud.withColumn(
+        "brk",
+        F.when(
+            F.lag("d").over(w).isNull()
+            | (F.datediff(F.col("d"), F.lag("d").over(w)) > 1),
+            1,
+        ).otherwise(0),
+    )
+    isl = marked.withColumn("island", F.sum("brk").over(wc))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
