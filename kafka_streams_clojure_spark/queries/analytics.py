@@ -1802,3 +1802,53 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.count("*").cast("bigint").alias("n_streaks"),
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH first_touch AS (
+      SELECT user_id, event_type AS channel FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    buyers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.channel,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(b.user_id) AS BIGINT) AS n_buyers,
+           CAST(CAST(count(b.user_id) AS DOUBLE) / count(*) AS DOUBLE)
+             AS buy_rate
+    FROM first_touch f LEFT JOIN buyers b ON f.user_id = b.user_id
+    GROUP BY f.channel
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: users bucketed by the very first event
+    type they ever produced (deterministic min_by over (ts, event_id))
+    with each channel's eventual-buyer rate — the marketing-mix
+    baseline. One min_by aggregate + one semi-ish left join; exact
+    integer ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    first_touch = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("channel")
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        .withColumn("__b", F.lit(1))
+    )
+    return (
+        first_touch.join(buyers, "user_id", "left")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.count("__b").cast("bigint").alias("n_buyers"),
+            (F.count("__b").cast("double") / F.count("*"))
+            .cast("double")
+            .alias("buy_rate"),
+        )
+    )

@@ -2592,3 +2592,39 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+@query(
+    "q_llm_shingle_spectrum",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    freq AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    )
+    SELECT CASE WHEN df >= 10 THEN 10 ELSE df END AS df_bucket,
+           CAST(count(*) AS BIGINT)               AS n_shingles,
+           CAST(sum(df) AS BIGINT)                AS occurrence_mass
+    FROM freq GROUP BY 1
+    """,
+)
+def q_llm_shingle_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle frequency-of-frequencies spectrum (df buckets 1..9, 10+
+    capped): how much of the corpus's 4-gram mass sits at each
+    duplication level — the diagnostic that sizes `max_doc_freq`
+    BEFORE running the capped Jaccard pass (the bucket where
+    occurrence_mass explodes IS the boilerplate tail the stop-shingle
+    cut should remove), and the count-of-count table Good-Turing
+    smoothing reads. Two aggregates over the shared shingle_sets
+    representation; bounded 10-row output."""
+    from kafka_streams_clojure_spark.operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, "doc_id", "text", k=4)
+    freq = sets.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    bucket = F.when(F.col("df") >= 10, F.lit(10)).otherwise(F.col("df")).alias(
+        "df_bucket"
+    )
+    return freq.groupBy(bucket).agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("occurrence_mass"),
+    )
