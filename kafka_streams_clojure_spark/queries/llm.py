@@ -2628,3 +2628,58 @@ def q_llm_shingle_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_shingles"),
         F.sum("df").cast("bigint").alias("occurrence_mass"),
     )
+
+
+def _doc_pagerank_sql(iters: int, unit: int, dn: int, dd: int) -> str:
+    """Integer PageRank levels (the q_graph_pagerank trick) over the
+    CAPPED near-dup pair graph — same arithmetic, different edges."""
+    base = f"({(dd - dn) * unit} // ({dd} * (SELECT n FROM params)))"
+    levels = []
+    for i in range(1, iters + 1):
+        levels.append(
+            f"""r{i} AS (
+      SELECT und.b AS id,
+             CAST({base} + sum(({dn} * r{i - 1}.r) // ({dd} * deg.d)) AS BIGINT) AS r
+      FROM und JOIN r{i - 1} ON und.a = r{i - 1}.id JOIN deg ON deg.a = und.a
+      GROUP BY und.b
+    )"""
+        )
+    sep = ",\n    "
+    return f"""
+    e0 AS (SELECT id_a AS a, id_b AS b FROM jpairs_c),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+    params AS (SELECT count(DISTINCT a) AS n FROM und),
+    r0 AS (SELECT DISTINCT a AS id, {unit} // (SELECT n FROM params) AS r FROM und),
+    {sep.join(levels)}
+    SELECT id AS doc_id, r AS rank FROM r{iters}
+    """
+
+
+_DOC_PR_ITERS = 3
+
+
+@query(
+    "q_llm_doc_centrality",
+    oracle=f"""
+    WITH {_JACCARD_CAPPED_CTES},
+    {_doc_pagerank_sql(_DOC_PR_ITERS, 10**12, 85, 100)}
+    """,
+)
+def q_llm_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-hub centrality: integer-exact PageRank over the
+    CAPPED near-dup pair graph — the most-copied documents score
+    highest, which is the audit order a curation team reviews clusters
+    in (hubs first). Cross-family composition: the production Jaccard
+    candidate graph (q_llm_ngram_jaccard_capped) feeding the
+    operators/graph.pagerank primitive; the oracle chains both keys'
+    CTE text, so neither can drift."""
+    from kafka_streams_clojure_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, k=4, threshold=0.5, max_doc_freq=_STOP_SHINGLE_CAP
+    )
+    return pagerank(pairs, iters=_DOC_PR_ITERS).select(
+        F.col("id").alias("doc_id"), "rank"
+    )
