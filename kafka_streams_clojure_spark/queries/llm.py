@@ -2683,3 +2683,41 @@ def q_llm_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs, iters=_DOC_PR_ITERS).select(
         F.col("id").alias("doc_id"), "rank"
     )
+
+
+@query(
+    "q_llm_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{sql} AS s_{l}" for l, sql in _LANG_SQL_SCORES.items())}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN {_BEST} <= 0 THEN 'und'
+                  WHEN s_en = {_BEST} THEN 'en'
+                  WHEN s_es = {_BEST} THEN 'es'
+                  WHEN s_de = {_BEST} THEN 'de'
+                  WHEN s_fr = {_BEST} THEN 'fr'
+                  WHEN s_zh = {_BEST} THEN 'zh'
+             END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (labeled lang × predicted lang
+    counts) — the evaluation table that turns the per-doc
+    q_llm_lang_id heuristic into a measurable precision/recall story
+    and flags which language pairs the function-word markers confuse.
+    The oracle shares the scoring constants with the per-doc key, so
+    the two can't drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
