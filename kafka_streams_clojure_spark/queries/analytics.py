@@ -1852,3 +1852,37 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("buy_rate"),
         )
     )
+
+
+@query(
+    "q_events_value_hist",
+    oracle="""
+    WITH b AS (
+      SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    )
+    SELECT event_type,
+           CAST(floor(((value - vmin) * 10.0e0) / (vmax - vmin + 1.0e-9))
+                AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events CROSS JOIN b
+    GROUP BY 1, 2
+    """,
+)
+def q_events_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin value histogram per event type — the
+    distribution sketch every dashboard draws first. Bin edges come
+    from a broadcast 1-row (min, max) side; the bin expression is one
+    per-row double tree written identically in both engines (with
+    e-notation literals — the DECIMAL-literal trap), epsilon keeps the
+    max value inside bin 9."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bin_ = F.floor(
+        ((F.col("value") - F.col("vmin")) * 10.0)
+        / (F.col("vmax") - F.col("vmin") + 1.0e-9)
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

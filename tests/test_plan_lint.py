@@ -45,6 +45,8 @@ _NONEQUI_OK = {
     "q_basket_affinity",
     # crossJoin of the broadcast 1-row revenue total
     "q_orders_pareto",
+    # crossJoin of the broadcast 1-row (min, max) bin-edge side
+    "q_events_value_hist",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
