@@ -1886,3 +1886,71 @@ def q_events_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", bin_.alias("bin"))
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "q_events_type_corr",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(count(*) AS BIGINT)     AS nd,
+             CAST(sum(a.n) AS BIGINT)     AS sx,
+             CAST(sum(b.n) AS BIGINT)     AS sy,
+             CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(sum(b.n * b.n) AS BIGINT) AS syy
+      FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, nd,
+           CASE WHEN (nd * sxx - sx * sx) > 0 AND (nd * syy - sy * sy) > 0
+                THEN CAST(CAST(nd * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(nd * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(nd * syy - sy * sy AS DOUBLE)))
+                     AS DOUBLE)
+           END AS corr
+    FROM p
+    """,
+)
+def q_events_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type correlation matrix over DAILY COUNTS (do clicks and
+    purchases move together day-to-day?) — Pearson from five moments
+    that are all INTEGER sums (counts are integers), so every operand
+    of the one double expression is exact on both engines; sqrt is the
+    only libm call (the safe one), and zero-variance pairs are CASE'd
+    to NULL identically (the q_events_corr degenerate-group rule).
+    Days joined per type-pair — the matrix is types², days fold into
+    moments first."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a = d.select(F.col("day"), F.col("event_type").alias("t1"), F.col("n").alias("x"))
+    b = d.select(F.col("day"), F.col("event_type").alias("t2"), F.col("n").alias("y"))
+    p = (
+        a.join(b, "day")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count("*").cast("bigint").alias("nd"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    vx = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+        .cast("double"),
+    )
+    return p.select("t1", "t2", "nd", corr.alias("corr"))
