@@ -1954,3 +1954,73 @@ def q_events_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double"),
     )
     return p.select("t1", "t2", "nd", corr.alias("corr"))
+
+
+@query(
+    "q_orders_abc",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(sum(s) AS DECIMAL(18,4)) AS st FROM t),
+    r AS (
+      SELECT o_custkey, s,
+             CAST(CAST(sum(s) OVER (ORDER BY s DESC, o_custkey
+                                    ROWS UNBOUNDED PRECEDING)
+                       AS DECIMAL(18,4)) AS DOUBLE)
+               / CAST(st AS DOUBLE) AS cshare
+      FROM t CROSS JOIN tot
+    ),
+    cls AS (
+      SELECT CASE WHEN cshare <= 0.8e0 THEN 'A'
+                  WHEN cshare <= 0.95e0 THEN 'B'
+                  ELSE 'C' END AS abc,
+             s
+      FROM r
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(CAST(sum(s) AS DECIMAL(18,4)) AS DOUBLE)
+                / (SELECT CAST(st AS DOUBLE) FROM tot) AS DOUBLE)
+             AS revenue_share
+    FROM cls GROUP BY abc
+    """,
+)
+def q_orders_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory-style customer classification: A = customers
+    inside the first 80% of cumulative revenue, B = to 95%, C = tail —
+    the operational cut of the q_orders_pareto curve. Same
+    ranked_prefix_sum machinery (no single-task window), class
+    boundaries compared against the exact cumulative share, class
+    revenue re-aggregated decimal-exactly."""
+    from kafka_streams_clojure_spark.operators.order import ranked_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("s")
+    )
+    tot = t.agg(F.sum("s").cast("decimal(18,4)").alias("st"))
+    ranked = ranked_prefix_sum(
+        t, order_by=[F.col("s").desc(), F.col("o_custkey")], value_col="s",
+        idx_col="__rnk", cum_col="cum",
+    ).crossJoin(F.broadcast(tot))
+    cshare = F.col("cum").cast("decimal(18,4)").cast("double") / F.col("st").cast(
+        "double"
+    )
+    cls = ranked.select(
+        F.when(cshare <= 0.8, "A").when(cshare <= 0.95, "B").otherwise("C").alias(
+            "abc"
+        ),
+        "s",
+        "st",
+    )
+    return cls.groupBy("abc", "st").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        (
+            F.sum("s").cast("decimal(18,4)").cast("double") / F.col("st").cast("double")
+        ).cast("double").alias("revenue_share"),
+    ).select("abc", "n_customers", "revenue_share")

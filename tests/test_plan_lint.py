@@ -47,6 +47,8 @@ _NONEQUI_OK = {
     "q_orders_pareto",
     # crossJoin of the broadcast 1-row (min, max) bin-edge side
     "q_events_value_hist",
+    # crossJoin of the broadcast 1-row revenue total (Pareto cut)
+    "q_orders_abc",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
