@@ -2721,3 +2721,59 @@ def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "q_llm_vocab_coverage",
+    oracle="""
+    WITH tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types FROM tf),
+    top AS (
+      SELECT CAST(sum(tf) AS BIGINT) AS top_mass, CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT tf FROM tf ORDER BY tf DESC, token LIMIT 1000)
+    )
+    SELECT k AS vocab_size, n_types, n_tokens, top_mass,
+           CAST(CAST(top_mass AS DOUBLE) / n_tokens AS DOUBLE) AS coverage
+    FROM top CROSS JOIN tot
+    """,
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: what fraction of all token occurrences the
+    top-1000 types account for — the number that sizes a vocabulary /
+    decides OOV policy before training a tokenizer. Top-N selection is
+    TakeOrderedAndProject with the full (tf desc, token) tie order so
+    the rank-1000 boundary is deterministic; all masses are integer
+    sums, one double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    tot = tf.agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    top = (
+        tf.orderBy(F.col("tf").desc(), "token")
+        .limit(1000)
+        .agg(
+            F.sum("tf").cast("bigint").alias("top_mass"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("vocab_size"),
+        "n_types",
+        "n_tokens",
+        "top_mass",
+        (F.col("top_mass").cast("double") / F.col("n_tokens"))
+        .cast("double")
+        .alias("coverage"),
+    )

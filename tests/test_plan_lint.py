@@ -49,6 +49,8 @@ _NONEQUI_OK = {
     "q_events_value_hist",
     # crossJoin of the broadcast 1-row revenue total (Pareto cut)
     "q_orders_abc",
+    # crossJoin of two broadcast 1-row aggregates (top mass × totals)
+    "q_llm_vocab_coverage",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
