@@ -2777,3 +2777,56 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("coverage"),
     )
+
+
+@query(
+    "q_llm_growth_curve",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    first_seen AS (
+      SELECT shingle, min(doc_id) AS fdoc FROM sh GROUP BY shingle
+    ),
+    mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS maxdoc FROM documents),
+    dec AS (
+      SELECT CAST(least(9, (fdoc * 10) // (maxdoc + 1)) AS INT) AS decile,
+             CAST(count(*) AS BIGINT) AS new_shingles
+      FROM first_seen CROSS JOIN mx
+      GROUP BY 1
+    )
+    SELECT a.decile, a.new_shingles,
+           CAST(sum(b.new_shingles) AS BIGINT) AS cum_distinct
+    FROM dec a JOIN dec b ON b.decile <= a.decile
+    GROUP BY a.decile, a.new_shingles
+    """,
+)
+def q_llm_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heap's-law vocabulary growth curve: distinct 4-gram count after
+    each successive tenth of the corpus (by doc id) — sublinear growth
+    is healthy; a flat tail says new documents add no new content (the
+    corpus-level twin of per-doc q_llm_novelty). First-seen ownership
+    per shingle (one min aggregate), decile bucketing against a
+    broadcast max-id row, and the 10-row cumulative as a decile
+    self-join — integer arithmetic end-to-end, no global window."""
+    from kafka_streams_clojure_spark.operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, "doc_id", "text", k=4)
+    first_seen = sets.groupBy("shingle").agg(F.min("doc_id").alias("fdoc"))
+    mx = docs.agg(F.max("doc_id").cast("bigint").alias("maxdoc"))
+    dec = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.lit(9), F.expr("(fdoc * 10) DIV (maxdoc + 1)"))
+            .cast("int")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("new_shingles"))
+    )
+    a = dec.select(F.col("decile"), F.col("new_shingles"))
+    b = dec.select(F.col("decile").alias("d2"), F.col("new_shingles").alias("ns2"))
+    return (
+        a.join(b, F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "new_shingles")
+        .agg(F.sum("ns2").cast("bigint").alias("cum_distinct"))
+    )

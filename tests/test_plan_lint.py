@@ -51,6 +51,9 @@ _NONEQUI_OK = {
     "q_orders_abc",
     # crossJoin of two broadcast 1-row aggregates (top mass × totals)
     "q_llm_vocab_coverage",
+    # broadcast 1-row max-id side + a <= theta join over TWO 10-row
+    # decile tables (the cumulative over a bounded dimension)
+    "q_llm_growth_curve",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
