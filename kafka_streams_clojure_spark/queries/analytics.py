@@ -2024,3 +2024,66 @@ def q_orders_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("decimal(18,4)").cast("double") / F.col("st").cast("double")
         ).cast("double").alias("revenue_share"),
     ).select("abc", "n_customers", "revenue_share")
+
+
+@query(
+    "q_events_retention_rate",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first_day GROUP BY cohort_day
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    ),
+    m AS (
+      SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, a.active_day) AS INT)
+               AS day_offset,
+             CAST(count(*) AS BIGINT) AS active_users
+      FROM activity a JOIN first_day f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(m.cohort_day AS TIMESTAMP) AS cohort_day,
+           m.day_offset, m.active_users, s.cohort_size,
+           CAST(CAST(m.active_users AS DOUBLE) / s.cohort_size AS DOUBLE)
+             AS retention_rate
+    FROM m JOIN sizes s ON m.cohort_day = s.cohort_day
+    """,
+)
+def q_events_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention RATE curve: the q_events_retention matrix normalized
+    by cohort size — the comparable-across-cohorts number product
+    teams actually chart (day-0 row = 1.0 by construction). One extra
+    tiny join against per-cohort sizes; exact integer ratios."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("active_day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    sizes = first_day.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    m = (
+        ev.distinct()
+        .join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+    )
+    return m.join(sizes, "cohort_day").select(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        "day_offset",
+        "active_users",
+        "cohort_size",
+        (F.col("active_users").cast("double") / F.col("cohort_size"))
+        .cast("double")
+        .alias("retention_rate"),
+    )
