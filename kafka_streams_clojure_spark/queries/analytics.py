@@ -2087,3 +2087,37 @@ def q_events_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("retention_rate"),
     )
+
+
+@query(
+    "q_orders_repeat_rate",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CASE WHEN n_orders >= 5 THEN 5 ELSE CAST(n_orders AS INT) END
+             AS orders_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders_total
+    FROM per_cust GROUP BY 1
+    """,
+)
+def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-frequency distribution (1, 2, 3, 4, 5+ orders per
+    customer) — the repeat-purchase table behind retention economics;
+    the 1-bucket row over the total IS the one-and-done rate. Two tiny
+    aggregates, integer everything."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    bucket = (
+        F.when(F.col("n_orders") >= 5, F.lit(5))
+        .otherwise(F.col("n_orders").cast("int"))
+        .alias("orders_bucket")
+    )
+    return per_cust.groupBy(bucket).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders_total"),
+    )
