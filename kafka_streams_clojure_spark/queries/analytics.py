@@ -2121,3 +2121,38 @@ def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("n_orders").cast("bigint").alias("n_orders_total"),
     )
+
+
+@query(
+    "q_events_lifespan",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(date_diff('day', min(CAST(ts AS DATE)),
+                            max(CAST(ts AS DATE))) AS BIGINT) AS days
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           quantile_cont(days, 0.5)  AS p50_days,
+           quantile_cont(days, 0.95) AS p95_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM span
+    """,
+)
+def q_events_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifespan distribution: whole days between each user's first
+    and last activity, p50/p95/max — the churn-horizon number retention
+    models calibrate against. One per-user min/max aggregate, integer
+    day gaps, exact percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("bigint")
+        .alias("days")
+    )
+    return span.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.percentile("days", 0.5).alias("p50_days"),
+        F.percentile("days", 0.95).alias("p95_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

@@ -2830,3 +2830,32 @@ def q_llm_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile", "new_shingles")
         .agg(F.sum("ns2").cast("bigint").alias("cum_distinct"))
     )
+
+
+@query(
+    "q_llm_token_len_dist",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    )
+    SELECT CASE WHEN length(token) >= 12 THEN 12
+                ELSE CAST(length(token) AS INT) END AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY 1
+    """,
+)
+def q_llm_token_len_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution (1..11 chars, 12+ capped) — the
+    pre-tokenization diagnostic that predicts BPE merge behavior and
+    catches concatenation artifacts (a fat 12+ bucket usually means
+    broken whitespace). One explode + one aggregate, integer
+    everything."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    bucket = (
+        F.when(F.length("token") >= 12, F.lit(12))
+        .otherwise(F.length("token").cast("int"))
+        .alias("len_bucket")
+    )
+    return tok.groupBy(bucket).agg(F.count("*").cast("bigint").alias("n"))
