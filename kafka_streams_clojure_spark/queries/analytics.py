@@ -2156,3 +2156,464 @@ def q_events_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("days", 0.95).alias("p95_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+# --- trend / experimentation / concentration wave -------------------------
+
+@query(
+    "q_events_trend_slope",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, min(day) AS day0 FROM d GROUP BY 1),
+    xy AS (
+      SELECT d.event_type,
+             CAST(date_diff('day', m.day0, d.day) AS BIGINT) AS x, d.y
+      FROM d JOIN m ON d.event_type = m.event_type
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)    AS n,
+             CAST(sum(x) AS BIGINT)      AS sx,
+             CAST(sum(y) AS BIGINT)      AS sy,
+             CAST(sum(x * y) AS BIGINT)  AS sxy,
+             CAST(sum(x * x) AS BIGINT)  AS sxx
+      FROM xy GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             CAST(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+           END AS intercept
+    FROM mo
+    """,
+)
+def q_events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend line over DAILY COUNTS — is each event type
+    growing or shrinking, and from what base? The q_events_pop_growth
+    ratio says 'vs yesterday'; this fits the whole series. Both OLS
+    closed forms are ratios of INTEGER moments (x = day index from the
+    type's first active day, y = count), so the only floating step is
+    one final division per coefficient — exact on both engines; the
+    zero-variance (single-day) case is CASE'd to NULL identically.
+    Scale: days fold into five integer moments per type map-side, the
+    per-type min-day table is broadcast — shuffle ∝ types × days."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    m = d.groupBy("event_type").agg(F.min("day").alias("day0"))
+    xy = d.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.datediff("day", "day0").cast("bigint").alias("x"),
+        "y",
+    )
+    mo = xy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den > 0,
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+         / den.cast("double")).cast("double"),
+    )
+    intercept = F.when(
+        den > 0,
+        ((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+         / den.cast("double")).cast("double"),
+    )
+    return mo.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+#: one shared final-expression text for the A/B z-score — the Spark
+#: side runs the SAME string through selectExpr, so the two engines'
+#: double trees cannot drift (the sql_keys.py discipline).
+_AB_FINAL = """
+    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS cr_a,
+    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS cr_b,
+    CASE WHEN na > 0 AND nb > 0
+              AND (ca + cb) > 0 AND (ca + cb) < (na + nb) THEN
+      CAST(
+        (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+         - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        / sqrt(
+            (CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            * (1e0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            * (1e0 / CAST(na AS DOUBLE) + 1e0 / CAST(nb AS DOUBLE))
+          )
+        AS DOUBLE)
+    END AS z_score
+"""
+
+
+@query(
+    "q_events_ab_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS na,
+        CAST(sum(conv) FILTER (WHERE variant = 0) AS BIGINT) AS ca,
+        CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS nb,
+        CAST(sum(conv) FILTER (WHERE variant = 1) AS BIGINT) AS cb
+      FROM u
+    )
+    SELECT na, ca, nb, cb, {_AB_FINAL}
+    FROM s
+    """,
+)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: users deterministically
+    split A/B on an md5 bucket (the q_llm_hash_sample idiom — RNG-free,
+    so assignment is reproducible and oracle-able), conversion = any
+    purchase, and the pooled two-proportion z-score computed from four
+    INTEGER counts. The z expression is ONE shared SQL string run
+    through both engines (selectExpr here, oracle text there), sqrt is
+    the safe libm call, and degenerate pools (0% or 100% conversion)
+    are CASE'd to NULL identically. Scale: one user-keyed aggregate
+    then a single 4-counter fold — the readout is map-side after the
+    per-user shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("variant"),
+        "conv",
+    )
+    s = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))).cast("bigint").alias("ca"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))).cast("bigint").alias("cb"),
+    )
+    return s.selectExpr("na", "ca", "nb", "cb", *_AB_FINAL.split(",\n"))
+
+
+@query(
+    "q_events_user_concentration",
+    oracle="""
+    WITH pu AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS nu
+      FROM events GROUP BY 1, 2
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)      AS n_users,
+             CAST(sum(nu) AS BIGINT)       AS n_events,
+             CAST(sum(nu * nu) AS BIGINT)  AS s2
+      FROM pu GROUP BY 1
+    )
+    SELECT event_type, n_events, n_users,
+           CAST(CAST(s2 AS DOUBLE) / CAST(n_events * n_events AS DOUBLE)
+                AS DOUBLE) AS simpson,
+           CAST(CAST(n_events * n_events AS DOUBLE) / CAST(s2 AS DOUBLE)
+                AS DOUBLE) AS effective_users
+    FROM mo
+    """,
+)
+def q_events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration of each event type over its users: the
+    probability two random events of the type come from the SAME user,
+    plus its inverse (the 'effective user count' — bot/whale detector:
+    effective_users ≪ n_users means a few accounts drive the stream).
+    The entropy-free diversity metric: Σnᵤ² and N are INTEGER sums, so
+    unlike Shannon entropy (ln = banned libm) the index is exact on
+    both engines with two final divisions. Scale: (type, user) fold
+    map-side, then types×users rows collapse to three integer moments
+    per type."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("nu")
+    )
+    mo = pu.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("nu").cast("bigint").alias("n_events"),
+        F.sum(F.col("nu") * F.col("nu")).cast("bigint").alias("s2"),
+    )
+    ne2 = (F.col("n_events") * F.col("n_events")).cast("double")
+    return mo.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (F.col("s2").cast("double") / ne2).cast("double").alias("simpson"),
+        (ne2 / F.col("s2").cast("double")).cast("double").alias("effective_users"),
+    )
+
+
+@query(
+    "q_orders_open_interval",
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS d0,
+             CAST(max(l.l_shipdate) AS DATE) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, CAST(count(*) AS BIGINT) AS open_orders
+    FROM (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span WHERE d1 >= d0
+    )
+    GROUP BY 1
+    """,
+)
+def q_orders_open_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog curve: for every calendar day, how many
+    orders were placed but not yet fully shipped — the interval-
+    stabbing count, materialized by exploding each order's
+    [orderdate, last-shipdate] span into day rows (the cover-set
+    idiom from q_events_stickiness). Spark `sequence` and DuckDB
+    `generate_series` are both inclusive; the d1 >= d0 filter guards
+    the lo>hi error case on both engines. Scale: shuffle ∝ orders ×
+    mean fulfillment lag (a small bounded multiplier — ship lags are
+    weeks, not years), output bounded by the calendar span."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+        .filter(F.col("d1") >= F.col("d0"))
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    ).select(F.col("d").cast("timestamp").alias("day"))
+    return days.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("open_orders")
+    )
+
+
+def _ntile4(idx: str) -> str:
+    """Closed-form ``ntile(4)`` over a unique global order, from a
+    0-based global index and an in-plan total-count column ``__n`` —
+    the q_win_ntile idiom (first ``n % 4`` buckets get one extra row),
+    avoiding the single-task global-window sort the plan lint bans."""
+    big = "(__n div 4 + 1)"
+    return (
+        f"CAST(CASE WHEN __n div 4 = 0 THEN {idx} + 1 "
+        f"WHEN {idx} < (__n % 4) * {big} THEN {idx} div {big} + 1 "
+        f"ELSE (__n % 4) + ({idx} - (__n % 4) * {big}) div (__n div 4) + 1 "
+        f"END AS INT)"
+    )
+
+
+@query(
+    "q_orders_rfm",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS mon,
+             max(o_orderdate) AS lastd
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    r AS (
+      SELECT o_custkey, freq, mon,
+             CAST(date_diff('day', CAST(lastd AS DATE), CAST(maxd AS DATE))
+                  AS BIGINT) AS rec_days
+      FROM c CROSS JOIN mx
+    ),
+    s AS (
+      SELECT CAST(ntile(4) OVER (ORDER BY rec_days, o_custkey)  AS INT) AS r_score,
+             CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS INT) AS f_score,
+             CAST(ntile(4) OVER (ORDER BY mon DESC, o_custkey)  AS INT) AS m_score,
+             mon
+      FROM r
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(mon) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM s GROUP BY 1, 2, 3
+    """,
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-4 on Recency (days
+    since last order, vs the corpus max date), Frequency (order count)
+    and Monetary (decimal-exact revenue), then the 64-cell segment
+    grid with sizes and revenue. Score 1 = best on every axis. Each
+    quartile is the CLOSED-FORM ntile over a unique total order
+    (value + o_custkey tiebreaker), computed with three
+    `operators/order.global_index` passes — range partition + local
+    index + broadcast prefix counts — so no axis ever sorts in a
+    single task; the corpus max date and the customer count are
+    broadcast 1-row folds. Scale: three range-shuffles of the
+    CUSTOMER table (already aggregated — orders fold map-side), output
+    bounded at 64 rows."""
+    from kafka_streams_clojure_spark.operators.order import global_index
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("mon"),
+        F.max("o_orderdate").alias("lastd"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    r = c.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "freq",
+        "mon",
+        F.datediff(F.to_date("maxd"), F.to_date("lastd"))
+        .cast("bigint")
+        .alias("rec_days"),
+    )
+    d = global_index(r, [F.col("rec_days"), F.col("o_custkey")], idx_col="__ri")
+    d = global_index(d, [F.col("freq").desc(), F.col("o_custkey")], idx_col="__fi")
+    d = global_index(d, [F.col("mon").desc(), F.col("o_custkey")], idx_col="__mi")
+    n = d.agg(F.count("*").alias("__n"))
+    s = d.join(F.broadcast(n)).select(
+        F.expr(_ntile4("__ri")).alias("r_score"),
+        F.expr(_ntile4("__fi")).alias("f_score"),
+        F.expr(_ntile4("__mi")).alias("m_score"),
+        "mon",
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("mon").cast("decimal(18,4)").cast("double").alias("revenue"),
+    )
+
+
+@query("q_events_stickiness_hll")
+def q_events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness from MERGEABLE HLL SKETCHES — the 100 TB
+    path for q_events_stickiness. The exact key's cover-set explodes
+    every (user, day) pair onto 7 cover days (shuffle ∝ 7 × user-days);
+    here each day folds its users into ONE fixed-size HLL sketch first
+    (map-side partials merge, one user-day-keyed shuffle), and only the
+    per-day sketches — KB each, days × 7 rows total — are exploded and
+    union-merged for the trailing week. Sketch unions are exactly the
+    'mergeable summaries' property that makes windowed COUNT DISTINCT
+    feasible at scale; lgConfigK=14 holds the relative error near
+    0.4% (1σ). Rows-only by design: HLL estimates are engine-specific
+    (DuckDB's approx_count_distinct uses a different sketch) — the
+    accuracy contract vs the exact key is pinned in
+    tests/test_approx_aggregates.py::test_stickiness_hll_tracks_exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+    daily = ud.groupBy("day").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk")
+    )
+    dau = daily.select(
+        "day", F.hll_sketch_estimate("sk").cast("bigint").alias("dau")
+    )
+    cover = daily.select(
+        F.explode(
+            F.array(*[F.col("day") + F.expr(f"INTERVAL {i} DAYS") for i in range(7)])
+        ).alias("day"),
+        "sk",
+    )
+    wau = cover.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).cast("double").alias("stickiness"),
+    )
+
+
+@query(
+    "q_events_session_stats",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           quantile_cont(dur_s, 0.5)  AS p50_dur_s,
+           quantile_cont(dur_s, 0.95) AS p95_dur_s,
+           CAST(CAST(sum(n_events) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_events
+    FROM sess
+    """,
+)
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution: 30-minute-gap sessionization (the
+    q_events_session_conversion idiom — lag + running sum of
+    session-start markers, (ts, event_id) total order), then the
+    engagement summary every product dashboard opens with: session
+    count, p50/p95 session duration, mean events per session.
+    Durations are exact INTEGER seconds (epoch-µs difference, integer
+    division — never the rounding CAST(epoch(..)) trap), percentiles
+    exact-interpolated over them, and the events-per-session mean is a
+    ratio of two integers. Scale: everything up to the final fold is
+    keyed by user_id — one shuffle, sessions collapse map-side into
+    four moments."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(wo)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    s = marked.withColumn(
+        "sid", F.sum("is_new").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
+            "dur_s"
+        ),
+    )
+    return sess.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.percentile("dur_s", 0.5).alias("p50_dur_s"),
+        F.percentile("dur_s", 0.95).alias("p95_dur_s"),
+        (
+            F.sum("n_events").cast("bigint").cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_events"),
+    )

@@ -54,3 +54,27 @@ def test_approx_percentile_rank_error(spark, sf_dir):
             assert abs(rank - q) <= 1.0 / 10000 + 2.0 / n, (
                 f"{et} q={q}: rank {rank:.4f} for value {got}"
             )
+
+
+def test_stickiness_hll_tracks_exact(spark, sf_dir):
+    """The HLL-sketch stickiness (mergeable per-day sketches, cover-set
+    of sketches not user-days) tracks the exact DAU/WAU key within the
+    lgConfigK=14 error budget (~0.4% rse, 3 sigma + integer slack) on
+    every day."""
+    approx = {
+        r.day: (r.dau, r.wau)
+        for r in _Q["q_events_stickiness_hll"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.day: (r.dau, r.wau)
+        for r in _Q["q_events_stickiness"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, (dau_e, wau_e) in exact.items():
+        dau_a, wau_a = approx[day]
+        assert abs(dau_a - dau_e) <= max(2, 0.012 * dau_e), (
+            f"{day}: HLL dau {dau_a} vs exact {dau_e}"
+        )
+        assert abs(wau_a - wau_e) <= max(2, 0.012 * wau_e), (
+            f"{day}: HLL wau {wau_a} vs exact {wau_e}"
+        )

@@ -54,6 +54,14 @@ _NONEQUI_OK = {
     # broadcast 1-row max-id side + a <= theta join over TWO 10-row
     # decile tables (the cumulative over a bounded dimension)
     "q_llm_growth_curve",
+    # crossJoins of the broadcast 1-row corpus-max-date anchor and the
+    # broadcast 1-row customer count (the ntile closed-form's __n)
+    "q_orders_rfm",
+    # crossJoin of the broadcast 1-row n_docs total (tfidf_linear's)
+    "q_llm_keywords",
+    # crossJoins of the 1-row probe and of the persisted ≤20-row pool
+    # with itself (the MMR pairwise-sim matrix — k_pool² bounded)
+    "q_llm_mmr",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
