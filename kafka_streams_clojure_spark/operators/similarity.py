@@ -587,3 +587,76 @@ def embedding_cosine_near_dups(
         )
         out = out.unionByName(approx.select("id_a", "id_b", "cos_sim"))
     return out
+
+
+def mmr_topk(
+    df: DataFrame,
+    probe_df: DataFrame,
+    k_pool: int = 20,
+    k_out: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick ``k_out`` results from the
+    exact cosine top-``k_pool`` candidate pool, each step maximizing
+    ``lam·rel − (1−lam)·max_sim_to_already_selected`` — the
+    de-redundancy re-rank that keeps a retrieval (or training-data
+    sampling) slice from returning near-copies of one document.
+
+    Scale/determinism shape: the FULL corpus is touched only by the
+    exact top-``k_pool`` scan (TakeOrderedAndProject, probe broadcast
+    in-plan); everything after — the pool×pool similarity matrix
+    (``k_pool``² rows) and the ``k_out`` unrolled greedy steps — runs
+    on persisted ≤``k_pool``-row intermediates, entirely in-plan (no
+    driver collect). Every score is the deterministic left-to-right
+    cosine fold (DuckDB list_sum parity), `max` over doubles is
+    order-independent, and every argmax breaks exact ties by id, so
+    the whole greedy trajectory is oracle-exact."""
+    rel_pool = persist_if_uncached(
+        probe_df.select(F.col(vec_col).alias("_pv"))
+        .limit(1)
+        .crossJoin(df)  # broadcast probe side is 1 row
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            cosine(F.col(vec_col), F.col("_pv")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(k_pool)
+    )
+    sims = persist_if_uncached(
+        rel_pool.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+        .crossJoin(
+            rel_pool.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+        )
+        .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("s"))
+    )
+    pool = rel_pool.select(id_col, "rel")
+    selected = (
+        pool.orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(1)
+        .select(F.lit(1).alias("rank"), F.col(id_col), F.col("rel"))
+    )
+    for step in range(2, k_out + 1):
+        sel_ids = selected.select(F.col(id_col).alias("_sel_id"))
+        ms = (
+            sims.join(sel_ids, sims.ib == F.col("_sel_id"))
+            .groupBy("ia")
+            .agg(F.max("s").alias("ms"))
+        )
+        # mu is an EXPLICIT parameter, not 1-lam: Python's 1.0-0.7 is
+        # 0.30000000000000004, which would silently diverge from the
+        # oracle's 0.3e0 literal
+        score = F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms")
+        pick = (
+            pool.join(sel_ids, pool[id_col] == F.col("_sel_id"), "left_anti")
+            .join(ms, pool[id_col] == ms.ia)
+            .orderBy(score.desc(), F.col(id_col))
+            .limit(1)
+            .select(F.lit(step).alias("rank"), F.col(id_col), F.col("rel"))
+        )
+        selected = selected.union(pick)
+    return selected

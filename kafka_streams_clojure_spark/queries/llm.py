@@ -2859,3 +2859,184 @@ def q_llm_token_len_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("len_bucket")
     )
     return tok.groupBy(bucket).agg(F.count("*").cast("bigint").alias("n"))
+
+
+@query(
+    "q_llm_keywords",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfv AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY token HAVING count(*) >= 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    sc AS (
+      SELECT doc_id, token, tf, df,
+             tf * (CAST(n_docs AS DOUBLE) / df) AS score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC, token
+             ) AS rnk
+      FROM tf JOIN dfv USING (token), tot
+    )
+    SELECT doc_id, rnk, token, tf, df, score FROM sc WHERE rnk <= 3
+    """,
+)
+def q_llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 tokens by LINEAR
+    tf·(N/df) — the q_llm_tfidf_linear scorer turned into the
+    keyword-tagging artifact (search facets, topic routing, cluster
+    labels). A df ≥ 2 floor drops hapax noise (single-doc typos score
+    as infinite-idf 'keywords' otherwise); the rank window is
+    PARTITIONED by doc_id with a (score DESC, token) total order, and
+    every score is exact (integer tf × one exact double division) so
+    the cross-engine ordering has no float ambiguity. Scale: same
+    single explode+shuffle as tfidf_linear, then a per-doc window —
+    WindowGroupLimit prunes to 3 rows per doc before the final
+    exchange."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.broadcast(docs.agg(F.count("*").cast("bigint").alias("_n_docs")))
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = persist_if_uncached(
+        tok.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfv = tf.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df")
+    ).filter(F.col("df") >= 2)
+    score = F.col("tf") * (F.col("_n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+    return (
+        tf.join(dfv, "token")
+        .crossJoin(n_docs)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "token", "tf", "df", score.alias("score"))
+    )
+
+
+@query(
+    "q_llm_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK}) AS BIGINT) AS words,
+             CAST(greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1)
+                  AS BIGINT) AS sentences,
+             CAST(len(string_split_regex(text, '[aeiouyAEIOUY]+')) - 1
+                  AS BIGINT) AS vowel_groups
+      FROM documents
+    )
+    SELECT doc_id, lang, words, sentences, vowel_groups,
+           CAST(206.835e0
+                - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                - 84.6e0 * (CAST(vowel_groups AS DOUBLE) / CAST(words AS DOUBLE))
+                AS DOUBLE) AS flesch
+    FROM m WHERE words > 0
+    """,
+)
+def q_llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability score per document — the classic
+    curation quality signal (too-hard and too-trivial text both get
+    filtered before pretraining). Syllables are approximated by VOWEL
+    GROUPS (maximal [aeiouy]+ runs — the standard heuristic; both
+    engines count them as regex-split pieces minus one, verified to
+    agree including trailing-separator empties), sentences by [.!?]+
+    runs with a floor of 1. The score is one per-row double tree over
+    integer counts with e-notation float constants (the CLAUDE.md
+    decimal-literal rule). Map-side only: one scan, zero shuffles —
+    at 100 TB this is a pure codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = F.size(TX.tokens(t)).cast("bigint")
+    sentences = F.greatest(
+        (F.size(F.split(t, "[.!?]+")) - 1).cast("bigint"), F.lit(1).cast("bigint")
+    )
+    vg = (F.size(F.split(t, "[aeiouyAEIOUY]+")) - 1).cast("bigint")
+    m = docs.select(
+        "doc_id", "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        vg.alias("vowel_groups"),
+    ).filter(F.col("words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("vowel_groups").cast("double") / F.col("words").cast("double"))
+    ).cast("double")
+    return m.select(
+        "doc_id", "lang", "words", "sentences", "vowel_groups",
+        flesch.alias("flesch"),
+    )
+
+
+_MMR_COS = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a},"
+    " x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b},"
+    " x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
+def _mmr_oracle(k_pool: int = 20, k_out: int = 5) -> str:
+    """Unroll the greedy MMR trajectory as CTE levels (the
+    q_graph_pagerank fixed-iteration idiom): step k's candidate scores
+    reference the union of steps 1..k-1. Weights are e-notation float
+    literals (0.7e0/0.3e0) matching the Spark side's explicit lam/mu."""
+    cos_pool = _MMR_COS.format(a="e.embedding", b="p.pv")
+    cos_ab = _MMR_COS.format(a="a.embedding", b="b.embedding")
+    ctes = [
+        f"""pool AS (
+      SELECT vec_id, embedding, rel FROM (
+        SELECT e.vec_id, e.embedding, {cos_pool} AS rel
+        FROM embeddings e,
+             (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
+      ) ORDER BY rel DESC, vec_id LIMIT {k_pool}
+    )""",
+        f"""sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {cos_ab} AS s
+      FROM pool a, pool b
+    )""",
+        "s1 AS (SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    sel = "SELECT vec_id FROM s1"
+    for k in range(2, k_out + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT p.vec_id, p.rel, max(s.s) AS ms
+      FROM pool p JOIN sims s ON s.ia = p.vec_id
+      WHERE s.ib IN ({sel}) AND p.vec_id NOT IN ({sel})
+      GROUP BY p.vec_id, p.rel
+    )"""
+        )
+        ctes.append(
+            f"s{k} AS (SELECT vec_id, rel FROM c{k} "
+            f"ORDER BY 0.7e0*rel - 0.3e0*ms DESC, vec_id LIMIT 1)"
+        )
+        sel += f" UNION ALL SELECT vec_id FROM s{k}"
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, vec_id, rel FROM s{k}"
+        for k in range(1, k_out + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@query("q_llm_mmr", oracle=_mmr_oracle())
+def q_llm_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified similarity search: Maximal Marginal Relevance over
+    the exact cosine top-20 pool for probe vec_id=0, greedily emitting
+    5 results that balance relevance against redundancy (λ=0.7 /
+    μ=0.3) — the re-rank that stops a retrieval slice (or a
+    training-data sampler) from returning five near-copies. The whole
+    greedy trajectory is deterministic — left-to-right cosine folds,
+    order-independent max, id tiebreaks at every argmax — so the
+    oracle UNROLLS it as CTE levels (the pagerank fixed-iteration
+    idiom). Corpus cost = one exact top-k scan; the greedy runs
+    entirely on ≤20-row persisted intermediates in-plan."""
+    from kafka_streams_clojure_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, emb.filter(F.col("vec_id") == 0), k_pool=20, k_out=5)
