@@ -924,3 +924,56 @@ def q_stream_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return store.selectExpr(f"stack(3, {pairs}) AS (metric, value)")
+
+
+@query(
+    "q_stream_scd2",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                       OR event_type <> lag(event_type)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    hist AS (
+      SELECT user_id, run_id, event_type AS state,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    ),
+    iv AS (
+      SELECT user_id, state, valid_from, n_events,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+               AS valid_to
+      FROM hist
+    )
+    SELECT user_id AS key, state,
+           CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(valid_to) AS BIGINT)   AS valid_to_us,
+           n_events
+    FROM iv WHERE valid_to IS NOT NULL
+    """,
+)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → SCD2 history (streaming/stateful.py:scd2_state):
+    per-user state change events close validity intervals as they
+    happen — the online warehouse-dimension maintenance the batch
+    q_ktable_history reconstructs after the fact. The emitted stream is
+    exactly the CLOSED intervals (append-mode immutable facts); each
+    key's open interval lives in engine state (the interactive-query
+    surface), which is why the oracle is the batch SCD2 with
+    `valid_to IS NOT NULL`. Interval bounds compare as exact epoch-µs
+    integers. Cross-batch state continuation is pinned by
+    tests/test_streaming_multibatch.py::test_scd2_state_across_batches."""
+    from kafka_streams_clojure_spark.streaming.stateful import scd2_state
+
+    ev = stream_table(spark, sf_dir, "events")
+    return run_available_now(scd2_state(ev), output_mode="append")

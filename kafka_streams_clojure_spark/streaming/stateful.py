@@ -339,3 +339,90 @@ def punctuate_flush(
             timeoutConf=timeout,
         )
     )
+
+
+def scd2_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming CDC → SCD2: the online form of the batch
+    ``q_ktable_history`` run-collapse. Per-key state is the OPEN
+    validity interval (current state, its start, its event count);
+    events replay in (ts, id) order and every state CHANGE closes the
+    open interval — emitting ``(key, state, valid_from, valid_to,
+    n_events)`` — and opens the next one. Same-state events (null-safe
+    compare, the CLAUDE.md change-detection rule) only bump the run's
+    event count.
+
+    Emission is append-mode (closed intervals are immutable facts —
+    exactly a warehouse's SCD2 insert stream); the open interval per
+    key lives ONLY in engine state, which is the interactive-query
+    surface, and the batch key remains the reconciliation path that
+    also shows open rows (valid_to IS NULL). Interval bounds are
+    emitted as epoch MICROSECONDS (exact integers on both engines —
+    no timestamp round-trip ambiguity in the oracle compare).
+
+    State is three scalars per key — constant memory per key; closed
+    runs stream out incrementally, so a key with a year of history
+    never re-materializes it."""
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur, vf, n = state.get
+        else:
+            cur, vf, n = None, 0, 0
+        o_state: list = []
+        o_from: list = []
+        o_to: list = []
+        o_n: list = []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            ev = pd.concat(frames).sort_values([ts_col, id_col])
+            for typ, ts in zip(ev[type_col], ev[ts_col]):
+                t = int(ts.value)
+                typ = None if pd.isna(typ) else typ
+                if n == 0:
+                    cur, vf, n = typ, t, 1
+                elif (typ is None and cur is None) or typ == cur:
+                    n += 1
+                else:
+                    o_state.append(cur)
+                    o_from.append(vf)
+                    o_to.append(t)
+                    o_n.append(n)
+                    cur, vf, n = typ, t, 1
+        state.update((cur, vf, n))
+        if o_state:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(o_state),
+                    "state": o_state,
+                    "valid_from_us": [v // 1000 for v in o_from],
+                    "valid_to_us": [v // 1000 for v in o_to],
+                    "n_events": o_n,
+                }
+            )
+
+    key_type = dict(events.dtypes)[key_col]
+    # null key/ts guard (the as-of rule): NaT sentinels would corrupt
+    # the replay order; null event_type is handled null-safely above
+    return (
+        events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(key_col, type_col, ts_col, id_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"key {key_type}, state string, valid_from_us long, "
+                "valid_to_us long, n_events long"
+            ),
+            stateStructType="cur string, vf long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -385,3 +385,92 @@ def test_hopping_window_across_batches(spark, sf_dir, split_events_dir):
     j = final.join(exp, ["ws", "event_type"], "full_outer")
     assert j.filter(F.col("n").isNull() | F.col("n_exp").isNull()).count() == 0
     assert j.filter(F.col("n") != F.col("n_exp")).count() == 0
+
+
+def test_scd2_state_across_batches(spark, sf_dir, tmp_path):
+    """The SCD2 state machine fed two TIME-ORDERED batches must emit
+    exactly the closed intervals of the batch run-collapse — including
+    any interval whose open run straddles the epoch boundary (opened in
+    batch A, closed by a state change arriving in batch B)."""
+    import os
+    import uuid
+
+    from kafka_streams_clojure_spark.streaming.stateful import scd2_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    mid = ev.agg(
+        F.expr("timestampadd(SECOND, CAST((max(unix_timestamp(ts)) - "
+               "min(unix_timestamp(ts))) / 2 AS BIGINT), min(ts))").alias("m")
+    ).first().m
+    d = str(tmp_path / "scd2_src")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(os.path.join(d, "p_a"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "p_*"))
+    )
+    name = f"scd2_{uuid.uuid4().hex[:8]}"
+    q = (
+        scd2_state(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(os.path.join(d, "p_b"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = {
+        (r.key, r.state, r.valid_from_us, r.valid_to_us, r.n_events)
+        for r in spark.table(name).collect()
+    }
+
+    # batch reference: run-collapse closed intervals (q_ktable_history
+    # minus the open rows), in epoch micros
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev", F.lag("event_type").over(wo))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull()
+                | ~F.col("event_type").eqNullSafe(F.col("prev")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("is_new").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    hist = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wl = W.partitionBy("user_id").orderBy("run_id")
+    exp_df = hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros(F.lead("valid_from").over(wl)).alias("valid_to_us"),
+        "n_events",
+    ).filter(F.col("valid_to_us").isNotNull())
+    exp = {
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.n_events)
+        for r in exp_df.collect()
+    }
+    assert got == exp
+    # and the straddling case actually occurred: some interval opened
+    # at-or-before the split and closed after it
+    mid_us = int(mid.timestamp() * 1_000_000)
+    assert any(f <= mid_us < t for (_, _, f, t, _) in got)
