@@ -2617,3 +2617,134 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("avg_events"),
     )
+
+
+@query(
+    "q_events_rolling_zscore",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, value,
+             count(value) OVER w AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / count(value) OVER w AS mean_v,
+             CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / count(value) OVER w AS meansq
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    ),
+    s AS (
+      SELECT event_id, user_id, ts, value, cnt,
+             mean_v,
+             sqrt(greatest(meansq - mean_v * mean_v, 0e0)) AS std_v
+      FROM f WHERE cnt >= 10
+    )
+    SELECT event_id, user_id, value, mean_v,
+           (value - mean_v) / std_v AS z
+    FROM s
+    WHERE std_v > 0 AND abs(value - mean_v) > 3 * std_v
+    """,
+)
+def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE anomaly detection: each event scored against its user's
+    TRAILING 50-event baseline (frame excludes the current row — the
+    'would we have flagged it as it arrived' semantics the global
+    q_events_outliers can't give). Numeric discipline inside the
+    frame: Σx and Σx² are decimal-cast window sums (the CLAUDE.md
+    frame rule; x² is first computed as an identical per-row double
+    product), variance is clipped at zero before sqrt and the
+    degenerate-window /0 is filtered on BOTH engines (the
+    q_events_corr guard), a 10-event warmup gate keeps early noise
+    out. Scale: ONE user-keyed shuffle, balanced windows (users, not
+    the 5-value event_type), no broadcast needed."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    cnt = F.count("value").over(w)
+    mean_v = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast(
+        "double"
+    ) / cnt
+    meansq = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(18,4)")
+    ).over(w).cast("double") / cnt
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        cnt.alias("cnt"),
+        mean_v.alias("mean_v"),
+        meansq.alias("meansq"),
+    ).filter(F.col("cnt") >= 10)
+    s = f.select(
+        "event_id",
+        "user_id",
+        "value",
+        "mean_v",
+        F.sqrt(
+            F.greatest(
+                F.col("meansq") - F.col("mean_v") * F.col("mean_v"), F.lit(0.0)
+            )
+        ).alias("std_v"),
+    )
+    return (
+        s.filter(
+            (F.col("std_v") > 0)
+            & (F.abs(F.col("value") - F.col("mean_v")) > F.lit(3) * F.col("std_v"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "mean_v",
+            ((F.col("value") - F.col("mean_v")) / F.col("std_v")).alias("z"),
+        )
+    )
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a)
+    SELECT CASE WHEN a < 1000000 THEN 'customer' ELSE 'supplier' END AS side,
+           d AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier co-purchase graph
+    (SAME edge definition as q_graph_pagerank/q_graph_bfs, so the
+    graph family can't drift): count-of-counts per bipartite side —
+    the first thing to look at before running anything iterative on a
+    graph (hub detection, Pregel superstep cost estimation, skew-join
+    planning). Two integer aggregations after the distinct edge
+    shuffle; output bounded by the distinct degree values."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    und = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    return deg.groupBy(
+        F.when(F.col("a") < 1000000, "customer")
+        .otherwise("supplier")
+        .alias("side"),
+        F.col("d").alias("degree"),
+    ).agg(F.count("*").cast("bigint").alias("n_nodes"))
