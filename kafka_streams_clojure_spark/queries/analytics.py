@@ -2748,3 +2748,54 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("side"),
         F.col("d").alias("degree"),
     ).agg(F.count("*").cast("bigint").alias("n_nodes"))
+
+
+@query(
+    "q_orders_revenue_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT mon, revenue,
+             lag(revenue) OVER (PARTITION BY month(mon) ORDER BY year(mon))
+               AS prev_year
+      FROM m
+    )
+    SELECT mon, revenue, prev_year,
+           CASE WHEN prev_year > 0 THEN CAST(revenue / prev_year AS DOUBLE)
+           END AS yoy_ratio
+    FROM g
+    """,
+)
+def q_orders_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with YEAR-OVER-YEAR ratio — the finance
+    trendline that strips seasonality by comparing each month to the
+    same month last year. The lag window is PARTITIONED BY
+    calendar-month-of-year and ordered by year, so 'lag 12 over a
+    global order' (an unpartitioned single-task window — lint-banned)
+    becomes lag(1) inside 12 partitions, each holding one row per
+    year of history. Revenue is decimal-exact before the one double
+    ratio; zero/missing prior years are CASE'd to NULL identically."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = W.partitionBy(F.month("mon")).orderBy(F.year("mon"))
+    g = m.withColumn("prev_year", F.lag("revenue").over(w))
+    return g.select(
+        "mon",
+        "revenue",
+        "prev_year",
+        F.when(
+            F.col("prev_year") > 0,
+            (F.col("revenue") / F.col("prev_year")).cast("double"),
+        ).alias("yoy_ratio"),
+    )

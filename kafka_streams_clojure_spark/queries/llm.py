@@ -3040,3 +3040,89 @@ def q_llm_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_topk(emb, emb.filter(F.col("vec_id") == 0), k_pool=20, k_out=5)
+
+
+@query(
+    "q_llm_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                    AS n_docs,
+           CAST(sum(length(text)) AS BIGINT)           AS n_chars,
+           CAST(sum(len({_TOK})) AS BIGINT)            AS n_tokens,
+           CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE)
+             / CAST(sum(len({_TOK})) AS BIGINT)        AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per
+    whitespace-token — the vocabulary-sizing number that predicts how
+    many subword pieces each language will fragment into (high
+    fertility → more BPE merges needed / higher serving cost). Two
+    integer sums per language and one double division; map-side fold,
+    one tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "q_llm_char_trigrams",
+    oracle="""
+    WITH pos AS (
+      SELECT lang, unnest(generate_series(1, length(text) - 2)) AS p, text
+      FROM documents WHERE length(text) >= 3
+    ),
+    tg AS (
+      SELECT lang, substring(text, p, 3) AS trigram,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pos GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT lang, trigram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, trigram) AS rnk
+      FROM tg
+    )
+    SELECT lang, rnk, trigram, n FROM r WHERE rnk <= 20
+    """,
+)
+def q_llm_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile (top-20): the feature
+    table a statistical language identifier trains on — and a
+    mojibake/encoding-corruption detector (a corrupted source's
+    trigram profile drifts instantly). CHARACTER-based substring on
+    both engines (verified against the zh fixture docs — byte-based
+    slicing would shear multibyte codepoints); position explode via
+    inclusive sequence/generate_series, rank window PARTITIONED by
+    lang with full (count DESC, trigram) tie order. Scale: the explode
+    is ∝ corpus characters but collapses immediately into the
+    (lang, trigram) aggregate; WindowGroupLimit prunes to 20 per
+    lang."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    pos = docs.select(
+        "lang",
+        "text",
+        F.explode(F.expr("sequence(1, length(text) - 2)")).alias("p"),
+    )
+    tg = pos.select(
+        "lang", F.expr("substring(text, p, 3)").alias("trigram")
+    ).groupBy("lang", "trigram").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("trigram"))
+    return (
+        tg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", "rnk", "trigram", "n")
+    )
