@@ -977,3 +977,56 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = stream_table(spark, sf_dir, "events")
     return run_available_now(scd2_state(ev), output_mode="append")
+
+
+@query(
+    "q_stream_chained_windows",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    hc AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    emit1 AS (SELECT hc.* FROM hc, wm WHERE h + INTERVAL 1 HOUR <= wm.w),
+    d AS (
+      SELECT date_trunc('day', h) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT)   AS n_events,
+             CAST(max(n) AS BIGINT)   AS max_hour
+      FROM emit1 GROUP BY 1, 2
+    )
+    SELECT d.* FROM d, wm WHERE day + INTERVAL 1 DAY <= wm.w
+    """,
+)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO CHAINED STATEFUL OPERATORS in one streaming query (Spark
+    3.4+ multi-stateful append mode): hourly per-type counts roll up
+    into daily (hour-cell count, event total, peak hour) — the
+    two-level pre-aggregation cascade a metrics pipeline runs so the
+    day-level store never sees raw events. Append mode is mandatory
+    for chaining, so emission is WATERMARK-GATED and the oracle
+    PREDICTS it (the q_stream_punctuate discipline): stage 1 releases
+    hour windows whose end ≤ wm = max(ts) − 1h; stage 2 re-windows
+    their window_time (end − 1µs, so day = the hour's own day) and
+    releases day windows whose end ≤ wm. State is (hours × types) +
+    (days × types), both evicted as the watermark passes — the
+    cascade's state never scales with raw events."""
+    ev = stream_table(spark, sf_dir, "events")
+    h = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    d = (
+        h.groupBy(F.window(F.window_time("w"), "1 day").alias("d"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("max_hour"),
+        )
+    )
+    out = d.select(
+        F.col("d.start").alias("day"), "event_type", "n_hours", "n_events", "max_hour"
+    )
+    return run_available_now(out, output_mode="append")
