@@ -75,6 +75,12 @@ EXTRAS = [
     "q_events_changepoint",    # CUSUM split statistic
     "q_basket_affinity",       # within-basket co-occurrence lift
     "q_llm_inverted_index",    # posting-list build
+    # round-5 final-wave additions
+    "q_llm_mmr",               # MMR diversified top-k (greedy in-plan)
+    "q_events_rolling_zscore", # trailing-frame online anomaly score
+    "q_llm_char_trigrams",     # per-lang character trigram profile
+    "q_orders_rfm",            # three parallel closed-form ntiles
+    "q_events_stickiness_hll", # mergeable-sketch DAU/WAU
 ]
 
 
