@@ -407,3 +407,49 @@ def test_stateful_asof_drops_null_keys_and_ts(spark):
         q.awaitTermination(30)
     got = {(r.key, r.left_id): r.right_value for r in spark.table(name).collect()}
     assert got == {(1, 103): 10.0}
+
+
+def test_scd2_state_null_safe_runs(spark, tmp_path):
+    """The streaming SCD2 machine treats consecutive NULL states as
+    ONE run (null-safe change detection, the dedupe/partition_by
+    rule): [A, null, null, B] closes A at the first null and closes
+    the 2-event null run at B; the open B run stays in state (no
+    emission)."""
+    import os
+    import uuid
+
+    import datetime as dt
+
+    from kafka_streams_clojure_spark.streaming.stateful import scd2_state
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (7, "A", t0, 1),
+        (7, None, t0 + dt.timedelta(minutes=1), 2),
+        (7, None, t0 + dt.timedelta(minutes=2), 3),
+        (7, "B", t0 + dt.timedelta(minutes=3), 4),
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    d = str(tmp_path / "scd2_null_src")
+    src.coalesce(1).write.parquet(os.path.join(d, "p_a"))
+    stream = spark.readStream.schema(src.schema).parquet(os.path.join(d, "p_*"))
+    name = f"scd2n_{uuid.uuid4().hex[:8]}"
+    q = (
+        scd2_state(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = sorted(
+        ((r.state, r.n_events) for r in spark.table(name).collect()),
+        key=lambda t: (t[0] is not None, t[0] or ""),
+    )
+    assert got == [(None, 2), ("A", 1)]
