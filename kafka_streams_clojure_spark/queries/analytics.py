@@ -2799,3 +2799,63 @@ def q_orders_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") / F.col("prev_year")).cast("double"),
         ).alias("yoy_ratio"),
     )
+
+
+@query(
+    "q_events_bot_flags",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(epoch_us(ts) - epoch_us(prev_ts)) AS min_gap_us
+      FROM g GROUP BY user_id
+    ),
+    thr AS (SELECT quantile_cont(n_events, 0.95) AS p95_n FROM u)
+    SELECT u.user_id, u.n_events, u.min_gap_us,
+           u.n_events > thr.p95_n          AS high_volume,
+           u.min_gap_us < 1000000          AS rapid_fire
+    FROM u, thr
+    WHERE u.n_events > thr.p95_n OR u.min_gap_us < 1000000
+    """,
+)
+def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite bot/abuse detection: flag users that are HIGH-VOLUME
+    (event count above the in-plan p95 of per-user counts) or
+    RAPID-FIRE (any two consecutive events under 1 second apart) —
+    the two cheapest behavioral tells, composed the way a trust &
+    safety pipeline stacks them. Gaps are exact epoch-µs integers
+    (lag per user), the p95 threshold is an exact interpolated
+    percentile over integer counts broadcast as a 1-row side, and
+    both flag booleans + the disjunctive filter are identical
+    expressions on both engines. One user-keyed shuffle, then a
+    user-count-sized aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select("user_id", "ts", "event_id").withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    )
+    u = g.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min(
+            F.unix_micros("ts") - F.unix_micros("prev_ts")
+        ).alias("min_gap_us"),
+    )
+    thr = u.agg(F.percentile("n_events", 0.95).alias("p95_n"))
+    j = u.crossJoin(F.broadcast(thr))
+    return j.filter(
+        (F.col("n_events") > F.col("p95_n")) | (F.col("min_gap_us") < 1000000)
+    ).select(
+        "user_id",
+        "n_events",
+        "min_gap_us",
+        (F.col("n_events") > F.col("p95_n")).alias("high_volume"),
+        (F.col("min_gap_us") < 1000000).alias("rapid_fire"),
+    )

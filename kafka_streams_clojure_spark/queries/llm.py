@@ -3126,3 +3126,46 @@ def q_llm_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("lang", "rnk", "trigram", "n")
     )
+
+
+@query(
+    "q_llm_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT lang, source, n_chars // 500 AS len_band FROM documents
+    ),
+    g AS (
+      SELECT lang, source, len_band, CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT)                           AS n_groups,
+           CAST(count(*) FILTER (WHERE n < 5) AS BIGINT)      AS risky_groups,
+           CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0)
+                AS BIGINT)                                    AS risky_docs,
+           CAST(min(n) AS BIGINT)                             AS min_group_size
+    FROM g
+    """,
+)
+def q_llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, 500-char length band): how many equivalence classes
+    fall below k=5 members and how many documents sit in them — the
+    re-identification risk report a privacy review asks for before a
+    corpus ships (the scrub key masks direct identifiers; this
+    measures the INDIRECT ones). Two integer aggregations, bounded
+    output; at 100 TB the QI grouping is one map-side-combined
+    shuffle on a low-cardinality composite key."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "lang", "source", F.expr("n_chars div 500").alias("len_band")
+    ).groupBy("lang", "source", "len_band").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count(F.when(F.col("n") < 5, 1)).cast("bigint").alias("risky_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("risky_docs"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+    )

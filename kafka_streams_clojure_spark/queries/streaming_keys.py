@@ -1030,3 +1030,45 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.start").alias("day"), "event_type", "n_hours", "n_events", "max_hour"
     )
     return run_available_now(out, output_mode="append")
+
+
+@query(
+    "q_stream_dedup_window",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    d AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour
+      FROM events
+    ),
+    c AS (
+      SELECT hour, event_type, CAST(count(*) AS BIGINT) AS active_users
+      FROM d GROUP BY 1, 2
+    )
+    SELECT c.* FROM c, wm WHERE hour + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful pair #2: streaming dropDuplicates feeding a
+    windowed aggregate in ONE append-mode query — the idempotent-
+    ingest (at-least-once delivery) shape: keep one row per
+    (user, type, hour), then count hourly active users per type.
+    Which physical row survives dedup is engine-chosen, but the
+    downstream count is one-per-group so the answer is deterministic
+    — the reason this composition is oracle-able while raw
+    dropDuplicates output isn't. Emission watermark-gated (hour end ≤
+    wm = max ts − 1h, oracle-predicted); dedup state is bounded by
+    the watermark horizon, aggregate state by (hours × types)."""
+    ev = stream_table(spark, sf_dir, "events")
+    dd = (
+        ev.withWatermark("ts", "1 hour")
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["user_id", "event_type", "hour"])
+    )
+    agg = dd.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").cast("bigint").alias("active_users")
+    )
+    out = agg.select(
+        F.col("w.start").alias("hour"), "event_type", "active_users"
+    )
+    return run_available_now(out, output_mode="append")
+

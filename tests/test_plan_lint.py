@@ -62,6 +62,8 @@ _NONEQUI_OK = {
     # crossJoins of the 1-row probe and of the persisted ≤20-row pool
     # with itself (the MMR pairwise-sim matrix — k_pool² bounded)
     "q_llm_mmr",
+    # crossJoin of the broadcast 1-row p95 threshold
+    "q_events_bot_flags",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
