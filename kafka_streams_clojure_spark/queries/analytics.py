@@ -2859,3 +2859,85 @@ def q_events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") > F.col("p95_n")).alias("high_volume"),
         (F.col("min_gap_us") < 1000000).alias("rapid_fire"),
     )
+
+
+@query(
+    "q_events_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+    SELECT ud.day,
+           CAST(count(*) FILTER (WHERE ud.day = f.first_day) AS BIGINT)
+             AS new_users,
+           CAST(count(*) FILTER (WHERE ud.day > f.first_day) AS BIGINT)
+             AS returning_users
+    FROM ud JOIN f ON ud.user_id = f.user_id
+    GROUP BY ud.day
+    """,
+)
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split NEW vs RETURNING (first-ever active
+    day vs any later day) — the growth-accounting counterpart of the
+    retention matrix: is today's DAU acquisition or habit? Two
+    user-keyed aggregates and one self-join on user_id (the first-day
+    table is users-sized); everything integer."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    f = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1))
+            .cast("bigint")
+            .alias("new_users"),
+            F.count(F.when(F.col("day") > F.col("first_day"), 1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
+
+
+@query(
+    "q_events_user_activity_dist",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN n < 2 THEN '001'       WHEN n < 4 THEN '002-3'
+                WHEN n < 8 THEN '004-7'     WHEN n < 16 THEN '008-15'
+                WHEN n < 32 THEN '016-31'   WHEN n < 64 THEN '032-63'
+                WHEN n < 128 THEN '064-127' ELSE '128+' END AS band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT)   AS n_events
+    FROM u GROUP BY 1
+    """,
+)
+def q_events_user_activity_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-per-user distribution in power-of-two bands (the '1%
+    rule' / whale-curve audit): how many users sit in each activity
+    octave and how much of the event mass they carry — the
+    count-of-counts view that sizes per-key state stores and predicts
+    shuffle skew before any per-user operator runs. Pure integer CASE
+    banding (log2 would be libm — the bands are explicit thresholds);
+    one user-keyed fold, 8-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+    band = (
+        F.when(F.col("n") < 2, "001")
+        .when(F.col("n") < 4, "002-3")
+        .when(F.col("n") < 8, "004-7")
+        .when(F.col("n") < 16, "008-15")
+        .when(F.col("n") < 32, "016-31")
+        .when(F.col("n") < 64, "032-63")
+        .when(F.col("n") < 128, "064-127")
+        .otherwise("128+")
+    )
+    return u.groupBy(band.alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
