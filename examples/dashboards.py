@@ -12,6 +12,11 @@ Covers (COVERAGE.md):
   seasonality heatmap             -> q_events_seasonality
   burst + changepoint             -> q_events_burst, q_events_changepoint
   first-touch attribution         -> q_events_attribution
+  OLS trend line                  -> q_events_trend_slope
+  new vs returning DAU            -> q_events_new_vs_returning
+  RFM segmentation                -> q_orders_rfm
+  A/B experiment readout          -> q_events_ab_test
+  bot/abuse flags                 -> q_events_bot_flags
 """
 
 from __future__ import annotations
@@ -60,6 +65,25 @@ def main(sf_dir: str) -> None:
 
     print("7. Which first touch converts? (attribution):")
     run(spark, "q_events_attribution", sf_dir).orderBy("channel").show()
+
+    print("8. Is each event type growing? (OLS trend over daily counts):")
+    run(spark, "q_events_trend_slope", sf_dir).orderBy("event_type").show()
+
+    print("9. Growth accounting: new vs returning DAU:")
+    run(spark, "q_events_new_vs_returning", sf_dir).orderBy("day").show(5)
+
+    print("10. Customer segments (RFM grid, best cells first):")
+    run(spark, "q_orders_rfm", sf_dir).orderBy(
+        "r_score", "f_score", "m_score"
+    ).show(5)
+
+    print("11. Did the experiment move conversion? (A/B z-score):")
+    run(spark, "q_events_ab_test", sf_dir).show()
+
+    print("12. Anyone behaving like a bot? (volume + rapid-fire flags):")
+    run(spark, "q_events_bot_flags", sf_dir).orderBy(
+        F.desc("n_events")
+    ).show(3)
 
     spark.stop()
 
