@@ -3169,3 +3169,42 @@ def q_llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("risky_docs"),
         F.min("n").cast("bigint").alias("min_group_size"),
     )
+
+
+@query(
+    "q_llm_dim_stats",
+    oracle=f"""
+    WITH ex AS ({_SQL_EMB_EXPLODED})
+    SELECT dim,
+           CAST(count(x) AS BIGINT)     AS n,
+           {_SQL_F32_MEAN}              AS mean_x,
+           CAST(min(x) AS DOUBLE)       AS min_x,
+           CAST(max(x) AS DOUBLE)       AS max_x,
+           CAST(CAST(count(x) FILTER (WHERE abs(CAST(x AS DOUBLE)) < 1e-2)
+                     AS BIGINT) AS DOUBLE) / count(x) AS near_zero_frac
+    FROM ex GROUP BY dim
+    """,
+)
+def q_llm_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics (the feature-drift /
+    dead-dimension monitor an embedding pipeline alarms on: a mean
+    that shifts, a dimension that collapses to near-zero, a range
+    that explodes): mean via the tie-guarded DECIMAL(28,8) f32-mean
+    (the label_centroids discipline, global rather than per-label),
+    min/max are exact order statistics, near-zero fraction is an
+    integer ratio over an exact double comparison. One posexplode →
+    one (dim)-keyed two-phase aggregate; 64-row output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("dim").agg(
+        F.count("x").cast("bigint").alias("n"),
+        _f32_mean().alias("mean_x"),
+        F.min("x").cast("double").alias("min_x"),
+        F.max("x").cast("double").alias("max_x"),
+        (
+            F.count(F.when(F.abs(F.col("x").cast("double")) < 1e-2, 1))
+            .cast("bigint")
+            .cast("double")
+            / F.count("x")
+        ).alias("near_zero_frac"),
+    )
