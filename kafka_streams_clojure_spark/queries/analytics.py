@@ -2941,3 +2941,80 @@ def q_events_user_activity_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("n").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "q_graph_link_prediction",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY s),
+    wedge AS (
+      SELECT a.s AS s_a, b.s AS s_b, CAST(count(*) AS BIGINT) AS common
+      FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    scored AS (
+      SELECT w.s_a, w.s_b, w.common,
+             CAST(w.common AS DOUBLE)
+               / CAST(da.d + db.d - w.common AS DOUBLE) AS jaccard
+      FROM wedge w JOIN deg da ON da.s = w.s_a JOIN deg db ON db.s = w.s_b
+    )
+    SELECT s_a, s_b, common, jaccard FROM scored
+    ORDER BY jaccard DESC, s_a, s_b LIMIT 20
+    """,
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite link prediction / co-supply similarity: the top-20
+    supplier pairs by JACCARD over their shared-customer sets — the
+    common-neighbor feature a recommender or substitution model
+    ranks candidate links with (the graph-family sibling of
+    q_basket_affinity's within-order lift). Jaccard is an exact
+    integer ratio (common / (d_a + d_b − common)); a common ≥ 5
+    support floor cuts coincidence pairs before scoring. Scale:
+    the wedge join is ∝ Σ_customer d², bounded here because CUSTOMER
+    degrees are small (suppliers-per-customer) — the mirror
+    supplier-side wedge would be 13× larger (measured at sf0.1), the
+    standard reason link prediction always wedges through the
+    low-degree side; degree table broadcast, TakeOrderedAndProject
+    for the top-20."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    e0 = persist_if_uncached(e0)
+    deg = e0.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+    a = e0.select("c", F.col("s").alias("s_a"))
+    b = e0.select("c", F.col("s").alias("s_b"))
+    wedge = (
+        a.join(b, "c")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count("*").cast("bigint").alias("common"))
+        .filter(F.col("common") >= 5)
+    )
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("s").alias("s_b"), F.col("d").alias("d_b"))
+    scored = (
+        wedge.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("d_a") + F.col("d_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "s_a", "s_b"
+    ).limit(20)
