@@ -3018,3 +3018,72 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), "s_a", "s_b"
     ).limit(20)
+
+
+@query(
+    "q_orders_segment_migration",
+    oracle="""
+    WITH b AS (
+      SELECT (min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) // 2
+               AS mid_us
+      FROM orders
+    ),
+    c AS (
+      SELECT o_custkey,
+             CAST(count(*) FILTER (WHERE epoch_us(o_orderdate) <= b.mid_us)
+                  AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE epoch_us(o_orderdate) > b.mid_us)
+                  AS BIGINT) AS n2
+      FROM orders, b GROUP BY o_custkey, b.mid_us
+    )
+    SELECT CASE WHEN n1 = 0 THEN '0' WHEN n1 = 1 THEN '1'
+                WHEN n1 < 4 THEN '2-3' ELSE '4+' END AS band_h1,
+           CASE WHEN n2 = 0 THEN '0' WHEN n2 = 1 THEN '1'
+                WHEN n2 < 4 THEN '2-3' ELSE '4+' END AS band_h2,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment MIGRATION matrix: each customer's order-count
+    band ('0'/'1'/'2-3'/'4+') in the first vs second half of the
+    corpus timeline — who upgraded, who churned, who was acquired
+    (the CRM flow the static RFM grid can't show). The period split
+    is the exact integer epoch-µs midpoint folded in-plan as a 1-row
+    broadcast; both halves count in ONE conditional customer-keyed
+    aggregate (no per-period join), bands are explicit CASE
+    thresholds, output ≤ 16 cells."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr(
+            "(min(unix_micros(CAST(o_orderdate AS TIMESTAMP))) + max(unix_micros(CAST(o_orderdate AS TIMESTAMP)))) div 2"
+        ).alias("mid_us")
+    )
+    c = (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("o_custkey", "mid_us")
+        .agg(
+            F.count(
+                F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) <= F.col("mid_us"), 1)
+            )
+            .cast("bigint")
+            .alias("n1"),
+            F.count(
+                F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) > F.col("mid_us"), 1)
+            )
+            .cast("bigint")
+            .alias("n2"),
+        )
+    )
+
+    def band(col: str) -> "F.Column":
+        return (
+            F.when(F.col(col) == 0, "0")
+            .when(F.col(col) == 1, "1")
+            .when(F.col(col) < 4, "2-3")
+            .otherwise("4+")
+        )
+
+    return c.groupBy(
+        band("n1").alias("band_h1"), band("n2").alias("band_h2")
+    ).agg(F.count("*").cast("bigint").alias("n_customers"))

@@ -64,6 +64,8 @@ _NONEQUI_OK = {
     "q_llm_mmr",
     # crossJoin of the broadcast 1-row p95 threshold
     "q_events_bot_flags",
+    # crossJoin of the broadcast 1-row timeline-midpoint
+    "q_orders_segment_migration",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
