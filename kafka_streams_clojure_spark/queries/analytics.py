@@ -3087,3 +3087,96 @@ def q_orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy(
         band("n1").alias("band_h1"), band("n2").alias("band_h2")
     ).agg(F.count("*").cast("bigint").alias("n_customers"))
+
+
+@query(
+    "q_lineitem_return_rate",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS mon,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+             AS n_returned,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(coalesce(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4)))
+                           FILTER (WHERE l_returnflag = 'R'),
+                         0) AS DOUBLE) AS returned_revenue,
+           CAST(CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                AS DOUBLE) / count(*) AS return_line_rate
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_lineitem_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly RETURNS analysis: returned line share and returned
+    revenue vs total (the commerce quality/fraud trendline built on
+    l_returnflag — the column TPC-H Q1 aggregates but no dashboard
+    key had surfaced over time). Discounted revenue is the identical
+    per-row double product decimal-cast on both engines (the Q1
+    discipline); the rate is an integer ratio. One month-keyed
+    map-side-combined aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    is_r = F.col("l_returnflag") == "R"
+    return li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("mon")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count(F.when(is_r, 1)).cast("bigint").alias("n_returned"),
+        F.sum(rev).cast("double").alias("revenue"),
+        F.coalesce(F.sum(F.when(is_r, rev)), F.lit(0))
+        .cast("double")
+        .alias("returned_revenue"),
+        (
+            F.count(F.when(is_r, 1)).cast("bigint").cast("double") / F.count("*")
+        ).alias("return_line_rate"),
+    )
+
+
+@query(
+    "q_util_date_spine",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+             CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(year(day) AS INT)       AS y,
+           CAST(month(day) AS INT)      AS m,
+           CAST(dayofweek(day) + 1 AS INT) AS dow,
+           day = date_trunc('month', day)  AS is_month_start,
+           dayofweek(day) IN (0, 6)        AS is_weekend
+    FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b)
+    """,
+)
+def q_util_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar date-spine dimension spanning the fact timeline —
+    the utility table every warehouse joins against to make
+    zero-activity days visible (the q_sql_recursive_cte date spine,
+    generated with sequence/generate_series instead of recursion).
+    Carries the classic calendar attributes; note the DIALECT TRAP:
+    DuckDB ``dayofweek`` is 0=Sunday vs Spark's 1=Sunday (shifted in
+    the oracle — the q_events_seasonality rule), while
+    weekend-ness is expressed per-dialect against the same days.
+    Bounded by the calendar span; generated in-plan from a broadcast
+    1-row min/max fold."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = (
+        b.select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"))
+        .select(F.col("d").cast("timestamp").alias("day"), F.col("d"))
+    )
+    return days.select(
+        "day",
+        F.year("d").cast("int").alias("y"),
+        F.month("d").cast("int").alias("m"),
+        F.dayofweek("d").cast("int").alias("dow"),
+        (F.col("day") == F.date_trunc("month", "day")).alias("is_month_start"),
+        F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+    ).drop("d")
