@@ -3208,3 +3208,87 @@ def q_llm_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("x")
         ).alias("near_zero_frac"),
     )
+
+
+_PAIR_H = (
+    "md5(CAST({a} AS VARCHAR) || '-' || CAST({d} AS VARCHAR))"
+)
+
+
+@query(
+    "q_llm_negative_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, {_SQL_BUCKET} AS bucket FROM documents
+    ),
+    bt AS (SELECT doc_id, {_TOK} AS t FROM b WHERE bucket < 5),
+    tt AS (SELECT doc_id, {_TOK} AS t FROM b WHERE bucket >= 5),
+    bsh AS (SELECT DISTINCT shingle FROM ({_sh_unnest('bt')})),
+    tsh AS ({_sh_unnest('tt')}),
+    dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (shingle)),
+    clean AS (
+      SELECT doc_id FROM b
+      WHERE bucket >= 5 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+             {_PAIR_H.format(a='a.doc_id', d='c.doc_id')} AS h
+      FROM (SELECT doc_id FROM b WHERE bucket < 5) a, clean c
+      WHERE CAST(('0x' || substr(
+                   {_PAIR_H.format(a='a.doc_id', d='c.doc_id')}, 1, 8))
+                 AS BIGINT) % 100 < 20
+    )
+    SELECT anchor_id, neg_id, rnk FROM (
+      SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY h, neg_id) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 3
+    """,
+)
+def q_llm_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive NEGATIVE-PAIR construction: for every anchor doc
+    (the md5-bucket eval slice — the split shared with
+    q_llm_decontaminate so the definitions can't drift), pick 3
+    negatives RNG-free from documents guaranteed to share no word
+    4-gram with ANY anchor (the decontaminate probe inverted: clean
+    docs only — no textual leakage into the negatives). Pair choice
+    is a deterministic hash ranking: candidates are first CUT to the
+    md5(anchor-doc) bucket < 20% — the pushdown that keeps the
+    anchors×corpus pairing bounded at scale — then row_number'd per
+    anchor over (hash, id). Anchor side broadcasts (eval slices are
+    tiny by definition, the decontaminate scale argument); the corpus
+    shuffles only for its own shingle probe."""
+    from kafka_streams_clojure_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select("doc_id", "text", _bucket().alias("bucket"))
+    anchors = b.filter(F.col("bucket") < 5).select("doc_id")
+    train = b.filter(F.col("bucket") >= 5)
+    dirty = decontaminate(
+        train.select("doc_id", "text"), docs.join(anchors, "doc_id")
+    ).select("doc_id")
+    clean = train.select("doc_id").join(dirty, "doc_id", "left_anti")
+    a = anchors.select(F.col("doc_id").alias("anchor_id"))
+    c = clean.select(F.col("doc_id").alias("neg_id"))
+    h = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("-"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(a))
+        .withColumn("h", h)
+        .filter(
+            F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("bigint") % 100
+            < 20
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("anchor_id", "neg_id", "rnk")
+    )

@@ -66,6 +66,10 @@ _NONEQUI_OK = {
     "q_events_bot_flags",
     # crossJoin of the broadcast 1-row timeline-midpoint
     "q_orders_segment_migration",
+    # crossJoin of the broadcast eval-slice anchor ids (tiny by
+    # definition — the decontaminate broadcast argument), cut to the
+    # 20% pair-hash bucket before ranking
+    "q_llm_negative_pairs",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
