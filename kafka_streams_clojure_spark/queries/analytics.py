@@ -3180,3 +3180,111 @@ def q_util_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day") == F.date_trunc("month", "day")).alias("is_month_start"),
         F.dayofweek("d").isin(1, 7).alias("is_weekend"),
     ).drop("d")
+
+
+@query(
+    "q_events_drift_chi2",
+    oracle="""
+    WITH b AS (
+      SELECT min(value) AS mn, max(value) AS mx,
+             (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             least(CAST(floor((value - b.mn) * 10e0 / (b.mx - b.mn))
+                        AS BIGINT), 9) AS bin,
+             CASE WHEN epoch_us(ts) <= b.mid_us THEN 1 ELSE 0 END AS h1
+      FROM events, b WHERE b.mx > b.mn
+    ),
+    c AS (
+      SELECT event_type, bin,
+             CAST(sum(h1) AS BIGINT)     AS n1,
+             CAST(sum(1 - h1) AS BIGINT) AS n2
+      FROM binned GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(sum(n2) AS BIGINT) AS t2
+      FROM c GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.event_type,
+             (CAST(c.n1 AS DOUBLE) / CAST(t.t1 AS DOUBLE)
+              - CAST(c.n2 AS DOUBLE) / CAST(t.t2 AS DOUBLE))
+             * (CAST(c.n1 AS DOUBLE) / CAST(t.t1 AS DOUBLE)
+                - CAST(c.n2 AS DOUBLE) / CAST(t.t2 AS DOUBLE))
+             / (CAST(c.n1 AS DOUBLE) / CAST(t.t1 AS DOUBLE)
+                + CAST(c.n2 AS DOUBLE) / CAST(t.t2 AS DOUBLE)) AS term,
+             t.t1, t.t2
+      FROM c JOIN t USING (event_type)
+      WHERE t.t1 > 0 AND t.t2 > 0 AND c.n1 + c.n2 > 0
+    )
+    SELECT event_type, t1, t2,
+           CAST(sum(CAST(term AS DECIMAL(18,12))) AS DOUBLE) AS drift
+    FROM terms GROUP BY event_type, t1, t2
+    """,
+)
+def q_events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution DRIFT test per event type: triangular
+    discrimination Σ(p−q)²/(p+q) between the value histograms of the
+    first and second half of the timeline — the PSI-style feature
+    drift monitor, made libm-free (PSI's ln is banned on oracle
+    paths; the triangular statistic is the standard χ²-family
+    substitute and shares its 0 = identical / larger = drifted
+    reading). Bin edges and the epoch-µs midpoint fold in-plan as a
+    1-row broadcast; each term is a per-row double tree over integer
+    ratios; the 10-term per-type sum is decimal-cast so partial-agg
+    order can't reorder the doubles (terms ∈ [0,2] — DECIMAL(18,12)
+    holds them exactly enough to be tie-free at measured data).
+    One scan, one (type, bin) aggregate, 5-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("mid_us"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(b))
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * F.lit(10.0)
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("bigint"),
+                F.lit(9).cast("bigint"),
+            ).alias("bin"),
+            F.when(
+                F.unix_micros("ts") <= F.col("mid_us"), 1
+            ).otherwise(0).alias("h1"),
+        )
+    )
+    c = binned.groupBy("event_type", "bin").agg(
+        F.sum("h1").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("h1")).cast("bigint").alias("n2"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+    )
+    p = F.col("n1").cast("double") / F.col("t1").cast("double")
+    q = F.col("n2").cast("double") / F.col("t2").cast("double")
+    terms = (
+        c.join(t, "event_type")
+        .filter((F.col("t1") > 0) & (F.col("t2") > 0) & (F.col("n1") + F.col("n2") > 0))
+        .select(
+            "event_type",
+            "t1",
+            "t2",
+            ((p - q) * (p - q) / (p + q)).alias("term"),
+        )
+    )
+    return terms.groupBy("event_type", "t1", "t2").agg(
+        F.sum(F.col("term").cast("decimal(18,12)")).cast("double").alias("drift")
+    )

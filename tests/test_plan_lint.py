@@ -70,6 +70,8 @@ _NONEQUI_OK = {
     # definition — the decontaminate broadcast argument), cut to the
     # 20% pair-hash bucket before ranking
     "q_llm_negative_pairs",
+    # crossJoin of the broadcast 1-row (min, max, midpoint) bounds
+    "q_events_drift_chi2",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
