@@ -453,3 +453,60 @@ def test_scd2_state_null_safe_runs(spark, tmp_path):
         key=lambda t: (t[0] is not None, t[0] or ""),
     )
     assert got == [(None, 2), ("A", 1)]
+
+
+def test_drift_term_scale_is_tie_free():
+    """q_events_drift_chi2 decimal-casts its per-bin drift terms at
+    DECIMAL(18,12) before summing; Spark rounds half-UP, DuckDB
+    half-EVEN, so parity rests on no term having an exact 13-digit
+    decimal expansion ending the rounding digit at a tie. Verified
+    over every fixture SF (the centroid-scale guard discipline); if a
+    fixture regeneration trips this, move the cast scale on BOTH
+    engines."""
+    from decimal import Decimal
+
+    import duckdb
+
+    for sf in ["0.001", "0.01", "0.1"]:
+        terms = duckdb.sql(f"""
+        WITH events AS (
+          SELECT * FROM read_parquet('/root/testdata/sf{sf}/events.parquet')
+        ),
+        b AS (
+          SELECT min(value) AS mn, max(value) AS mx,
+                 (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+          FROM events
+        ),
+        binned AS (
+          SELECT event_type,
+                 least(CAST(floor((value - b.mn) * 10e0 / (b.mx - b.mn))
+                            AS BIGINT), 9) AS bin,
+                 CASE WHEN epoch_us(ts) <= b.mid_us THEN 1 ELSE 0 END AS h1
+          FROM events, b WHERE b.mx > b.mn
+        ),
+        c AS (
+          SELECT event_type, bin,
+                 CAST(sum(h1) AS BIGINT) AS n1,
+                 CAST(sum(1 - h1) AS BIGINT) AS n2
+          FROM binned GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1,
+                 CAST(sum(n2) AS BIGINT) AS t2
+          FROM c GROUP BY 1
+        )
+        SELECT (CAST(n1 AS DOUBLE)/t.t1 - CAST(n2 AS DOUBLE)/t.t2)
+               * (CAST(n1 AS DOUBLE)/t.t1 - CAST(n2 AS DOUBLE)/t.t2)
+               / (CAST(n1 AS DOUBLE)/t.t1 + CAST(n2 AS DOUBLE)/t.t2) AS term
+        FROM c JOIN t USING (event_type)
+        WHERE t.t1 > 0 AND t.t2 > 0 AND n1 + n2 > 0
+        """).df()["term"]
+        ties = [
+            float(v)
+            for v in terms
+            if -Decimal(float(v)).normalize().as_tuple().exponent == 13
+        ]
+        assert not ties, (
+            f"sf{sf}: {len(ties)} drift term(s) are exact decimal(…,12) "
+            f"rounding ties, e.g. {ties[:3]} — move the cast scale"
+        )
