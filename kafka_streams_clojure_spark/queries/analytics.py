@@ -3288,3 +3288,58 @@ def q_events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("event_type", "t1", "t2").agg(
         F.sum(F.col("term").cast("decimal(18,12)")).cast("double").alias("drift")
     )
+
+
+@query(
+    "q_events_daily_dense",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(day AS TIMESTAMP) AS day
+      FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM b)
+    ),
+    c AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT spine.day,
+           coalesce(c.n, 0)   AS n,
+           coalesce(c.dau, 0) AS dau
+    FROM spine LEFT JOIN c ON spine.day = c.day
+    """,
+)
+def q_events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE daily purchase series: the calendar spine LEFT JOINed to
+    per-day aggregates with zero-fill — the difference between a
+    trendline with holes (sparse GROUP BY output silently skips
+    zero-activity days, breaking charts, window frames and
+    day-over-day ratios) and one that is actually daily. Spine
+    generated in-plan from the fact min/max (the q_util_date_spine
+    machinery); the aggregate side is day-keyed and tiny, so the
+    join broadcasts it back onto the bounded spine."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    ).select(F.col("d").cast("timestamp").alias("day"))
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("dau"),
+        )
+    )
+    return spine.join(c, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+    )
