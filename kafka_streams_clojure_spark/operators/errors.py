@@ -51,3 +51,63 @@ def tolerant_map_in_pandas(
                     yield pd.concat(good, ignore_index=True)
 
     return df.mapInPandas(run, schema=schema)
+
+
+def dlq_map_in_pandas(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    id_col: str,
+) -> DataFrame:
+    """The DEAD-LETTER twin of :func:`tolerant_map_in_pandas`: one
+    Arrow-batched pass that routes every record to exactly one of two
+    channels — successful transforms carry ``__error = NULL``, poison
+    records surface as ``(id_col, __error = str(exception))`` rows with
+    the other output columns nulled. The caller branches on
+    ``__error IS NULL`` to get the main stream and the DLQ from ONE
+    pass (the standard evolution of swallow-and-drop once someone has
+    to triage what was dropped; reference api.clj:21-24 prints the
+    error — this keeps it as data instead).
+
+    ``fn``'s output must include ``id_col`` so failures and successes
+    share an identity column. Failure rows are produced only on the
+    row-isolated fallback path — the happy path stays fully
+    vectorized."""
+    names = [c.split()[0].strip() for c in schema.split(",")]
+    if id_col not in names:
+        raise ValueError(f"schema must include id_col {id_col!r}")
+    others = [c for c in names if c != id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            try:
+                out = fn(pdf)
+                out = out.copy()
+                out["__error"] = None
+                yield out
+            except Exception:
+                good: list[pd.DataFrame] = []
+                bad_ids: list[Any] = []
+                bad_errs: list[str] = []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[[i]]
+                    try:
+                        good.append(fn(row))
+                    except Exception as e:  # noqa: BLE001 — the contract
+                        bad_ids.append(row[id_col].iloc[0])
+                        bad_errs.append(str(e))
+                frames: list[pd.DataFrame] = []
+                if good:
+                    g = pd.concat(good, ignore_index=True)
+                    g["__error"] = None
+                    frames.append(g)
+                if bad_ids:
+                    b = pd.DataFrame({id_col: bad_ids})
+                    for c in others:
+                        b[c] = None
+                    b["__error"] = bad_errs
+                    frames.append(b)
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(run, schema=f"{schema}, __error string")

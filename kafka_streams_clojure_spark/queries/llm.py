@@ -3292,3 +3292,39 @@ def q_llm_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("anchor_id", "neg_id", "rnk")
     )
+
+
+@query(
+    "q_error_dead_letter",
+    oracle="""
+    SELECT event_id, 'poison record' AS error
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q_error_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEAD-LETTER channel of the per-record error contract: the
+    same poison-raising transform as q_error_swallow run through
+    operators/errors.dlq_map_in_pandas, keeping FAILED records as
+    (id, error-message) data instead of dropping them — one pass
+    yields both channels; this key reads the DLQ side (the swallow
+    key's oracle is the complement, so together they prove the router
+    partitions exactly). The reference prints-and-drops
+    (api.clj:21-24); a production topology triages."""
+    import pandas as pd
+
+    from kafka_streams_clojure_spark.operators.errors import dlq_map_in_pandas
+
+    def double_or_die(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["event_type"] == "error").any():
+            raise ValueError("poison record")
+        out = pdf[["event_id"]].copy()
+        out["doubled"] = pdf["value"] * 2.0
+        return out
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    routed = dlq_map_in_pandas(
+        ev, double_or_die, schema="event_id long, doubled double", id_col="event_id"
+    )
+    return routed.filter(F.col("__error").isNotNull()).select(
+        "event_id", F.col("__error").alias("error")
+    )

@@ -95,6 +95,7 @@ _PYTHON_OK = {
     "q_multimodal_resize",
     "q_stream_stateful_counter",
     "q_error_swallow",
+    "q_error_dead_letter",  # same tolerant mapInPandas router, DLQ side
     # rows-only ANN hot loops: cosine_arrow (vectorized pandas_udf)
     # adopted after the round-5 bench — 3.1× vs the interpreted HOF
     # (BENCH_NOTES.md "Cosine hot loop"); oracle keys keep the fold
