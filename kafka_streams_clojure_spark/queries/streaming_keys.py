@@ -1072,3 +1072,56 @@ def q_stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_available_now(out, output_mode="append")
 
+
+
+@query(
+    "q_stream_join_window",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT b.ts AS bts FROM c JOIN b ON c.user_id = b.user_id
+        AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR
+    ),
+    d AS (
+      SELECT date_trunc('day', bts) AS day,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM j GROUP BY 1
+    )
+    SELECT d.* FROM d, wm WHERE day + INTERVAL 1 DAY <= wm.w
+    """,
+)
+def q_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful pair #3: a STREAM-STREAM interval join feeding
+    a windowed aggregate in one append-mode query — daily counts of
+    click→purchase pairs within an hour, the attribution-volume
+    trendline computed without ever landing the joined fact table.
+    The inner interval join emits pairs as matches arrive (state
+    bounded by the watermark ± the hour bound); the downstream day
+    window re-aggregates on the purchase-side event time and emits
+    when the watermark passes the day (oracle-predicted, the
+    chained-windows discipline). Completes the chained-operator
+    matrix: agg→agg, dedup→agg, join→agg."""
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "1 hour")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("bu"), F.col("ts").alias("bts"))
+        .withWatermark("bts", "1 hour")
+    )
+    j = clicks.join(
+        buys,
+        (F.col("cu") == F.col("bu"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    agg = j.groupBy(F.window("bts", "1 day").alias("w")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    out = agg.select(F.col("w.start").alias("day"), "n_pairs")
+    return run_available_now(out, output_mode="append")
