@@ -3328,3 +3328,55 @@ def q_error_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.filter(F.col("__error").isNotNull()).select(
         "event_id", F.col("__error").alias("error")
     )
+
+
+@query(
+    "q_llm_positive_pairs",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    sym AS (
+      SELECT id_a AS anchor_id, id_b AS pos_id, jaccard FROM jpairs
+      UNION ALL
+      SELECT id_b, id_a, jaccard FROM jpairs
+    )
+    SELECT anchor_id, pos_id, jaccard, rnk FROM (
+      SELECT anchor_id, pos_id, jaccard,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY jaccard DESC, pos_id) AS rnk
+      FROM sym
+    ) WHERE rnk <= 2
+    """,
+)
+def q_llm_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive POSITIVE-pair construction — the twin of
+    q_llm_negative_pairs: for every document that has near-dups, its
+    top-2 partners by word-4-gram Jaccard (the natural positives a
+    contrastive embedding trainer pairs with the hash-ranked
+    negatives). Built on the SAME shared Jaccard CTE chain as the
+    pair/cluster keys so the pair definition cannot drift; the pair
+    table is symmetrized (each side anchors) and ranked per anchor
+    with a (jaccard DESC, id) total order — scores are exact integer
+    ratios, so the rank is float-unambiguous."""
+    from kafka_streams_clojure_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("pos_id"),
+        "jaccard",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("pos_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("jaccard").desc(), F.col("pos_id")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("anchor_id", "pos_id", "jaccard", "rnk")
+    )
