@@ -3380,3 +3380,51 @@ def q_llm_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("anchor_id", "pos_id", "jaccard", "rnk")
     )
+
+
+#: row-digest text shared by the checksum key's two engines: a pipe
+#: joined rendering of INTEGER/STRING-safe columns (doubles and raw
+#: timestamps are excluded — their string renderings are not
+#: engine-portable; timestamps enter as exact epoch-µs integers)
+_CKSUM_ROW = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' || o_orderpriority"
+)
+
+
+@query(
+    "q_util_table_checksum",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5({_CKSUM_ROW}
+                    || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)), 1, 15))
+                   AS BIGINT)) AS checksum
+    FROM orders
+    """,
+)
+def q_util_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent TABLE CONTENT CHECKSUM: bit-XOR of per-row
+    md5-derived 60-bit integers — the migration/replication validation
+    primitive (same engine, different cluster, different file layout →
+    same checksum iff same row multiset up to XOR-collisions of exact
+    duplicate rows). XOR is commutative/associative and cannot
+    overflow, so partial aggregation order is irrelevant — no decimal
+    discipline needed. Row rendering uses only engine-portable
+    scalars: integers/strings verbatim, timestamps as exact epoch-µs
+    (raw double/timestamp string formats differ across engines —
+    the reason generic `hash()` checksums are not portable). One scan,
+    one 2-column fold."""
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+    )
+    digest = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("bigint")
+    return o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.bit_xor(digest).alias("checksum"),
+    )
