@@ -3343,3 +3343,172 @@ def q_events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
     )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+    ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und JOIN deg da ON da.a = und.a JOIN deg db ON db.a = und.b
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT)    AS n,
+             CAST(sum(x) AS BIGINT)      AS sx,
+             CAST(sum(y) AS BIGINT)      AS sy,
+             CAST(sum(x * y) AS BIGINT)  AS sxy,
+             CAST(sum(x * x) AS BIGINT)  AS sxx,
+             CAST(sum(y * y) AS BIGINT)  AS syy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DOUBLE)
+           END AS assortativity
+    FROM mo
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over every directed edge
+    — do hubs attach to hubs (assortative, >0) or to leaves
+    (disassortative, <0)? Negative values are the classic bipartite/
+    hub-and-spoke signature, and the number feeds the same pre-flight
+    audit as q_graph_degree_dist: it predicts whether hub-keyed
+    skew compounds (hub↔hub edges concentrate shuffle mass) or
+    spreads. Same shared edge definition as pagerank/bfs/degree_dist;
+    all five moments are INTEGER sums (degrees are integers), one
+    guarded double expression, 1-row output — the q_events_type_corr
+    discipline on a graph."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    und = persist_if_uncached(
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    deg = und.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    da = deg.select(F.col("a").alias("_a"), F.col("d").alias("x"))
+    db = deg.select(F.col("a").alias("_b"), F.col("d").alias("y"))
+    ed = und.join(da, und.a == da._a).join(db, und.b == db._b).select("x", "y")
+    mo = ed.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mo.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+            ).cast("double"),
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "q_events_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id))
+               AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, gap_us // 1000000 AS gap_s
+      FROM g WHERE gap_us IS NOT NULL
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)              AS n,
+             CAST(sum(gap_s) AS BIGINT)            AS sg,
+             CAST(sum(gap_s * gap_s) AS BIGINT)    AS sgg
+      FROM s GROUP BY 1
+    )
+    SELECT event_type, n AS n_gaps,
+           CAST(CAST(sg AS DOUBLE) / n AS DOUBLE) AS mean_gap_s,
+           CASE WHEN n > 1
+                 AND CAST(n AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg >= 0
+                 AND sg > 0 THEN
+             CAST((sqrt(CAST(CAST(n AS HUGEINT) * sgg
+                             - CAST(sg AS HUGEINT) * sg AS DOUBLE)) / n
+                   - CAST(sg AS DOUBLE) / n)
+                  / (sqrt(CAST(CAST(n AS HUGEINT) * sgg
+                               - CAST(sg AS HUGEINT) * sg AS DOUBLE)) / n
+                     + CAST(sg AS DOUBLE) / n) AS DOUBLE)
+           END AS burstiness
+    FROM mo
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS index B = (σ−μ)/(σ+μ) over per-user inter-event
+    gaps, per event type (Goh & Barabási 2008): −1 = metronome, 0 =
+    Poisson, →1 = heavy-tailed bursts — the temporal-pattern
+    fingerprint that separates machine heartbeats from human
+    activity, complementing q_events_burst's rate-spike view. Gaps
+    are exact integer SECONDS (µs differences integer-divided — the
+    squared sums stay far inside int64, which raw µs gaps would not),
+    all three moments integer, σ via the safe sqrt of an integer
+    expression, degenerate types CASE'd identically. One user-keyed
+    lag window folding straight into per-type moments."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    s = g.select("event_type", F.expr("gap_us div 1000000").alias("gap_s"))
+    mo = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("bigint").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sgg"),
+    )
+    # n*sgg reaches ~4e20 at sf0.1 — int64 overflows (ANSI error), so
+    # the moment products widen to DECIMAL(38,0) (DuckDB side: HUGEINT);
+    # both are exact integers, so the one double conversion still matches
+    n_d = F.col("n").cast("decimal(20,0)")
+    var_n2 = (
+        n_d * F.col("sgg").cast("decimal(20,0)")
+        - F.col("sg").cast("decimal(20,0)") * F.col("sg").cast("decimal(20,0)")
+    )
+    sigma = F.sqrt(var_n2.cast("double")) / F.col("n")
+    mu = F.col("sg").cast("double") / F.col("n")
+    return mo.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        mu.cast("double").alias("mean_gap_s"),
+        F.when(
+            (F.col("n") > 1) & (var_n2 >= 0) & (F.col("sg") > 0),
+            ((sigma - mu) / (sigma + mu)).cast("double"),
+        ).alias("burstiness"),
+    )
