@@ -3478,3 +3478,125 @@ def q_llm_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sentences"),
         F.sum("n_words").cast("bigint").alias("n_words"),
     )
+
+
+@query(
+    "q_llm_triplets",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    sym AS (
+      SELECT id_a AS anchor_id, id_b AS pos_id, jaccard FROM jpairs
+      UNION ALL
+      SELECT id_b, id_a, jaccard FROM jpairs
+    ),
+    pos AS (
+      SELECT anchor_id, pos_id FROM (
+        SELECT anchor_id, pos_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY jaccard DESC, pos_id) AS rnk
+        FROM sym
+      ) WHERE rnk = 1
+    ),
+    anchors AS (SELECT DISTINCT anchor_id FROM sym),
+    ash AS (
+      SELECT a.anchor_id, s.shingle
+      FROM anchors a JOIN sh s ON s.doc_id = a.anchor_id
+    ),
+    shared AS (
+      SELECT DISTINCT ash.anchor_id, s2.doc_id AS other_id
+      FROM ash JOIN sh s2 USING (shingle)
+    ),
+    cand AS (
+      SELECT a.anchor_id, d.doc_id AS neg_id,
+             {_PAIR_H.format(a='a.anchor_id', d='d.doc_id')} AS h
+      FROM anchors a, documents d
+      WHERE d.doc_id <> a.anchor_id
+        AND CAST(('0x' || substr(
+              {_PAIR_H.format(a='a.anchor_id', d='d.doc_id')}, 1, 8))
+            AS BIGINT) % 100 < 20
+        AND NOT EXISTS (
+          SELECT 1 FROM shared
+          WHERE shared.anchor_id = a.anchor_id AND shared.other_id = d.doc_id
+        )
+    ),
+    neg AS (
+      SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY h, neg_id) AS neg_rnk
+      FROM cand
+    )
+    SELECT p.anchor_id, p.pos_id, n.neg_id, n.neg_rnk
+    FROM pos p JOIN neg n USING (anchor_id)
+    WHERE n.neg_rnk <= 2
+    """,
+)
+def q_llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET MINING for contrastive embedding training: for every
+    document that has a near-dup, emit (anchor, its top near-dup as
+    POSITIVE, 2 hash-ranked NEGATIVES guaranteed to share no word
+    4-gram with THAT anchor) — the (a, a⁺, a⁻) batch shape contrastive
+    losses consume, assembled entirely from the engine's exact
+    machinery: positives from the shared Jaccard CTE chain, per-anchor
+    negative cleanliness from the shingle table itself (a shared-
+    shingle anti-probe, never a text comparison), the candidate space
+    cut to the 20% pair-hash bucket before ranking (the
+    negative_pairs pushdown, here per anchor). Everything RNG-free:
+    the triplet set is a pure function of the corpus."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("pos_id"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("pos_id"), "jaccard"
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("jaccard").desc(), F.col("pos_id")
+    )
+    pos = (
+        sym.withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") == 1)
+        .select("anchor_id", "pos_id")
+    )
+    anchors = sym.select("anchor_id").distinct()
+    sh = shingle_sets(docs, k=4).select("doc_id", "shingle")
+    ash = sh.join(
+        anchors.select(F.col("anchor_id").alias("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("anchor_id"), "shingle")
+    shared = (
+        ash.join(sh, "shingle")
+        .select("anchor_id", F.col("doc_id").alias("neg_id"))
+        .distinct()
+    )
+    h = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("-"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    cand = (
+        docs.select(F.col("doc_id").alias("neg_id"))
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .withColumn("h", h)
+        .filter(
+            F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("bigint") % 100 < 20
+        )
+        .join(shared, ["anchor_id", "neg_id"], "left_anti")
+    )
+    wn = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    neg = (
+        cand.withColumn("neg_rnk", F.row_number().over(wn))
+        .filter(F.col("neg_rnk") <= 2)
+        .select("anchor_id", "neg_id", "neg_rnk")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "neg_id", "neg_rnk"
+    )
