@@ -3512,3 +3512,81 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((sigma - mu) / (sigma + mu)).cast("double"),
         ).alias("burstiness"),
     )
+
+
+@query(
+    "q_events_autocorr",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type, a.y AS x, b.y AS y
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND b.day = a.day + INTERVAL 1 DAY
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DOUBLE)
+           END AS r1
+    FROM mo
+    """,
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 AUTOCORRELATION of each type's daily count series — the
+    momentum/mean-reversion diagnostic that completes the time-series
+    family (trend = level drift, changepoint = structural break,
+    burstiness = micro-gaps; this is day-to-day persistence, and the
+    thing to check before trusting any day-over-day alert: high r1
+    means yesterday already predicts today). Consecutive days pair by
+    a +1-day self-join (missing days simply form no pair — identical
+    semantics both engines), then the q_events_type_corr integer-
+    moment Pearson. Counts stay far inside int64 (daily counts, not
+    second-gaps — the burstiness overflow lesson doesn't bite)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    a = d.select("event_type", "day", F.col("y").alias("x"))
+    b = d.select(
+        "event_type",
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("y"),
+    )
+    p = a.join(b, ["event_type", "day"])
+    mo = p.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mo.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+            ).cast("double"),
+        ).alias("r1"),
+    )
