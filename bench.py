@@ -81,6 +81,9 @@ EXTRAS = [
     "q_llm_char_trigrams",     # per-lang character trigram profile
     "q_orders_rfm",            # three parallel closed-form ntiles
     "q_events_stickiness_hll", # mergeable-sketch DAU/WAU
+    "q_llm_triplets",          # contrastive a/a+/a- mining
+    "q_graph_link_prediction", # shared-customer Jaccard wedges
+    "q_events_drift_chi2",     # timeline-half distribution drift
 ]
 
 
