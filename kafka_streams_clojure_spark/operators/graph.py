@@ -335,3 +335,69 @@ def triangle_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
             / (F.col("degree").cast("double") * (F.col("degree") - 1).cast("double")),
         ).alias("clustering"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 4,
+    unit: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """INTEGER-EXACT PERSONALIZED PageRank: restart mass concentrates
+    at ``seed`` instead of spreading uniformly, so the stationary-ish
+    vector after ``iters`` rounds ranks vertices by proximity to the
+    seed — the 'related items' / local-relevance query (recommenders,
+    fraud blast radius, near-dup neighborhoods) as opposed to
+    :func:`pagerank`'s global importance.
+
+    Same determinism contract as :func:`pagerank` (BIGINT micro-units,
+    DIV-only updates, fixed rounds → unrolled-CTE oracle-able), plus
+    the PPR-specific scale property: the rank vector is SPARSE —
+    absent vertex = 0 mass — so round k's join touches only edges
+    incident to vertices within k hops of the seed. A 100 TB graph
+    with a local seed never materializes a global vector; shuffle per
+    round ∝ the reached frontier's edges.
+
+    Update per vertex v::
+
+        r'[v] = (v == seed ? (dd-dn)*unit DIV dd : 0)
+                + Σ_{u→v} (dn*r[u]) DIV (dd*deg[u])
+    """
+    spark = edges.sparkSession
+    und, we_cached = persist_scoped(
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(
+            edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+                F.col(dst).alias("a"), F.col(src).alias("b")
+            )
+        )
+        .distinct()
+    )
+    try:
+        deg = und.groupBy("a").agg(F.count("*").alias("d"))
+        ed = und.join(deg, "a").localCheckpoint(eager=True)
+        restart = ((damp_den - damp_num) * unit) // damp_den
+        seed_restart = spark.createDataFrame(
+            [(seed, restart)], "id long, share long"
+        )
+        ranks = spark.createDataFrame([(seed, unit)], "id long, r long")
+        for _ in range(iters):
+            contrib = ed.join(ranks.withColumnRenamed("id", "a"), "a").select(
+                F.col("b").alias("id"),
+                F.expr(f"({damp_num} * r) DIV ({damp_den} * d)").alias("share"),
+            )
+            ranks = (
+                contrib.union(seed_restart)
+                .groupBy("id")
+                .agg(F.sum("share").cast("long").alias("r"))
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select("id", F.col("r").alias("rank"))
+    finally:
+        if we_cached:
+            und.unpersist()

@@ -3590,3 +3590,69 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         ).alias("r1"),
     )
+
+
+_PPR_ITERS = 4
+_PPR_SEED = 1  # customer 1 — present in the graph at every fixture SF
+
+
+def _ppr_sql(iters: int, unit: int, dn: int, dd: int, seed: int) -> str:
+    """Unrolled PERSONALIZED power iteration (the _pagerank_sql idiom,
+    sparse): level k holds only vertices reached within k hops of the
+    seed (absent = zero mass), restart mass re-enters at the seed each
+    level."""
+    restart = ((dd - dn) * unit) // dd
+    sep = ",\n    "
+    levels = []
+    for i in range(1, iters + 1):
+        levels.append(
+            f"""r{i} AS (
+      SELECT id, CAST(sum(v) AS BIGINT) AS r FROM (
+        SELECT und.b AS id, ({dn} * r{i - 1}.r) // ({dd} * deg.d) AS v
+        FROM und JOIN r{i - 1} ON und.a = r{i - 1}.id JOIN deg ON deg.a = und.a
+        UNION ALL SELECT CAST({seed} AS BIGINT), CAST({restart} AS BIGINT)
+      ) GROUP BY id
+    )"""
+        )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+    r0 AS (SELECT CAST({seed} AS BIGINT) AS id, CAST({unit} AS BIGINT) AS r),
+    {sep.join(levels)}
+    SELECT id, r AS rank FROM r{iters}
+    """
+
+
+@query(
+    "q_graph_ppr",
+    oracle=_ppr_sql(_PPR_ITERS, 10**12, 85, 100, _PPR_SEED),
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from customer 1 over the co-purchase
+    graph (operators/graph.personalized_pagerank): proximity-to-seed
+    ranking — the 'related to THIS node' query behind recommenders
+    and fraud blast-radius scoring, vs the global q_graph_pagerank.
+    Integer micro-unit masses and DIV-only updates keep every level
+    bit-identical across engines; the rank vector is SPARSE (absent
+    vertex = 0), so each round's join touches only the seed's k-hop
+    frontier — on a 100 TB graph the computation stays local to the
+    seed's neighborhood instead of materializing a global vector."""
+    from kafka_streams_clojure_spark.operators.graph import personalized_pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    return personalized_pagerank(
+        e0, seed=_PPR_SEED, src="a", dst="b", iters=_PPR_ITERS
+    )

@@ -128,3 +128,46 @@ def test_null_edge_endpoints_dropped(spark):
     got_c = {r.id: r.dist for r in bfs_layers(c, source=1, max_hops=3).collect()}
     got_d = {r.id: r.dist for r in bfs_layers(d, source=1, max_hops=3).collect()}
     assert got_c == got_d and None not in got_d
+
+
+def _ppr(spark, edges, seed, **kw):
+    from kafka_streams_clojure_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    return {
+        r.id: r.rank
+        for r in personalized_pagerank(df, seed=seed, unit=UNIT, **kw).collect()
+    }
+
+
+def test_ppr_seed_dominates_and_mass_bounded(spark):
+    """Path graph 1-2-3-4-5, seed at an end: the seed holds the max
+    rank, every vertex is reached with positive mass after enough
+    rounds, and total mass never exceeds the unit (DIV only leaks
+    mass). NOTE: per-hop ordering is deliberately NOT asserted — a
+    path is bipartite, so finite power iterations oscillate by
+    distance parity (observed: dist-3 < dist-4)."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    r = _ppr(spark, edges, seed=1, iters=6)
+    assert r[1] == max(r.values())
+    assert set(r) == {1, 2, 3, 4, 5} and all(v > 0 for v in r.values())
+    assert sum(r.values()) <= UNIT
+
+
+def test_ppr_sparse_locality(spark):
+    """Two disconnected components: the seed's component gets all the
+    mass; the other component is ABSENT from the output (sparse zero,
+    not an explicit 0 row) — the locality property that keeps PPR
+    cheap on huge graphs."""
+    edges = [(1, 2), (2, 3), (10, 11)]
+    r = _ppr(spark, edges, seed=1, iters=4)
+    assert set(r) == {1, 2, 3}
+    assert all(v > 0 for v in r.values())
+
+
+def test_ppr_symmetry(spark):
+    """Symmetric path 1-2-3 seeded at the center: the two ends tie
+    exactly (integer equality — determinism check)."""
+    r = _ppr(spark, [(1, 2), (2, 3)], seed=2, iters=5)
+    assert r[1] == r[3]
+    assert r[2] > r[1]
