@@ -3480,10 +3480,9 @@ def q_llm_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_triplets",
-    oracle=f"""
-    WITH {_JACCARD_CTES},
+#: Triplet CTE chain + final select, shared by q_llm_triplets and the
+#: embedding-eval key so the mined set cannot drift between them.
+_TRIPLET_CTES = f"""{_JACCARD_CTES},
     sym AS (
       SELECT id_a AS anchor_id, id_b AS pos_id, jaccard FROM jpairs
       UNION ALL
@@ -3524,10 +3523,18 @@ def q_llm_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY anchor_id
                                 ORDER BY h, neg_id) AS neg_rnk
       FROM cand
-    )
-    SELECT p.anchor_id, p.pos_id, n.neg_id, n.neg_rnk
+    )"""
+
+_TRIPLET_SELECT = """SELECT p.anchor_id, p.pos_id, n.neg_id, n.neg_rnk
     FROM pos p JOIN neg n USING (anchor_id)
-    WHERE n.neg_rnk <= 2
+    WHERE n.neg_rnk <= 2"""
+
+
+@query(
+    "q_llm_triplets",
+    oracle=f"""
+    WITH {_TRIPLET_CTES}
+    {_TRIPLET_SELECT}
     """,
 )
 def q_llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3599,4 +3606,52 @@ def q_llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pos.join(neg, "anchor_id").select(
         "anchor_id", "pos_id", "neg_id", "neg_rnk"
+    )
+
+
+@query(
+    "q_llm_triplet_eval",
+    oracle=f"""
+    WITH {_TRIPLET_CTES},
+    trip AS ({_TRIPLET_SELECT})
+    SELECT t.anchor_id, t.neg_rnk,
+           {_MMR_COS.format(a='a.embedding', b='p.embedding')} AS cos_pos,
+           {_MMR_COS.format(a='a.embedding', b='n2.embedding')} AS cos_neg,
+           {_MMR_COS.format(a='a.embedding', b='p.embedding')}
+             - {_MMR_COS.format(a='a.embedding', b='n2.embedding')} AS margin,
+           {_MMR_COS.format(a='a.embedding', b='p.embedding')}
+             > {_MMR_COS.format(a='a.embedding', b='n2.embedding')} AS correct
+    FROM trip t
+    JOIN embeddings a  ON a.vec_id  = t.anchor_id
+    JOIN embeddings p  ON p.vec_id  = t.pos_id
+    JOIN embeddings n2 ON n2.vec_id = t.neg_id
+    """,
+)
+def q_llm_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET ACCURACY: score the mined (anchor, positive, negative)
+    triplets against the embedding space — is cos(a, a⁺) > cos(a, a⁻)
+    for text-mined pairs? The cross-modal sanity loop of a curation
+    pipeline: if the embedding disagrees with textual near-dup
+    structure, one of them is broken. The triplet set comes from the
+    SHARED CTE chain (cannot drift from q_llm_triplets); cosines are
+    the exact left-to-right folds, so per-triplet margins — and even
+    the boolean — are bit-identical across engines. Fixture doc_ids
+    and vec_ids share one id space (0..N-1, both tables), which is
+    what makes the join meaningful. Three joins against the
+    embeddings table, all on the tiny triplet side."""
+    trip = q_llm_triplets(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("va"))
+    pv = emb.select(F.col("vec_id").alias("pos_id"), F.col("embedding").alias("vp"))
+    nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("vn"))
+    j = trip.join(a, "anchor_id").join(pv, "pos_id").join(nv, "neg_id")
+    cp = cosine(F.col("va"), F.col("vp"))
+    cn = cosine(F.col("va"), F.col("vn"))
+    return j.select(
+        "anchor_id",
+        "neg_rnk",
+        cp.alias("cos_pos"),
+        cn.alias("cos_neg"),
+        (cp - cn).alias("margin"),
+        (cp > cn).alias("correct"),
     )

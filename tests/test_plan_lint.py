@@ -75,6 +75,8 @@ _NONEQUI_OK = {
     # crossJoin of the broadcast anchor-id set (docs with near-dups —
     # small by construction), cut to the 20% pair-hash bucket
     "q_llm_triplets",
+    # same anchor-set crossJoin inside the shared triplet chain
+    "q_llm_triplet_eval",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
