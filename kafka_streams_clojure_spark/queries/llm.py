@@ -3655,3 +3655,85 @@ def q_llm_triplet_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cp - cn).alias("margin"),
         (cp > cn).alias("correct"),
     )
+
+
+@query(
+    "q_llm_hard_negatives",
+    oracle=f"""
+    WITH {_TRIPLET_CTES},
+    scored AS (
+      SELECT c.anchor_id, c.neg_id,
+             {_MMR_COS.format(a='a.embedding', b='n2.embedding')} AS cos_sim
+      FROM cand c
+      JOIN embeddings a  ON a.vec_id  = c.anchor_id
+      JOIN embeddings n2 ON n2.vec_id = c.neg_id
+    )
+    SELECT anchor_id, neg_id, cos_sim, rnk FROM (
+      SELECT anchor_id, neg_id, cos_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, neg_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 2
+    """,
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining: among each anchor's shingle-clean
+    candidates (the q_llm_triplets `cand` set — textually guaranteed
+    non-duplicates), pick the 2 CLOSEST in embedding space — the
+    negatives that actually teach a contrastive model something
+    (random negatives are trivially separable; hard ones sit near the
+    decision boundary while provably not being textual dups).
+    Candidates were already hash-cut to 20% before any cosine is
+    computed (the cost pushdown ordering matters: hash filter →
+    cosine, never the reverse); scoring is the exact fold, ranks tie-
+    broken by id. Re-uses the shared triplet CTE chain verbatim."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    sym = pairs.select(F.col("id_a").alias("anchor_id")).unionAll(
+        pairs.select(F.col("id_b").alias("anchor_id"))
+    )
+    anchors = sym.distinct()
+    sh = shingle_sets(docs, k=4).select("doc_id", "shingle")
+    ash = sh.join(
+        anchors.select(F.col("anchor_id").alias("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("anchor_id"), "shingle")
+    shared = (
+        ash.join(sh, "shingle")
+        .select("anchor_id", F.col("doc_id").alias("neg_id"))
+        .distinct()
+    )
+    h = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("-"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    cand = (
+        docs.select(F.col("doc_id").alias("neg_id"))
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .filter(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100 < 20
+        )
+        .join(shared, ["anchor_id", "neg_id"], "left_anti")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("va"))
+    nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("vn"))
+    scored = (
+        cand.join(a, "anchor_id")
+        .join(nv, "neg_id")
+        .select("anchor_id", "neg_id", cosine(F.col("va"), F.col("vn")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("anchor_id", "neg_id", "cos_sim", "rnk")
+    )

@@ -77,6 +77,7 @@ _NONEQUI_OK = {
     "q_llm_triplets",
     # same anchor-set crossJoin inside the shared triplet chain
     "q_llm_triplet_eval",
+    "q_llm_hard_negatives",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
