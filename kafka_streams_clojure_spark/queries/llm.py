@@ -3737,3 +3737,59 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("anchor_id", "neg_id", "cos_sim", "rnk")
     )
+
+
+@query(
+    "q_llm_dup_inflation",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_TOK}) AS BIGINT) AS n_tok,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp)
+    SELECT d.source,
+           CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(d.n_tok) FILTER (WHERE d.doc_id = k.keep_id), 0)
+                AS BIGINT) AS unique_tokens,
+           CASE WHEN sum(d.n_tok) FILTER (WHERE d.doc_id = k.keep_id) > 0 THEN
+             CAST(CAST(sum(d.n_tok) AS BIGINT) AS DOUBLE)
+               / CAST(sum(d.n_tok) FILTER (WHERE d.doc_id = k.keep_id)
+                      AS BIGINT)
+           END AS inflation
+    FROM d JOIN keep k ON k.fp = d.fp
+    GROUP BY d.source
+    """,
+)
+def q_llm_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate TOKEN-MASS inflation per source: total tokens vs
+    tokens of the kept-first representatives — the 'how much compute
+    would training on this source waste' number that turns dedup from
+    hygiene into a budget line (inflation 1.0 = clean; 2.0 = half the
+    tokens are re-reads). Uses the exact-dedup fingerprint verbatim
+    (q_llm_exact_dedup's md5-of-normalized-text); sources whose every
+    doc is a dup of another source's keeper report NULL inflation
+    (guarded identically). Integer sums, one division; one fp-keyed
+    shuffle plus the source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    j = d.join(keep, "fp")
+    kept_tok = F.sum(
+        F.when(F.col("doc_id") == F.col("keep_id"), F.col("n_tok"))
+    )
+    return j.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.coalesce(kept_tok, F.lit(0)).cast("bigint").alias("unique_tokens"),
+        F.when(
+            kept_tok > 0,
+            F.sum("n_tok").cast("bigint").cast("double")
+            / kept_tok.cast("bigint"),
+        ).alias("inflation"),
+    )
