@@ -474,3 +474,73 @@ def test_scd2_state_across_batches(spark, sf_dir, tmp_path):
     # at-or-before the split and closed after it
     mid_us = int(mid.timestamp() * 1_000_000)
     assert any(f <= mid_us < t for (_, _, f, t, _) in got)
+
+
+def test_chained_windows_across_batches(spark, sf_dir, tmp_path):
+    """The hourly→daily two-stateful cascade fed two TIME-ORDERED
+    batches must (a) emit incrementally — some day rows finalize
+    after batch 1 — and (b) end with exactly the watermark-gated set
+    the single-pass oracle predicts (append mode emits each window
+    once; nothing is re-emitted or lost across the epoch boundary)."""
+    import os
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("timestampadd(SECOND, CAST((max(unix_timestamp(ts)) - "
+               "min(unix_timestamp(ts))) / 2 AS BIGINT), min(ts))").alias("m")
+    ).first().m
+    d = str(tmp_path / "chain_src")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(os.path.join(d, "p_a"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "p_*"))
+    )
+    h = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = (
+        h.groupBy(F.window(F.window_time("w"), "1 day").alias("d"), "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n_events"))
+        .select(F.col("d.start").alias("day"), "event_type", "n_events")
+    )
+    name = f"chain_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        after_b1 = spark.table(name).count()
+        ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(os.path.join(d, "p_b"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    assert after_b1 > 0, "no day finalized after the first batch"
+    got = {
+        (r.day, r.event_type): r.n_events for r in spark.table(name).collect()
+    }
+    assert len(got) == spark.table(name).count(), "append re-emitted a window"
+
+    # batch reference: the same two watermark gates over the full data
+    wm = ev.agg(
+        F.expr("max(ts) - INTERVAL 1 HOUR").alias("w")
+    ).first().w
+    ref_rows = (
+        ev.withColumn("h", F.date_trunc("hour", "ts"))
+        .filter(F.col("h") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+        .groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .filter(F.col("day") + F.expr("INTERVAL 1 DAY") <= F.lit(wm))
+        .collect()
+    )
+    exp = {(r.day, r.event_type): r.n_events for r in ref_rows}
+    assert got == exp
