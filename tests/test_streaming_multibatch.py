@@ -544,3 +544,69 @@ def test_chained_windows_across_batches(spark, sf_dir, tmp_path):
     )
     exp = {(r.day, r.event_type): r.n_events for r in ref_rows}
     assert got == exp
+
+
+def test_dedup_window_suppresses_cross_batch_replay(spark, tmp_path):
+    """dropDuplicates state must survive the epoch boundary: a record
+    replayed in a LATER batch (at-least-once delivery) may not
+    double-count in the downstream window aggregate."""
+    import datetime as dt
+    import os
+    import uuid
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    rows_a = [
+        (1, 7, "click", t0),
+        (2, 8, "click", t0 + dt.timedelta(minutes=5)),
+    ]
+    # batch B: replays user 7's (user, type, hour) cell with a new
+    # event id + adds a genuinely new user, then a much later event
+    # whose watermark finalizes the first hour
+    rows_b = [
+        (3, 7, "click", t0 + dt.timedelta(minutes=10)),
+        (4, 9, "click", t0 + dt.timedelta(minutes=20)),
+        (5, 1, "click", t0 + dt.timedelta(hours=6)),
+    ]
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    d = str(tmp_path / "ddw_src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(
+        os.path.join(d, "p_a")
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame(rows_a, schema).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "p_*"))
+    )
+    dd = (
+        stream.withWatermark("ts", "1 hour")
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["user_id", "event_type", "hour"])
+    )
+    agg = (
+        dd.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+        .select(F.col("w.start").alias("hour"), "active_users")
+    )
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(
+            os.path.join(d, "p_b")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = {r.hour: r.active_users for r in spark.table(name).collect()}
+    first_hour = t0.replace(minute=0)
+    # users 7 (counted ONCE despite the batch-B replay), 8, 9 → 3
+    assert got.get(first_hour) == 3, got
