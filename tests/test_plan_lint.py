@@ -97,6 +97,7 @@ _PYTHON_OK = {
     "q_llm_winnow",
     "q_multimodal_features",
     "q_multimodal_audio",
+    "q_multimodal_dedup",  # blob generation is the same mapInPandas encoder
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_stream_stateful_counter",
