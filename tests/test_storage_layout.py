@@ -96,3 +96,33 @@ def test_compact_files_merges_small_files(spark, sf_dir, tmp_path):
     a = {r.user_id: r.n for r in back.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
     b = {r.user_id: r.n for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
     assert a == b
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Data-lake schema evolution: a column added by a later writer
+    must be readable across the whole directory with mergeSchema —
+    old files surface NULL for the new column, new files carry it,
+    and the pre-evolution column survives untouched. (Plain parquet's
+    answer to what table formats do with metadata; the read-side
+    contract a 100 TB lake that appends daily relies on.)"""
+    import os
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(os.path.join(d, "p1"))
+    spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "id long, v string, extra long"
+    ).write.parquet(os.path.join(d, "p2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(d, "p1"), os.path.join(d, "p2")
+    )
+    assert set(merged.columns) == {"id", "v", "extra"}
+    rows = {r.id: (r.v, r.extra) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30), 4: ("d", 40)}
+
+    # without mergeSchema the footer-sampled schema may drop the new
+    # column silently — pin the hazard the option exists to fix
+    plain = spark.read.parquet(os.path.join(d, "p1"), os.path.join(d, "p2"))
+    assert set(plain.columns) <= {"id", "v", "extra"}
