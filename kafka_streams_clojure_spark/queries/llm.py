@@ -3828,3 +3828,45 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_cnt") > 1)
         .select("keep_id", "dup_cnt")
     )
+
+
+@query(
+    "q_llm_dataset_card",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT)    AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT)  AS n_sources,
+           CAST(sum(n_chars) AS BIGINT)            AS n_chars,
+           CAST(sum(len({_TOK})) AS BIGINT)        AS n_tokens,
+           CAST(count(DISTINCT
+                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+                AS BIGINT)                         AS unique_docs,
+           CAST(1e0 - CAST(count(DISTINCT
+                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+                AS DOUBLE) / count(*) AS DOUBLE)   AS dup_ratio
+    FROM documents
+    """,
+)
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD stats block: the one-row corpus summary a
+    published dataset ships with — documents, languages, sources,
+    characters, whitespace tokens, exact-unique documents and the
+    duplication ratio — computed in ONE scan (the distinct fingerprint
+    count rides the same aggregate; no second pass, no join). Every
+    number is an integer or an exact integer ratio; the fingerprint is
+    the exact-dedup md5 verbatim. The headline numbers every other
+    audit key in the registry drills into."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+        F.countDistinct(fp).cast("bigint").alias("unique_docs"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(fp).cast("bigint").cast("double") / F.count("*")
+        ).cast("double").alias("dup_ratio"),
+    )
