@@ -3656,3 +3656,34 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(
         e0, seed=_PPR_SEED, src="a", dst="b", iters=_PPR_ITERS
     )
+
+
+@query(
+    "q_orders_card",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                       AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)      AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DOUBLE)                                AS revenue,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                / count(*) AS DOUBLE)                     AS aov,
+           min(o_orderdate)                               AS first_order,
+           max(o_orderdate)                               AS last_order
+    FROM orders
+    """,
+)
+def q_orders_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commerce-side one-row summary card (the q_llm_dataset_card
+    twin for the fact side): order and customer counts, decimal-exact
+    revenue, average order value, and the covered date span — the
+    header block of every revenue dashboard, in ONE scan."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+    return o.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        rev.cast("double").alias("revenue"),
+        (rev.cast("double") / F.count("*")).cast("double").alias("aov"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
