@@ -3687,3 +3687,35 @@ def q_orders_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
+
+
+@query(
+    "q_events_card",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                  AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT)   AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                / count(value) AS DOUBLE)            AS mean_value,
+           min(ts)                                   AS first_event,
+           max(ts)                                   AS last_event
+    FROM events
+    """,
+)
+def q_events_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-side one-row summary card (third of the card family
+    with q_llm_dataset_card and q_orders_card): event/user/type
+    counts, the decimal-exact mean value, and the covered time span —
+    one scan, the header every product dashboard opens with."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("value")
+        ).cast("double").alias("mean_value"),
+        F.min("ts").alias("first_event"),
+        F.max("ts").alias("last_event"),
+    )
