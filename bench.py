@@ -46,15 +46,27 @@ HEADLINE = [
 ]
 
 
+#: Second gated set (r5 verdict #3): the heaviest POST-r1 families —
+#: graph, contrastive mining, passage dedup, cluster representatives —
+#: promoted out of the self-documenting extras into a pinned
+#: `headline2` total (same min-of-two discipline as HEADLINE) so
+#: regressions in these paths show up as gate deltas, not anecdotes.
+#: Reference values: BENCH_NOTES.md "headline2 pinning".
+HEADLINE2 = [
+    "q_graph_pagerank",        # integer-exact 5-iteration PageRank
+    "q_llm_triplets",          # contrastive mining (bucket equi-join)
+    "q_llm_passage_dedup",     # boilerplate-passage removal
+    "q_llm_cluster_best",      # Jaccard + Pregel + per-cluster window
+]
+
+
 #: Round-5 additions, timed AFTER the headline set and reported in a
 #: separate "extras" field so the baseline-comparable headline total is
 #: untouched. One run each (these are not regression-gated, just
 #: self-documenting).
 EXTRAS = [
-    "q_llm_passage_dedup",     # boilerplate-passage removal
     "q_llm_intra_dedup",       # intra-doc repetition removal
     "q_llm_refresh_curation",  # composed crawl-refresh pipeline
-    "q_llm_cluster_best",      # quality-aware cluster representative
     "q_join_salted",           # replicate-side salted skew join
     "q_join_asof_forward",     # forward as-of join
     "q_events_trending",       # per-day top-k
@@ -63,7 +75,6 @@ EXTRAS = [
     "q_agg_session_dynamic",   # dynamic-gap session windows
     "q_llm_containment",       # asymmetric containment near-dup
     # round-5 continuation additions
-    "q_graph_pagerank",        # integer-exact 5-iteration PageRank
     "q_graph_bfs",             # 3-hop BFS neighborhood
     "q_zorder_curve",          # Morton layout key (pure map)
     "q_events_resample",       # 6h-grid linear interpolation
@@ -81,7 +92,6 @@ EXTRAS = [
     "q_llm_char_trigrams",     # per-lang character trigram profile
     "q_orders_rfm",            # three parallel closed-form ntiles
     "q_events_stickiness_hll", # mergeable-sketch DAU/WAU
-    "q_llm_triplets",          # contrastive a/a+/a- mining
     "q_graph_link_prediction", # shared-customer Jaccard wedges
     "q_events_drift_chi2",     # timeline-half distribution drift
 ]
@@ -147,6 +157,26 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # headline2: same discipline as HEADLINE (sf0.001 warm-up pass,
+    # clearCache between keys, min of two timed runs) — gated against
+    # the pinned values in BENCH_NOTES.md "headline2 pinning".
+    for name in HEADLINE2:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timings2: dict[str, float] = {}
+    for name in HEADLINE2:
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings2[name] = round(best, 3)
+    total2 = round(sum(timings2.values()), 3)
+
     extras: dict[str, float] = {}
     # Warm extras at the smallest SF too: the iterative keys
     # (cluster_best's Pregel loop) generate many unique codegen'd plans
@@ -172,6 +202,8 @@ def main() -> None:
                 "sf": sf,
                 "cpu_probe_sec": round(probe, 3),
                 "cpu_probe_ratio": round(probe / PROBE_REFERENCE_SEC, 2),
+                "headline2_total_sec": total2,
+                "queries2": timings2,
                 "extras": extras,
             }
         )

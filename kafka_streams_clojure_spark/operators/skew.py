@@ -100,3 +100,75 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_l.join(replicated_r, on + ["__salt"], how).drop("__salt")
+
+
+def hot_key_guard(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    max_count: int,
+    op_name: str = "wedge_join",
+) -> DataFrame:
+    """IN-PLAN hot-key guard for quadratic fan-out operators (wedge /
+    within-group self-joins, cost ∝ Σ_key d²): attach each row's key
+    cardinality and ``raise_error`` at EXECUTION time if any key
+    exceeds ``max_count`` — one pathological hub (a customer touching
+    10% of suppliers, a basket holding the whole catalog) must fail
+    LOUDLY naming the key, never silently go quadratic.
+
+    Unlike the driver-side ``max_block`` collect in
+    :func:`operators.similarity.embedding_cosine_near_dups`, this
+    guard is purely lazy: the degree aggregate and the join back both
+    key on ``key_cols`` — the exact partitioning the downstream
+    self-join needs — so AQE reuses the exchange and the guard adds no
+    extra driver round-trip. Returns ``df``'s rows unchanged (guard
+    column dropped) when every key is within bound.
+    """
+    keys = list(key_cols)
+    deg = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
+    guarded = df.join(deg, keys)
+    trip = F.when(
+        F.col("__kn") > F.lit(max_count),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op_name}: hot key exceeds max_count={max_count} "
+                    "(per-key self-join is quadratic) — key=("
+                ),
+                F.concat_ws(
+                    ",", *[F.col(k).cast("string") for k in keys]
+                ),
+                F.lit(") count="),
+                F.col("__kn").cast("string"),
+                F.lit(
+                    "; cap with cap_per_key(), raise max_count, or "
+                    "pre-split the key"
+                ),
+            )
+        ),
+    ).otherwise(F.lit(1))
+    return guarded.withColumn("__guard", trip).filter(
+        F.col("__guard") == 1
+    ).drop("__kn", "__guard")
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    max_count: int,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """DOCUMENTED-truncation alternative to :func:`hot_key_guard`:
+    keep only the first ``max_count`` rows per key in deterministic
+    ``order_cols`` order (ties must be broken by a unique column —
+    the CLAUDE.md tiebreak rule). The wedge then costs at most
+    Σ min(d, cap)² — a hub's neighborhood is SAMPLED, not enumerated;
+    callers own the semantic loss and must say so in their docstring.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_count)
+        .drop("__rn")
+    )

@@ -1101,17 +1101,24 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P(a,b)/(P(a)P(b))) with a support floor — the transactional twin
     of the text bigram collocations key. Candidate pairs come from the
     within-order self-join (never parts²: shuffle ∝ Σ basket², and
-    baskets are small); counts are integers, lift is one per-row
-    double expression, n_orders rides as a broadcast 1-row side, and
-    the top-k carries the full (lift, n_pair, p1, p2) tie order."""
+    baskets are small — a pathological mega-basket trips
+    operators/skew.hot_key_guard in-plan at 10k items); counts are
+    integers, lift is one per-row double expression, n_orders rides
+    as a broadcast 1-row side, and the top-k carries the full
+    (lift, n_pair, p1, p2) tie order."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     norders = items.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
     freq = items.groupBy("p").agg(F.count("*").cast("bigint").alias("n_p"))
-    a = items.select(F.col("o"), F.col("p").alias("p1"))
-    b = items.select(F.col("o"), F.col("p").alias("p2"))
+    from kafka_streams_clojure_spark.operators.skew import hot_key_guard
+
+    # basket self-join is ∝ Σ basket² — guard a pathological mega-order
+    # in-plan (same "o" key the self-join shuffles on)
+    ig = hot_key_guard(items, ["o"], max_count=10_000, op_name="q_basket_affinity basket")
+    a = ig.select(F.col("o"), F.col("p").alias("p1"))
+    b = ig.select(F.col("o"), F.col("p").alias("p2"))
     pairs = (
         a.join(b, "o")
         .filter(F.col("p1") < F.col("p2"))
@@ -2979,7 +2986,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier-side wedge would be 13× larger (measured at sf0.1), the
     standard reason link prediction always wedges through the
     low-degree side; degree table broadcast, TakeOrderedAndProject
-    for the top-20."""
+    for the top-20. A pathological hot hub (one customer touching a
+    constant fraction of suppliers) would still be quadratic with no
+    warning — operators/skew.hot_key_guard raises IN-PLAN if any
+    customer degree exceeds 10k (r5 verdict #2)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e0 = (
@@ -2988,11 +2998,16 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+    from kafka_streams_clojure_spark.operators.skew import hot_key_guard
 
     e0 = persist_if_uncached(e0)
     deg = e0.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
-    a = e0.select("c", F.col("s").alias("s_a"))
-    b = e0.select("c", F.col("s").alias("s_b"))
+    # r5 verdict #2: the wedge is ∝ Σ_c d² with NO natural bound on a
+    # single hot customer — guard the hub degree in-plan (raise_error
+    # at execution, keyed on the same "c" the self-join shuffles on).
+    eg = hot_key_guard(e0, ["c"], max_count=10_000, op_name="q_graph_link_prediction wedge")
+    a = eg.select("c", F.col("s").alias("s_a"))
+    b = eg.select("c", F.col("s").alias("s_b"))
     wedge = (
         a.join(b, "c")
         .filter(F.col("s_a") < F.col("s_b"))
@@ -3718,4 +3733,100 @@ def q_events_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("mean_value"),
         F.min("ts").alias("first_event"),
         F.max("ts").alias("last_event"),
+    )
+
+
+@query(
+    "q_events_trimmed_stats",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05e0) AS p05,
+             quantile_cont(value, 0.95e0) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, q.p05, q.p95,
+           CAST(count(*) FILTER (WHERE e.value < q.p05) AS BIGINT) AS n_below,
+           CAST(count(*) FILTER (WHERE e.value > q.p95) AS BIGINT) AS n_above,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,4)))
+                     FILTER (WHERE e.value >= q.p05 AND e.value <= q.p95)
+                AS DOUBLE)
+              / count(*) FILTER (WHERE e.value >= q.p05 AND e.value <= q.p95)
+              AS DOUBLE) AS trimmed_mean
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.p05, q.p95
+    """,
+)
+def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-type value stats: exact interpolated
+    p05/p95 fences (the q_agg_percentile parity contract) and the
+    TRIMMED mean of the in-band values — the robust-location number a
+    metrics pipeline alerts on when heavy tails make the plain mean
+    useless. Cross-engine discipline: the fences stay DOUBLE end to
+    end (comparisons against them are exact either way); only the
+    ORIGINAL values — fixture-bounded decimals — take the one
+    decimal(18,4) cast for the order-independent sum (never the
+    derived fence doubles, whose 4-decimal rounding could tie). Two
+    aggregates keyed by event_type (≤ handfuls of groups): the fence
+    table rides back as a broadcast join, the trim is a conditional
+    aggregate, no second scan shape beyond it."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    inb = (F.col("value") >= F.col("p05")) & (F.col("value") <= F.col("p95"))
+    return j.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.when(F.col("value") < F.col("p05"), 1))
+        .cast("bigint")
+        .alias("n_below"),
+        F.count(F.when(F.col("value") > F.col("p95"), 1))
+        .cast("bigint")
+        .alias("n_above"),
+        (
+            F.sum(F.when(inb, F.col("value").cast("decimal(18,4)"))).cast("double")
+            / F.count(F.when(inb, 1))
+        )
+        .cast("double")
+        .alias("trimmed_mean"),
+    )
+
+
+@query(
+    "q_orders_priority_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS prio,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_prio
+      FROM orders
+    )
+    SELECT prev_prio, prio, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_prio IS NOT NULL
+    GROUP BY prev_prio, prio
+    """,
+)
+def q_orders_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION counts over each customer's
+    order-priority sequence — the behavioral-drift matrix (who moves
+    from low- to high-priority ordering and back) that feeds churn
+    and upgrade models; the orders-side sibling of
+    q_events_transitions. One customer-keyed window (unique
+    (o_orderdate, o_orderkey) tiebreak — the CLAUDE.md ordered-lag
+    rule), then a ≤25-cell rollup; at 100 TB the shuffle is customer-
+    keyed and the matrix is a constant-size reduce."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+    )
+    return (
+        seq.filter(F.col("prev_prio").isNotNull())
+        .groupBy("prev_prio", "prio")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )

@@ -1854,6 +1854,25 @@ def q_llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(docs, passage_words=10, max_doc_freq=1)
 
 
+@query("q_llm_passage_dedup_hashed")
+def q_llm_passage_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION exchange shape of q_llm_passage_dedup
+    (SCALE.md "hashed-probe passage dedup"): identical semantics, but
+    the doc-frequency aggregate and probe join key on
+    ``xxhash64(passage)`` — 8 bytes/row on the wire instead of the
+    raw passage string, the shuffle-width cut you'd take at 100 TB.
+    Rows-only BY DESIGN: DuckDB cannot reproduce Spark's xxhash64, so
+    the gate is the equivalence test
+    (tests/test_llm_ops.py::test_passage_dedup_hashed_matches_string_probe)
+    pinning its output EQUAL to the oracle-gated string-probe twin —
+    a 64-bit collision conflating two passages is ~2^-64/pair and
+    would show up there first."""
+    from kafka_streams_clojure_spark.operators.dedup import passage_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, passage_words=10, max_doc_freq=1, hash_key=True)
+
+
 @query(
     "q_llm_incremental_dedup",
     oracle=f"""
@@ -3480,6 +3499,73 @@ def q_llm_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Negative-candidate bucket count. The candidate cut is DECOMPOSABLE:
+#: each doc hashes to ONE of `_NEG_B` buckets (a function of doc_id
+#: alone), each anchor probes ONE deterministic bucket (a function of
+#: anchor_id alone, salted so it is independent of the anchor's own
+#: doc bucket), and candidates are the bucket EQUI-join — density 1/B,
+#: the same 20% the old pair-hash cut gave, but materialized by a
+#: shuffled hash join with both sides pruned instead of an
+#: anchors×corpus nested-loop enumeration (the r5 verdict's
+#: scale-killer: the pair hash needed both sides, so the filter could
+#: never push below the join and the BNLJ enumerated |docs|×|anchors|
+#: candidates). At 100 TB raise B ∝ corpus size to hold the per-anchor
+#: candidate count constant; compute is O(|docs|·|anchors|/B).
+#: md5-of-string, not xxhash64: DuckDB cannot reproduce Spark's
+#: xxhash64, while md5 parity is already load-bearing (`_PAIR_H`).
+_NEG_B = 5
+
+_SQL_NEG_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % {_NEG_B}"
+)
+_SQL_PROBE_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({id} AS VARCHAR) || '#probe'), 1, 8))"
+    f" AS BIGINT) % {_NEG_B}"
+)
+
+
+def _neg_bucket(col, salt: str | None = None):
+    """Spark twin of `_SQL_NEG_BUCKET` / `_SQL_PROBE_BUCKET`."""
+    s = col.cast("string") if salt is None else F.concat(
+        col.cast("string"), F.lit(salt)
+    )
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % _NEG_B
+    )
+
+
+def _neg_candidates(docs: DataFrame, anchors: DataFrame,
+                    shared: DataFrame) -> DataFrame:
+    """Shingle-clean negative candidates for every anchor via the
+    decomposable bucket equi-join (see `_NEG_B`): docs bucketed by
+    md5(doc_id), anchors probing md5(anchor_id‖'#probe'), joined on
+    the bucket id, self-pairs dropped, then the shared-shingle
+    anti-join. Returns (anchor_id, neg_id, h) with h the pair hash
+    used only for deterministic RANKING, never as a filter."""
+    dbuck = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        _neg_bucket(F.col("doc_id")).alias("nb"),
+    )
+    abuck = anchors.select(
+        "anchor_id", _neg_bucket(F.col("anchor_id"), "#probe").alias("nb")
+    )
+    h = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("-"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    return (
+        abuck.join(dbuck, "nb")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .withColumn("h", h)
+        .join(shared, ["anchor_id", "neg_id"], "left_anti")
+        .select("anchor_id", "neg_id", "h")
+    )
+
+
 #: Triplet CTE chain + final select, shared by q_llm_triplets and the
 #: embedding-eval key so the mined set cannot drift between them.
 _TRIPLET_CTES = f"""{_JACCARD_CTES},
@@ -3505,14 +3591,19 @@ _TRIPLET_CTES = f"""{_JACCARD_CTES},
       SELECT DISTINCT ash.anchor_id, s2.doc_id AS other_id
       FROM ash JOIN sh s2 USING (shingle)
     ),
+    dbuck AS (
+      SELECT doc_id, {_SQL_NEG_BUCKET.format(id='doc_id')} AS nb
+      FROM documents
+    ),
+    abuck AS (
+      SELECT anchor_id, {_SQL_PROBE_BUCKET.format(id='anchor_id')} AS nb
+      FROM anchors
+    ),
     cand AS (
       SELECT a.anchor_id, d.doc_id AS neg_id,
              {_PAIR_H.format(a='a.anchor_id', d='d.doc_id')} AS h
-      FROM anchors a, documents d
+      FROM abuck a JOIN dbuck d USING (nb)
       WHERE d.doc_id <> a.anchor_id
-        AND CAST(('0x' || substr(
-              {_PAIR_H.format(a='a.anchor_id', d='d.doc_id')}, 1, 8))
-            AS BIGINT) % 100 < 20
         AND NOT EXISTS (
           SELECT 1 FROM shared
           WHERE shared.anchor_id = a.anchor_id AND shared.other_id = d.doc_id
@@ -3546,9 +3637,10 @@ def q_llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery: positives from the shared Jaccard CTE chain, per-anchor
     negative cleanliness from the shingle table itself (a shared-
     shingle anti-probe, never a text comparison), the candidate space
-    cut to the 20% pair-hash bucket before ranking (the
-    negative_pairs pushdown, here per anchor). Everything RNG-free:
-    the triplet set is a pure function of the corpus."""
+    cut to a 1/`_NEG_B` slice by the DECOMPOSABLE bucket equi-join
+    (`_neg_candidates`) — no anchors×corpus nested loop anywhere in
+    the plan. Everything RNG-free: the triplet set is a pure function
+    of the corpus."""
     from kafka_streams_clojure_spark.operators.dedup import (
         ngram_jaccard_pairs,
         shingle_sets,
@@ -3581,23 +3673,7 @@ def q_llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", F.col("doc_id").alias("neg_id"))
         .distinct()
     )
-    h = F.md5(
-        F.concat(
-            F.col("anchor_id").cast("string"),
-            F.lit("-"),
-            F.col("neg_id").cast("string"),
-        )
-    )
-    cand = (
-        docs.select(F.col("doc_id").alias("neg_id"))
-        .crossJoin(F.broadcast(anchors))
-        .filter(F.col("neg_id") != F.col("anchor_id"))
-        .withColumn("h", h)
-        .filter(
-            F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("bigint") % 100 < 20
-        )
-        .join(shared, ["anchor_id", "neg_id"], "left_anti")
-    )
+    cand = _neg_candidates(docs, anchors, shared)
     wn = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
     neg = (
         cand.withColumn("neg_rnk", F.row_number().over(wn))
@@ -3683,10 +3759,11 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives that actually teach a contrastive model something
     (random negatives are trivially separable; hard ones sit near the
     decision boundary while provably not being textual dups).
-    Candidates were already hash-cut to 20% before any cosine is
-    computed (the cost pushdown ordering matters: hash filter →
-    cosine, never the reverse); scoring is the exact fold, ranks tie-
-    broken by id. Re-uses the shared triplet CTE chain verbatim."""
+    Candidates were already cut to the 1/`_NEG_B` bucket slice by the
+    decomposable equi-join before any cosine is computed (the cost
+    pushdown ordering matters: bucket join → cosine, never the
+    reverse); scoring is the exact fold, ranks tie-broken by id.
+    Re-uses the shared triplet CTE chain verbatim."""
     from kafka_streams_clojure_spark.operators.dedup import (
         ngram_jaccard_pairs,
         shingle_sets,
@@ -3707,22 +3784,7 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", F.col("doc_id").alias("neg_id"))
         .distinct()
     )
-    h = F.md5(
-        F.concat(
-            F.col("anchor_id").cast("string"),
-            F.lit("-"),
-            F.col("neg_id").cast("string"),
-        )
-    )
-    cand = (
-        docs.select(F.col("doc_id").alias("neg_id"))
-        .crossJoin(F.broadcast(anchors))
-        .filter(F.col("neg_id") != F.col("anchor_id"))
-        .filter(
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100 < 20
-        )
-        .join(shared, ["anchor_id", "neg_id"], "left_anti")
-    )
+    cand = _neg_candidates(docs, anchors, shared).drop("h")
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("va"))
     nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("vn"))
@@ -3869,4 +3931,114 @@ def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0)
             - F.countDistinct(fp).cast("bigint").cast("double") / F.count("*")
         ).cast("double").alias("dup_ratio"),
+    )
+
+
+@query(
+    "q_llm_mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sqrtn FROM s
+    ),
+    d AS (SELECT list_sum(list(sqrtn ORDER BY source)) AS denom FROM w)
+    SELECT w.source, w.n_docs, w.sqrtn / d.denom AS weight
+    FROM w, d
+    """,
+)
+def q_llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled SOURCE-MIXTURE weights (the multilingual /
+    multi-domain sampling recipe: p_i ∝ n_i^α with α = 0.5): how much
+    of each training batch every source should contribute so small
+    sources are up-sampled without drowning the big ones. α is fixed
+    at 0.5 BECAUSE that makes the power a `sqrt` — the one
+    libm-divergent-safe power (the CLAUDE.md pow ban). The
+    denominator Σ√n_j is a deterministic LEFT-TO-RIGHT fold over the
+    source-sorted list (Spark `aggregate` vs DuckDB `list_sum` — the
+    q_llm_cosine_topk parity contract), never a shuffled double sum;
+    it rides back as a broadcast 1-row side. Per-source shuffle only
+    (map-side combined counts); the weight table is dimension-sized
+    at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    w = s.withColumn("sqrtn", F.sqrt(F.col("n_docs").cast("double")))
+    d = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "sqrtn"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["sqrtn"],
+        ).alias("denom")
+    )
+    return w.crossJoin(F.broadcast(d)).select(
+        "source", "n_docs", (F.col("sqrtn") / F.col("denom")).alias("weight")
+    )
+
+
+@query(
+    "q_llm_eval_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, n_chars,
+             CASE WHEN {_SQL_BUCKET} < 90 THEN 'train'
+                  WHEN {_SQL_BUCKET} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY split, source
+    """,
+)
+def q_llm_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test SPLIT assignment by content
+    hash (`md5(doc_id) % 100` — the engine's standing bucket idiom):
+    reproducible across runs and machines, no RNG state to ship, and
+    any doc's split is recomputable from its id alone (the property
+    an eval pipeline needs to guarantee a doc never migrates between
+    train and test as the corpus grows). Output is the per-(split,
+    source) census — the leakage-audit view; one hash-bucket map plus
+    a dimension-sized rollup, no shuffle wider than the group keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(_bucket() < 90, "train").when(_bucket() < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_llm_l_diversity",
+    oracle="""
+    SELECT lang, CAST(n_chars // 100 AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS l_div,
+           count(DISTINCT source) < 3 AS under_l3
+    FROM documents GROUP BY lang, band
+    """,
+)
+def q_llm_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit over the (lang, length-band) quasi-identifier
+    — the privacy check k-anonymity (q_llm_k_anonymity) misses: a
+    group can be large (k-anonymous) yet have every member share one
+    sensitive attribute value. Here `source` plays the sensitive
+    column; groups with fewer than 3 distinct sources are flagged.
+    One grouped exact count-distinct (expand at the group key, the
+    q_agg_count_distinct shape) — shuffle keyed by the quasi-id, group
+    count is bounded by lang × band cardinality at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.expr("n_chars div 100").alias("band")
+    return docs.groupBy("lang", band).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("l_div"),
+        (F.countDistinct("source") < 3).alias("under_l3"),
     )

@@ -811,3 +811,140 @@ def test_triangle_stats_normalizes_raw_edges(spark):
     for v in (4, 5, 6):
         assert out[v].degree == 2 and out[v].n_triangles == 1
         assert out[v].clustering == 1.0
+
+
+def test_passage_dedup_hashed_matches_string_probe(spark, sf_dir):
+    """The rows-only gate for q_llm_passage_dedup_hashed (r5 verdict
+    #5): the xxhash64-probe production path must produce EXACTLY the
+    string-probe (oracle-gated) output — same survivors, same
+    reassembled clean_text, same counts."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    a = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in q["q_llm_passage_dedup"](spark, sf_dir).collect()
+    }
+    b = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in q["q_llm_passage_dedup_hashed"](spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# sf-scaled containment + recall gates for the ROWS-ONLY near-dup keys
+# (r5 verdict #4). These run against the sf_dir fixture, so the sf0.1
+# sweep (SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1, see the verify
+# skill) exercises them at the density where near-dup bugs actually
+# live; the default sf0.001 run keeps them as fast smoke checks. All
+# hash paths are deterministic (fixed-seed xxhash64), so outcomes are
+# reproducible per fixture — a pass at sf0.1 is a stable gate, not a
+# coin flip.
+# ---------------------------------------------------------------------------
+
+
+def _registered(name):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name]
+
+
+def test_sf_gate_near_dup_contained_and_recall(spark, sf_dir, docs):
+    """q_llm_near_dup (MinHash est-Jaccard >= 0.5): every emitted pair
+    must be a REAL near-dup (exact 4-gram Jaccard >= 0.3 — est 0.5
+    with 32 hashes can sit ~2σ below the true value, never 0.2 below
+    on this fixture), and recall over the exact >= 0.8 pair set must
+    hold the pinned 0.9 floor."""
+    emitted = {
+        (int(r.id_a), int(r.id_b))
+        for r in _registered("q_llm_near_dup")(spark, sf_dir).collect()
+    }
+    exact03 = {
+        (int(r.id_a), int(r.id_b)): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=4, threshold=0.3).collect()
+    }
+    stray = emitted - set(exact03)
+    assert not stray, f"emitted pairs below exact j=0.3: {sorted(stray)[:5]}"
+    exact08 = {p for p, j in exact03.items() if j >= 0.8}
+    assert exact08, "fixture should contain exact j>=0.8 near-dups"
+    recall = len(exact08 & emitted) / len(exact08)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(exact08)} pairs"
+
+
+def test_sf_gate_simhash_contained_in_true_hamming(spark, sf_dir, docs):
+    """q_llm_simhash: (a) every emitted pair's reported hamming matches
+    an independent recomputation from the signature table and is <= 3;
+    (b) brute-force over ALL signature pairs: the banded blocking loses
+    NOTHING (pigeonhole: 3 flipped bits cannot touch all four 16-bit
+    bands) — emitted == the true hamming<=3 set exactly."""
+    import numpy as np
+
+    from kafka_streams_clojure_spark.operators.dedup import simhash_signatures
+
+    emitted = {
+        (int(r.id_a), int(r.id_b)): int(r.hamming)
+        for r in _registered("q_llm_simhash")(spark, sf_dir).collect()
+    }
+    sigs = {
+        int(r.doc_id): int(r.simhash)
+        for r in simhash_signatures(docs).collect()
+    }
+    for (a, b), h in emitted.items():
+        true_h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        assert true_h == h <= 3, (a, b, h, true_h)
+    ids = np.array(sorted(sigs), dtype=np.int64)
+    # signatures are signed int64 on the Spark side — REINTERPRET the
+    # bits as uint64 (a signed->unsigned value cast of a negative
+    # signature is a numpy DeprecationWarning and not what XOR wants)
+    vec = np.array([sigs[i] for i in ids], dtype=np.int64).view(np.uint64)
+    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    true_pairs = set()
+    for s in range(0, len(vec), 512):
+        x = vec[s : s + 512, None] ^ vec[None, :]
+        pc = table[x.view(np.uint8).reshape(x.shape[0], x.shape[1], 8)].sum(axis=2)
+        ii, jj = np.nonzero(pc <= 3)
+        for i, j in zip(ii, jj):
+            ga, gb = int(ids[s + i]), int(ids[j])
+            if ga < gb:
+                true_pairs.add((ga, gb))
+    assert set(emitted) == true_pairs, (
+        f"banded set != brute-force set: missing "
+        f"{sorted(true_pairs - set(emitted))[:5]}, extra "
+        f"{sorted(set(emitted) - true_pairs)[:5]}"
+    )
+
+
+def test_sf_gate_cosine_ann_contained_and_natural_recall(spark, sf_dir, emb):
+    """q_llm_cosine_ann (sign-LSH, exact-cosine verify, threshold
+    0.4): every emitted pair's cosine really is >= 0.4 (recomputed in
+    numpy float64 from the raw vectors — independent of the engine's
+    fold), and recall over the brute-force >= 0.4 pair set holds the
+    pinned NATURAL-density floor (geometry gives ~40% expected; pin
+    0.2 as the regression floor — a geometry regression like r4's
+    12-plane bug drops it to ~0.02, far below)."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([int(r.vec_id) for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    hi = cos[iu] >= 0.4
+    order = np.argsort(ids)
+    exact = set()
+    for i, j in zip(iu[0][hi], iu[1][hi]):
+        a, b = int(ids[i]), int(ids[j])
+        exact.add((min(a, b), max(a, b)))
+    emitted = {
+        (int(r.id_a), int(r.id_b))
+        for r in _registered("q_llm_cosine_ann")(spark, sf_dir).collect()
+    }
+    id_pos = {int(v): k for k, v in enumerate(ids)}
+    for a, b in emitted:
+        c = float(cos[id_pos[a], id_pos[b]])
+        assert c >= 0.4 - 1e-9, (a, b, c)
+    assert exact, "fixture should contain cosine>=0.4 pairs"
+    recall = len(exact & emitted) / len(exact)
+    assert recall >= 0.2, f"natural ANN recall {recall:.3f} over {len(exact)} pairs"

@@ -72,12 +72,8 @@ _NONEQUI_OK = {
     "q_llm_negative_pairs",
     # crossJoin of the broadcast 1-row (min, max, midpoint) bounds
     "q_events_drift_chi2",
-    # crossJoin of the broadcast anchor-id set (docs with near-dups —
-    # small by construction), cut to the 20% pair-hash bucket
-    "q_llm_triplets",
-    # same anchor-set crossJoin inside the shared triplet chain
-    "q_llm_triplet_eval",
-    "q_llm_hard_negatives",
+    # crossJoin of the broadcast 1-row Σ√n mixture denominator
+    "q_llm_mixture_weights",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and

@@ -195,3 +195,17 @@ def test_range_join_binned_avoids_nested_loop(spark, sf_dir):
     non-equi predicate into a shuffled equi join — no BNLJ/cartesian."""
     plan = physical_plan(_Q["q_join_range_binned"](spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_triplet_negative_mining_avoids_nested_loop(spark, sf_dir):
+    """r5 verdict's single scale-killer, closed: negative candidate
+    generation is the decomposable md5-bucket EQUI-join
+    (queries/llm._neg_candidates), never an anchors×corpus BNLJ. The
+    whole triplet chain — and both siblings that share its cand set —
+    must plan with zero nested-loop/cartesian operators."""
+    for key in ("q_llm_triplets", "q_llm_triplet_eval",
+                "q_llm_hard_negatives"):
+        plan = physical_plan(_Q[key](spark, sf_dir))
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, (
+            key + ":\n" + plan[:3000]
+        )

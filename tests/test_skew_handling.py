@@ -106,3 +106,56 @@ def test_salted_join_key_includes_salt(spark, sf_dir):
 
     plan = physical_plan(entrymod.queries()["q_join_salted"](spark, sf_dir))
     assert "__salt" in plan, plan
+
+
+def test_hot_key_guard_passes_bounded_keys(spark):
+    """Within-bound keys flow through unchanged (rows and values)."""
+    from kafka_streams_clojure_spark.operators.skew import hot_key_guard
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k bigint, v string"
+    )
+    got = sorted((r.k, r.v) for r in hot_key_guard(df, ["k"], 5).collect())
+    assert got == [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_hot_key_guard_trips_on_synthetic_hot_key(spark):
+    """r5 verdict #2's 'done' condition: a pathological hub must fail
+    LOUDLY at execution time, naming the key and its count."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from kafka_streams_clojure_spark.operators.skew import hot_key_guard
+
+    hot = [(7, f"s{i}") for i in range(50)] + [(8, "x")]
+    df = spark.createDataFrame(hot, "k bigint, v string")
+    with pytest.raises(Exception) as ei:
+        hot_key_guard(df, ["k"], max_count=10, op_name="wedge-test").collect()
+    msg = str(ei.value)
+    assert "wedge-test" in msg and "key=(7)" in msg and "count=50" in msg
+
+
+def test_cap_per_key_truncates_deterministically(spark):
+    from kafka_streams_clojure_spark.operators.skew import cap_per_key
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(10)] + [(2, 0)], "k bigint, o bigint"
+    )
+    got = sorted(
+        (r.k, r.o) for r in cap_per_key(df, ["k"], 3, ["o"]).collect()
+    )
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0)]
+
+
+def test_wedge_queries_carry_hot_key_guard(spark, sf_dir):
+    """The two quadratic wedge keys plan with the guard's degree join
+    (the __kn raise_error path) — and still compute over the fixture
+    (no trip: fixture hubs are far below the 10k bound)."""
+    import __spark_entry__ as entrymod
+    from kafka_streams_clojure_spark.plans import physical_plan
+
+    q = entrymod.queries()
+    for key in ("q_graph_link_prediction", "q_basket_affinity"):
+        df = q[key](spark, sf_dir)
+        assert "raise_error" in df._jdf.queryExecution().analyzed().toString(), key
+        assert df.count() > 0, key
