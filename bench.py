@@ -94,6 +94,10 @@ EXTRAS = [
     "q_events_stickiness_hll", # mergeable-sketch DAU/WAU
     "q_graph_link_prediction", # shared-customer Jaccard wedges
     "q_events_drift_chi2",     # timeline-half distribution drift
+    # round-6 additions
+    "q_llm_dup_provenance",    # near-dup same-source/same-lang audit
+    "q_llm_knn_label_agreement",  # 5-NN label accuracy eval
+    "q_llm_filter_funnel",     # curation-loss attribution funnel
 ]
 
 

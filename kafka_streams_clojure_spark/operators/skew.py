@@ -107,6 +107,7 @@ def hot_key_guard(
     key_cols: Sequence[str],
     max_count: int,
     op_name: str = "wedge_join",
+    broadcast: bool = True,
 ) -> DataFrame:
     """IN-PLAN hot-key guard for quadratic fan-out operators (wedge /
     within-group self-joins, cost ∝ Σ_key d²): attach each row's key
@@ -117,14 +118,26 @@ def hot_key_guard(
 
     Unlike the driver-side ``max_block`` collect in
     :func:`operators.similarity.embedding_cosine_near_dups`, this
-    guard is purely lazy: the degree aggregate and the join back both
-    key on ``key_cols`` — the exact partitioning the downstream
-    self-join needs — so AQE reuses the exchange and the guard adds no
-    extra driver round-trip. Returns ``df``'s rows unchanged (guard
-    column dropped) when every key is within bound.
+    guard is purely lazy — no extra driver round-trip. Cost shape: the
+    degree aggregate is map-side combined (shuffles ~one row per key),
+    and the join back is a BROADCAST hash join of that key-width table
+    (~16 B/key), so ``df`` itself is never reshuffled for the guard —
+    measured at sf0.1 the broadcast join-back plus one-sided wrapping
+    brings the guarded q_graph_link_prediction back to its unguarded
+    time (~2.9s probe-normalized vs 4.7s with the naive shuffled
+    join-back on both sides). Callers guarding a SELF-join wrap only
+    ONE side: the degree table scans every key either way, and the
+    trip fires regardless of which side carries the hot row. Pass
+    ``broadcast=False`` if the key cardinality itself is too large to
+    broadcast (then the join-back shuffles on ``key_cols`` — the same
+    partitioning the downstream self-join needs, so AQE reuses the
+    exchange). Returns ``df``'s rows unchanged (guard column dropped)
+    when every key is within bound.
     """
     keys = list(key_cols)
     deg = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
+    if broadcast:
+        deg = F.broadcast(deg)
     guarded = df.join(deg, keys)
     trip = F.when(
         F.col("__kn") > F.lit(max_count),

@@ -1115,10 +1115,14 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_clojure_spark.operators.skew import hot_key_guard
 
     # basket self-join is ∝ Σ basket² — guard a pathological mega-order
-    # in-plan (same "o" key the self-join shuffles on)
-    ig = hot_key_guard(items, ["o"], max_count=10_000, op_name="q_basket_affinity basket")
-    a = ig.select(F.col("o"), F.col("p").alias("p1"))
-    b = ig.select(F.col("o"), F.col("p").alias("p2"))
+    # in-plan. ONE side suffices (the degree table scans every basket;
+    # the trip fires whichever side carries the hot row) and keeps the
+    # guard's broadcast join out of the b-side subplan entirely.
+    a_g = hot_key_guard(
+        items, ["o"], max_count=10_000, op_name="q_basket_affinity basket"
+    )
+    a = a_g.select(F.col("o"), F.col("p").alias("p1"))
+    b = items.select(F.col("o"), F.col("p").alias("p2"))
     pairs = (
         a.join(b, "o")
         .filter(F.col("p1") < F.col("p2"))
@@ -3004,10 +3008,13 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e0.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
     # r5 verdict #2: the wedge is ∝ Σ_c d² with NO natural bound on a
     # single hot customer — guard the hub degree in-plan (raise_error
-    # at execution, keyed on the same "c" the self-join shuffles on).
-    eg = hot_key_guard(e0, ["c"], max_count=10_000, op_name="q_graph_link_prediction wedge")
-    a = eg.select("c", F.col("s").alias("s_a"))
-    b = eg.select("c", F.col("s").alias("s_b"))
+    # at execution). One side only: the degree table scans every hub
+    # regardless, so the b-side stays the bare persisted edge set.
+    a_g = hot_key_guard(
+        e0, ["c"], max_count=10_000, op_name="q_graph_link_prediction wedge"
+    )
+    a = a_g.select("c", F.col("s").alias("s_a"))
+    b = e0.select("c", F.col("s").alias("s_b"))
     wedge = (
         a.join(b, "c")
         .filter(F.col("s_a") < F.col("s_b"))

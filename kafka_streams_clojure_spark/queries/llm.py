@@ -4042,3 +4042,263 @@ def q_llm_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("bigint").alias("l_div"),
         (F.countDistinct("source") < 3).alias("under_l3"),
     )
+
+
+@query(
+    "q_llm_dup_provenance",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT da.source = db.source AS same_source,
+           da.lang = db.lang AS same_lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(jaccard) AS min_j,
+           max(jaccard) AS max_j
+    FROM jpairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVENANCE profile of the near-dup population: every Jaccard
+    >= 0.5 pair from the shared shingle chain, bucketed by whether the
+    two docs share a source and a language — the audit that tells you
+    WHERE duplication comes from (intra-source crawler artifacts vs
+    cross-source syndication vs cross-lingual template reuse), which
+    decides whether dedup should run per-source (cheap, shardable) or
+    global (one corpus shuffle). Cross-engine discipline: the group
+    carries only integer counts and min/max of the jaccard ratio —
+    min/max are order-independent and the ratios themselves are the
+    same one-division doubles on both engines (never a double SUM of
+    them). Scale shape: pairs come from the never-docs² shingle
+    equi-join; the two provenance lookups are id-width joins of the
+    (small) pair set against the docs dimension; output ≤ 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=4, threshold=0.5)
+    da = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .groupBy(
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("jaccard").alias("min_j"),
+            F.max("jaccard").alias("max_j"),
+        )
+    )
+
+
+@query(
+    "q_llm_knn_label_agreement",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv, label AS probe_label
+      FROM embeddings WHERE vec_id < 20
+    ),
+    top6 AS (
+      SELECT p.probe_id, p.probe_label, e.vec_id, e.label,
+             list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+               AS cos_sim
+      FROM embeddings e CROSS JOIN probes p
+      QUALIFY row_number() OVER (PARTITION BY p.probe_id
+                                 ORDER BY cos_sim DESC, e.vec_id) <= 6
+    ),
+    knn AS (
+      SELECT * FROM top6 WHERE vec_id <> probe_id
+      QUALIFY row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cos_sim DESC, vec_id) <= 5
+    )
+    SELECT probe_label AS label,
+           CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(count(*) FILTER (WHERE label = probe_label) AS BIGINT)
+             AS n_same_label,
+           CAST(count(*) FILTER (WHERE label = probe_label) AS DOUBLE)
+             / count(*) AS agreement
+    FROM knn GROUP BY probe_label
+    """,
+)
+def q_llm_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised eval of the embedding space: 5-NN LABEL AGREEMENT —
+    for each probe (vec_id < 20, the q_llm_topk_multi probe idiom),
+    its 5 exact-cosine nearest neighbors EXCLUDING itself, and per
+    probe-label the fraction of neighbors sharing the label (the kNN
+    leave-one-out accuracy a retrieval team tracks per class before
+    shipping an encoder; complements q_llm_triplet_eval's pairwise
+    margin check). Self-exclusion is exact in all tie cases: top-6
+    overall necessarily CONTAINS the true top-5-excluding-self (drop
+    one element and the rest's top-5 sits inside the whole's top-6),
+    so rank 6 → filter self → re-rank 5, identically in both engines.
+    Agreement is one integer/integer division — exact-double parity,
+    never a summed float. Scale: one corpus scan against a broadcast
+    20-row probe set, ranking window prunes to 6 per probe; the label
+    join rides the same broadcast; output ≤ 10 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    top6 = cosine_topk_multi(emb, probes, k=6)
+    plabel = F.broadcast(
+        probes.select(
+            F.col("vec_id").alias("probe_id"), F.col("label").alias("probe_label")
+        )
+    )
+    nlabel = emb.select("vec_id", F.col("label").alias("nn_label"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    knn = (
+        top6.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .join(plabel, "probe_id")
+        .join(nlabel, "vec_id")
+    )
+    same = F.when(F.col("nn_label") == F.col("probe_label"), 1)
+    return knn.groupBy(F.col("probe_label").alias("label")).agg(
+        F.countDistinct("probe_id").cast("bigint").alias("n_probes"),
+        F.count("*").cast("bigint").alias("n_neighbors"),
+        F.count(same).cast("bigint").alias("n_same_label"),
+        (F.count(same).cast("double") / F.count("*")).alias("agreement"),
+    )
+
+
+@query(
+    "q_llm_filter_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT n_chars,
+             n_chars >= 50 AS s1,
+             n_chars >= 50 AND n_chars BETWEEN 80 AND 2000 AS s2,
+             n_chars >= 50 AND n_chars BETWEEN 80 AND 2000
+               AND lang IN ('en', 'de', 'fr') AS s3,
+             n_chars >= 50 AND n_chars BETWEEN 80 AND 2000
+               AND lang IN ('en', 'de', 'fr')
+               AND row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1 AS s4
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars FROM f
+      UNION ALL
+      SELECT 1, 'min_length', CAST(count(*) FILTER (WHERE s1) AS BIGINT),
+             CAST(sum(n_chars) FILTER (WHERE s1) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 2, 'length_band', CAST(count(*) FILTER (WHERE s2) AS BIGINT),
+             CAST(sum(n_chars) FILTER (WHERE s2) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 3, 'lang_known', CAST(count(*) FILTER (WHERE s3) AS BIGINT),
+             CAST(sum(n_chars) FILTER (WHERE s3) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 4, 'exact_dedup', CAST(count(*) FILTER (WHERE s4) AS BIGINT),
+             CAST(sum(n_chars) FILTER (WHERE s4) AS BIGINT) FROM f
+    )
+    """,
+)
+def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-loss ATTRIBUTION funnel: docs (and char mass)
+    surviving each cumulative filter stage — raw → min-length →
+    length-band → supported-language → exact-dedup keep-first. The
+    dataset-engineering report that says WHICH filter is eating the
+    corpus before anyone re-tunes thresholds blind (the composed
+    q_llm_pipeline gives only the final survivors). All stages are
+    conditional aggregates over ONE scan; the only shuffle is the
+    digest-keyed keep-first window (the exact_dedup shape), and the
+    5-row unpivot is a driver-free `stack`. Counts and char masses
+    are integers end to end — no float discipline needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flg = docs.select(
+        "n_chars", "lang", (F.row_number().over(w) == 1).alias("canon")
+    )
+    s1 = F.col("n_chars") >= 50
+    s2 = s1 & F.col("n_chars").between(80, 2000)
+    s3 = s2 & F.col("lang").isin("en", "de", "fr")
+    s4 = s3 & F.col("canon")
+    agg = flg.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum("n_chars").cast("bigint").alias("c0"),
+        *[
+            x
+            for i, s in enumerate((s1, s2, s3, s4), start=1)
+            for x in (
+                F.count(F.when(s, 1)).cast("bigint").alias(f"n{i}"),
+                F.sum(F.when(s, F.col("n_chars"))).cast("bigint").alias(f"c{i}"),
+            )
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " CAST(0 AS BIGINT), 'raw', n0, c0,"
+            " CAST(1 AS BIGINT), 'min_length', n1, c1,"
+            " CAST(2 AS BIGINT), 'length_band', n2, c2,"
+            " CAST(3 AS BIGINT), 'lang_known', n3, c3,"
+            " CAST(4 AS BIGINT), 'exact_dedup', n4, c4"
+            ") AS (stage_idx, stage, n_docs, total_chars)"
+        )
+    )
+
+
+@query("q_multimodal_binary_ingest")  # filesystem source — rows-only
+def q_multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-lake INGESTION through Spark's built-in `binaryFile`
+    source — the missing first hop of the multimodal family (the
+    codec keys start from blobs already in a column; real pipelines
+    start from a directory of media files). The corpus's BMP blobs
+    are materialized as individual ``<doc_id>.bmp`` files by a
+    partition-parallel ``mapInPandas`` writer (forced by a `noop`
+    sink — zero driver collect), then read back with
+    ``spark.read.format("binaryFile")`` (+ ``pathGlobFilter``), and
+    the result is the per-file (doc_id parsed from the path, n_bytes,
+    md5) manifest. Rows-only BY DESIGN: there is no DuckDB twin for a
+    filesystem source; the gate is
+    tests/test_llm_ops.py::test_binary_ingest_roundtrips_blob_digests
+    pinning the manifest EQUAL to the in-plan ``attach_media`` digest
+    table. On a real cluster the writer targets shared/object storage
+    instead of executor-local disk (local[*] makes them the same
+    here); the read side partition-prunes on file boundaries and
+    never shuffles."""
+    import os
+
+    import pandas as pd  # noqa: F811 — Arrow batch writer below
+
+    from kafka_streams_clojure_spark.streaming import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = text_to_bmp_blobs(docs)
+    out = scratch_dir("kscs_media_")
+
+    def write_files(batches):
+        for pdf in batches:
+            for i, b in zip(pdf["doc_id"], pdf["blob"]):
+                with open(os.path.join(out, f"{int(i)}.bmp"), "wb") as fh:
+                    fh.write(b)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    blobs.mapInPandas(write_files, "n long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(out)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("checksum"),
+    )

@@ -948,3 +948,30 @@ def test_sf_gate_cosine_ann_contained_and_natural_recall(spark, sf_dir, emb):
     assert exact, "fixture should contain cosine>=0.4 pairs"
     recall = len(exact & emitted) / len(exact)
     assert recall >= 0.2, f"natural ANN recall {recall:.3f} over {len(exact)} pairs"
+
+
+def test_binary_ingest_roundtrips_blob_digests(spark, sf_dir, docs):
+    """The rows-only gate for q_multimodal_binary_ingest: the manifest
+    read back through the binaryFile source must carry EXACTLY the
+    in-plan blob digests — every doc present once, same byte length,
+    same md5 (file write + filesystem read lose nothing)."""
+    import __spark_entry__ as entrymod
+
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        attach_media,
+        text_to_bmp_blobs,
+    )
+
+    expected = {
+        r.doc_id: (r.media_meta.n_bytes, r.media_meta.checksum)
+        for r in attach_media(
+            text_to_bmp_blobs(docs), "blob", "image", "bmp"
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.n_bytes, r.checksum)
+        for r in entrymod.queries()["q_multimodal_binary_ingest"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected and len(got) > 0

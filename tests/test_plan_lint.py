@@ -21,6 +21,7 @@ _NONEQUI_OK = {
     "q_join_cross",
     "q_llm_cosine_topk",
     "q_llm_topk_multi",
+    "q_llm_knn_label_agreement",  # same broadcast 20-row probe crossJoin
     "q_llm_tfidf",
     "q_llm_ivf_topk",
     "q_llm_pq_topk",  # kmeans codebook build broadcasts k centroids

@@ -92,6 +92,18 @@ def main() -> None:
 
     from kafka_streams_clojure_spark.queries import queries
 
+    # SF1_NEG_B overrides the triplet negative-bucket count so the
+    # rehearsal can demonstrate the "raise B with the corpus" rule
+    # (queries/llm._NEG_B docstring): at fixed B a 10x corpus grows the
+    # candidate shuffle ~100x (both join sides grow), at B ∝ N it stays
+    # ~linear. The registered key keeps B=5 — oracle SQL bakes the
+    # literal — so this knob exists only here.
+    neg_b = os.environ.get("SF1_NEG_B")
+    if neg_b:
+        from kafka_streams_clojure_spark.queries import llm as _llm
+
+        _llm._NEG_B = int(neg_b)
+
     # get_spark() disables the UI; the rehearsal needs the REST API for
     # shuffle metrics, so build an equivalent session with it enabled.
     spark = (
