@@ -4302,3 +4302,62 @@ def q_multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("checksum"),
     )
+
+
+@query(
+    "q_llm_corpus_integrity",
+    oracle="""
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(e.vec_id) AS BIGINT) AS n_with_vec,
+           CAST(count(*) - count(e.vec_id) AS BIGINT) AS n_missing_vec,
+           CAST(count(e.vec_id) AS DOUBLE) / count(*) AS coverage
+    FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    UNION ALL
+    SELECT '__vectors_without_doc__',
+           CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+    """,
+)
+def q_llm_corpus_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-integrity audit between the text corpus and its
+    embedding table — the first thing to check before ANY
+    embedding-dependent stage (ANN, triplets, kNN eval) silently
+    under-covers: per-source doc counts, how many have a vector, how
+    many are missing one (coverage = exact int/int division), plus one
+    sentinel row counting orphan vectors that reference no document
+    (stale vectors after a corpus purge). One id-keyed left join +
+    source rollup and one anti-join count — both shuffles are id/key
+    width; output is dimension-sized. At sf0.1 the fixture itself is
+    interesting: 3 000 of 5 000 docs have no vector — exactly the gap
+    a kNN eval would otherwise average over unnoticed."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_ids = emb.select(F.col("vec_id").alias("doc_id"))
+    cov = (
+        docs.join(vec_ids.withColumn("__has", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("__has").cast("bigint").alias("n_with_vec"),
+            (F.count("*") - F.count("__has")).cast("bigint").alias("n_missing_vec"),
+            (F.count("__has").cast("double") / F.count("*")).alias("coverage"),
+        )
+    )
+    orphans = (
+        emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("__n"))
+        .select(
+            F.lit("__vectors_without_doc__").alias("source"),
+            F.lit(0).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("n_with_vec"),
+            F.col("__n").alias("n_missing_vec"),
+            F.lit(None).cast("double").alias("coverage"),
+        )
+    )
+    return cov.unionByName(orphans)
