@@ -196,6 +196,13 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         extras[name] = round(time.perf_counter() - t0, 3)
+    # Second probe AFTER the timed work: this box is a microVM whose
+    # effective CPU drifts with host neighbors (observed ratio swings
+    # 0.81 -> 1.15 within one hour, load avg > 5 with zero local
+    # processes). A start-only probe can misnormalize a run that got
+    # slow mid-flight; reporting both ends makes the drift visible so
+    # the reader normalizes against the WORSE of the two.
+    probe_end = cpu_probe()
     print(
         json.dumps(
             {
@@ -206,6 +213,10 @@ def main() -> None:
                 "sf": sf,
                 "cpu_probe_sec": round(probe, 3),
                 "cpu_probe_ratio": round(probe / PROBE_REFERENCE_SEC, 2),
+                "cpu_probe_sec_end": round(probe_end, 3),
+                "cpu_probe_ratio_end": round(
+                    probe_end / PROBE_REFERENCE_SEC, 2
+                ),
                 "headline2_total_sec": total2,
                 "queries2": timings2,
                 "extras": extras,
