@@ -3837,3 +3837,83 @@ def q_orders_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("prev_prio", "prio")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "q_orders_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS r4
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    byn AS (
+      SELECT n.n_name,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             sum(CAST(r4 AS HUGEINT)) AS tot,
+             sum(CAST(r4 AS HUGEINT) * r4) AS sumsq
+      FROM rev
+      JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, n_suppliers,
+           CAST(CAST(sumsq AS DOUBLE) / CAST(tot * tot AS DOUBLE)
+                AS DOUBLE) AS hhi,
+           CAST(CAST(tot * tot AS DOUBLE) / CAST(sumsq AS DOUBLE)
+                AS DOUBLE) AS eff_suppliers
+    FROM byn
+    """,
+)
+def q_orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-market CONCENTRATION per nation: the Herfindahl-
+    Hirschman index Σ share² over each supplier's revenue share, plus
+    its reciprocal (effective number of equal-size suppliers) — the
+    supply-chain-risk metric a buyer runs before a nation's market
+    consolidates under one vendor. HHI is the one concentration
+    measure that needs NO libm (squares and one division, vs entropy's
+    banned ln). Exactness discipline (the q_events_burstiness
+    DECIMAL(38,0)/HUGEINT precedent): per-supplier revenue takes the
+    standing one decimal(18,4) cast, is scaled to integer
+    ten-thousandths, and both Σr² (≈3e22-digit products — int64
+    overflows, so the products widen to decimal/HUGEINT) and (Σr)²
+    stay exact integers until ONE double conversion each side of a
+    single division. Plan: one lineitem shuffle keyed by supplier,
+    dimension joins broadcast, ≤|nation| output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+        .select(
+            "l_suppkey", (F.col("rev") * 10000).cast("bigint").alias("r4")
+        )
+    )
+    j = rev.join(
+        F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+        rev.l_suppkey == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    r4d = F.col("r4").cast("decimal(20,0)")
+    byn = j.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("r4")).cast("decimal(20,0)").alias("tot"),
+        F.sum(r4d * r4d).alias("sumsq"),
+    )
+    tot2 = (F.col("tot") * F.col("tot")).cast("double")
+    return byn.select(
+        "n_name",
+        "n_suppliers",
+        (F.col("sumsq").cast("double") / tot2).cast("double").alias("hhi"),
+        (tot2 / F.col("sumsq").cast("double")).cast("double").alias("eff_suppliers"),
+    )

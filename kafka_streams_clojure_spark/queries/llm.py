@@ -4361,3 +4361,49 @@ def q_llm_corpus_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cov.unionByName(orphans)
+
+
+@query(
+    "q_llm_commonness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKL}) AS w FROM documents
+    ),
+    wf AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY w)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wf.n_w) AS BIGINT) AS freq_sum,
+           CAST(CAST(sum(wf.n_w) AS DOUBLE) / count(*) AS DOUBLE)
+             AS commonness
+    FROM tok t JOIN wf ON wf.w = t.w
+    GROUP BY t.doc_id
+    """,
+)
+def q_llm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document COMMONNESS score: the mean corpus frequency of the
+    doc's tokens — the division-only stand-in for a unigram-LM
+    perplexity filter (low commonness = rare-token soup: OCR garbage,
+    binary-as-text, wrong-language fragments; perplexity itself needs
+    the banned ln). Integer occurrence counts summed per doc, ONE
+    double division — nothing float accumulates. Plan: explode →
+    word-keyed frequency aggregate → word-keyed join back → doc-keyed
+    rollup; at 100 TB the frequency table is vocabulary-sized (Zipf:
+    far smaller than the corpus, broadcastable after a min-count cut)
+    and the explode join is the inverted-index shape the engine
+    already scales."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    wf = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("n_w"))
+    return (
+        tok.join(wf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("n_w").cast("bigint").alias("freq_sum"),
+            (F.sum("n_w").cast("double") / F.count("*"))
+            .cast("double")
+            .alias("commonness"),
+        )
+    )
