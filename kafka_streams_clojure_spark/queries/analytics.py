@@ -3917,3 +3917,93 @@ def q_orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sumsq").cast("double") / tot2).cast("double").alias("hhi"),
         (tot2 / F.col("sumsq").cast("double")).cast("double").alias("eff_suppliers"),
     )
+
+
+@query(
+    "q_orders_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+                  AS BIGINT) AS r4
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT n.n_name, r4,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY r4, rev.o_custkey) AS i
+      FROM rev
+      JOIN customer c ON c.c_custkey = rev.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    m AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(CAST(r4 AS HUGEINT)) AS tot,
+             sum(CAST(i AS HUGEINT) * r4) AS wsum
+      FROM ranked GROUP BY n_name
+    )
+    SELECT n_name, n_customers,
+           CASE WHEN tot > 0 THEN
+             CAST(CAST(2 * wsum - (n_customers + 1) * tot AS DOUBLE)
+                  / CAST(n_customers * tot AS DOUBLE) AS DOUBLE)
+           END AS gini
+    FROM m
+    """,
+)
+def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue INEQUALITY per nation: the Gini coefficient of customer
+    order totals (0 = every customer equal, →1 = one whale) — the
+    whale-dependence metric that complements q_orders_supplier_hhi's
+    squared-share view with the rank-weighted one: G = (2·Σ i·x₍ᵢ₎ −
+    (n+1)·Σx) / (n·Σx) over ascending-rank revenues. Exactness:
+    revenue takes the standing decimal(18,4) cast and scales to
+    integer ten-thousandths; ranks are (r4, custkey)-tiebroken (the
+    ordered-rank rule); every moment (rank-weighted sum included)
+    stays an exact integer in DECIMAL(38,0)/HUGEINT until the single
+    double division; zero-revenue nations CASE to NULL identically.
+    Plan: one customer-keyed revenue shuffle, broadcast dimension
+    joins, nation-PARTITIONED rank windows (never a single-task global
+    sort), ≤|nation| output rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+        )
+        .select("o_custkey", (F.col("rev") * 10000).cast("bigint").alias("r4"))
+    )
+    j = rev.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        rev.o_custkey == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy("r4", "o_custkey")
+    ranked = j.select(
+        "n_name", "r4", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    m = ranked.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("r4").cast("decimal(20,0)").alias("tot"),
+        F.sum(F.col("i").cast("decimal(20,0)") * F.col("r4").cast("decimal(20,0)")).alias(
+            "wsum"
+        ),
+    )
+    num = (
+        F.lit(2).cast("decimal(20,0)") * F.col("wsum")
+        - (F.col("n_customers") + 1).cast("decimal(20,0)") * F.col("tot")
+    )
+    den = F.col("n_customers").cast("decimal(20,0)") * F.col("tot")
+    return m.select(
+        "n_name",
+        "n_customers",
+        F.when(F.col("tot") > 0, (num.cast("double") / den.cast("double")))
+        .cast("double")
+        .alias("gini"),
+    )
