@@ -4007,3 +4007,137 @@ def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("gini"),
     )
+
+
+@query(
+    "q_events_rolling_dau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    cover AS (
+      SELECT ud.user_id, days.d AS wday
+      FROM ud
+      JOIN days ON days.d BETWEEN ud.d AND ud.d + INTERVAL 6 DAY
+    ),
+    wau AS (
+      SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7
+      FROM cover GROUP BY wday
+    ),
+    dau AS (
+      SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau_7,
+           CAST(CAST(dau.dau AS DOUBLE) / wau.wau_7 AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON wau.wday = dau.d
+    """,
+)
+def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day active users per day (DAU, WAU-7, and the
+    DAU/WAU stickiness ratio) — the exact twin of
+    q_events_stickiness_hll's mergeable-sketch estimate, kept so the
+    sketch's error is auditable against ground truth at any fixture
+    scale. The sliding distinct is made exact WITHOUT a 7-day window
+    re-scan: each (user, active-day) pair is exploded onto the ≤7
+    observed window-end days it covers (bounded ×7 fan-out, an
+    equi-join against the observed-day spine — no cross join, no range
+    re-scan), then one exact count-distinct per window day. Integer
+    counts, one exact int/int division; days CAST to TIMESTAMP on both
+    engines (the DATE-dtype harness trap). Shuffles are keyed by day —
+    ≤ a few thousand groups at any corpus size — and the explode bound
+    (×7) is constant, so the plan is linear in activity rows."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("wday")).distinct()
+    cover = ud.select(
+        "user_id", F.explode(F.expr("sequence(d, d + interval 6 day)")).alias("wday")
+    ).join(days, "wday")
+    wau = cover.groupBy("wday").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau_7")
+    )
+    dau = ud.groupBy("d").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    return (
+        dau.join(wau, dau.d == F.col("wday"))
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "dau",
+            "wau_7",
+            (F.col("dau").cast("double") / F.col("wau_7"))
+            .cast("double")
+            .alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "q_orders_basket_jaccard",
+    oracle="""
+    WITH ip AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    sz AS (SELECT o, CAST(count(*) AS BIGINT) AS s FROM ip GROUP BY o),
+    inter AS (
+      SELECT a.o AS o_a, b.o AS o_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM ip a JOIN ip b ON a.p = b.p AND a.o < b.o
+      GROUP BY 1, 2
+    )
+    SELECT o_a, o_b, n_inter,
+           CAST(CAST(n_inter AS DOUBLE) / (sa.s + sb.s - n_inter)
+                AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.o = o_a
+    JOIN sz sb ON sb.o = o_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.s + sb.s - n_inter) >= 0.5
+    """,
+)
+def q_orders_basket_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-SIMILARITY self-join between ORDERS (baskets as part sets,
+    Jaccard ≥ 0.5) — the transactional face of the text near-dup
+    machinery: near-identical baskets flag reorder automation, split
+    shipments, and fraud rings the per-pair lift view
+    (q_basket_affinity) can't see. Candidates come ONLY from the
+    shared-part equi-join — cost ∝ Σ_part freq², never orders² (the
+    shingle-join argument verbatim; measured Σfreq² ≈ 18.6M at sf0.1
+    with max part-freq 53) — and the part key is exactly the hot-key
+    risk the in-plan guard exists for: a promo part in every basket
+    would go quadratic, so operators/skew.hot_key_guard trips at 10k.
+    Jaccard is the one exact integer division both engines share;
+    counts integer end to end."""
+    from kafka_streams_clojure_spark.operators.skew import hot_key_guard
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ip = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    ip = persist_if_uncached(ip)
+    sz = ip.groupBy("o").agg(F.count("*").cast("bigint").alias("s"))
+    a_g = hot_key_guard(
+        ip, ["p"], max_count=10_000, op_name="q_orders_basket_jaccard part"
+    )
+    a = a_g.select(F.col("o").alias("o_a"), "p")
+    b = ip.select(F.col("o").alias("o_b"), "p")
+    inter = (
+        a.join(b, "p")
+        .filter(F.col("o_a") < F.col("o_b"))
+        .groupBy("o_a", "o_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sz.select(F.col("o").alias("o_a"), F.col("s").alias("s_a"))
+    sb = sz.select(F.col("o").alias("o_b"), F.col("s").alias("s_b"))
+    j = F.col("n_inter").cast("double") / (
+        F.col("s_a") + F.col("s_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "o_a")
+        .join(sb, "o_b")
+        .filter(j >= 0.5)
+        .select("o_a", "o_b", "n_inter", j.cast("double").alias("jaccard"))
+    )
