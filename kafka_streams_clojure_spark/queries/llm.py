@@ -4407,3 +4407,49 @@ def q_llm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("commonness"),
         )
     )
+
+
+#: GPT-2-style BPE pre-tokenizer regex, restricted to EXPLICIT ASCII
+#: classes: Java (Spark) and RE2 (DuckDB) disagree on \w/\b Unicode
+#: semantics, but [a-zA-Z], [0-9] and \s mean the same thing in both —
+#: so the match sets are bit-identical and the key stays exact-oracle.
+#: CJK and accented text falls into the "other-symbols" run class,
+#: which is exactly how a byte-level BPE pre-tokenizer treats it too.
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+
+@query(
+    "q_llm_bpe_pretokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '{_BPE_PAT.replace("'", "''")}')) AS BIGINT) AS n_pretokens,
+           CAST(len({_TOK}) AS BIGINT) AS n_ws_tokens,
+           CAST(CAST(len(regexp_extract_all(text,
+                '{_BPE_PAT.replace("'", "''")}')) AS DOUBLE)
+                / len({_TOK}) AS DOUBLE) AS pretokens_per_word
+    FROM documents
+    """,
+)
+def q_llm_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish PRE-TOKEN counting beside the whitespace count — the
+    north-star token-counting pair: the GPT-2-style pre-tokenizer
+    regex (contractions ∪ space-prefixed letter runs ∪ digit runs ∪
+    symbol runs ∪ whitespace) counts the units a byte-level BPE
+    actually merges over, and pretokens_per_word is the budget
+    predictor (symbol-heavy / CJK docs cost more tokens per word than
+    the whitespace count suggests — the same signal q_llm_fertility
+    measures per LANGUAGE, here per DOCUMENT). Exactness: the pattern
+    uses only explicit ASCII classes, the one corner where Java and
+    RE2 regex semantics provably coincide (\\w/\\b Unicode rules do
+    NOT — see _BPE_PAT); counts are integers, ratio is one exact
+    division. Pure map — zero shuffles at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    npre = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)).cast("bigint")
+    nws = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+    return docs.select(
+        "doc_id",
+        npre.alias("n_pretokens"),
+        nws.alias("n_ws_tokens"),
+        (npre.cast("double") / nws).cast("double").alias("pretokens_per_word"),
+    )
