@@ -4453,3 +4453,68 @@ def q_llm_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         nws.alias("n_ws_tokens"),
         (npre.cast("double") / nws).cast("double").alias("pretokens_per_word"),
     )
+
+
+@query(
+    "q_llm_winnowing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, len(t) - 3 AS nsh, i AS pos,
+             array_to_string(t[i:i+3], ' ') AS s
+      FROM toks, unnest(range(1, len(t) - 2)) AS r(i)
+      WHERE len(t) > 4
+      UNION ALL
+      SELECT doc_id, 1 AS nsh, 1 AS pos, array_to_string(t, ' ') AS s
+      FROM toks WHERE len(t) <= 4
+    ),
+    hashed AS (
+      SELECT doc_id, nsh, pos,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, m AS fp FROM (
+        SELECT doc_id, pos, nsh,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM hashed WHERE nsh >= 4
+      ) WHERE pos <= nsh - 3
+      UNION
+      SELECT doc_id, min(h) AS fp FROM hashed WHERE nsh < 4 GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING near-dup candidates (the MOSS fingerprint algorithm,
+    Schleimer et al. 2003) — the third fingerprint family beside full
+    shingles (exact, widest exchange) and MinHash (probabilistic,
+    fixed-width): keep only each 4-window's minimum shingle hash, so
+    the shared-key equi-join runs over ~2/(w+1) of the shingle table
+    while any shared run of >= 7 words still guarantees a shared
+    fingerprint. Pairs sharing >= 2 fingerprints are the candidate
+    set. Every fingerprint is bit-reproducible in DuckDB (md5-prefix
+    hash, identical window-min and boundary rules), so unlike MinHash
+    this SELECTIVE family stays exact-oracle. Plan: codegen shingle
+    build, per-doc window min (doc-keyed, the pinned-repartition
+    shape), fingerprint equi-join — never docs²."""
+    from kafka_streams_clojure_spark.operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, k=4, window=4)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

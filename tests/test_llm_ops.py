@@ -975,3 +975,41 @@ def test_binary_ingest_roundtrips_blob_digests(spark, sf_dir, docs):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_winnowing_guarantee_and_recall(spark, docs, sf_dir):
+    """Winnowing invariants: (a) planted EXACT duplicates share every
+    fingerprint (identical shingle hashes → identical window minima),
+    so each planted pair appears with n_shared = its fp count; (b) the
+    candidate set recovers the fixture's strong near-dups (exact
+    4-gram Jaccard >= 0.8) with high recall — their long shared word
+    runs must leave shared window minima (the >= k+w-1 run guarantee)."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    planted = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(planted)
+    fps = winnowing_fingerprints(corpus, k=4, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(int(r.doc_id), set()).add(int(r.fp))
+    for i in range(10):
+        assert by_doc[i] == by_doc[i + 1_000_000], f"planted dup {i} diverged"
+        assert len(by_doc[i]) >= 1
+
+    import __spark_entry__ as entrymod
+
+    cand = {
+        (int(r.id_a), int(r.id_b))
+        for r in entrymod.queries()["q_llm_winnowing"](spark, sf_dir).collect()
+    }
+    exact08 = {
+        (int(r.id_a), int(r.id_b))
+        for r in ngram_jaccard_pairs(docs, k=4, threshold=0.8).collect()
+    }
+    assert exact08, "fixture should contain strong near-dups"
+    recall = len(exact08 & cand) / len(exact08)
+    assert recall >= 0.9, f"winnowing recall {recall:.2f} over {len(exact08)}"
