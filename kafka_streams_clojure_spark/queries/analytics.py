@@ -4141,3 +4141,61 @@ def q_orders_basket_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(j >= 0.5)
         .select("o_a", "o_b", "n_inter", j.cast("double").alias("jaccard"))
     )
+
+
+@query(
+    "q_events_naive_forecast_mae",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT cur.event_type, cur.n AS actual, prev.n AS forecast
+      FROM d cur JOIN d prev
+        ON prev.event_type = cur.event_type
+       AND prev.day = cur.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS abs_err_sum,
+           CAST(CAST(sum(abs(actual - forecast)) AS DOUBLE) / count(*)
+                AS DOUBLE) AS mae,
+           CAST(CAST(sum(abs(actual - forecast)) AS DOUBLE) / sum(actual)
+                AS DOUBLE) AS wape
+    FROM j GROUP BY event_type
+    """,
+)
+def q_events_naive_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST-BASELINE backtest: the seasonal-naive forecast (each
+    day's event count predicted by the same weekday one week earlier)
+    scored per event type with MAE and WAPE — the floor every real
+    forecasting model must beat, and the number that tells a capacity
+    planner how regular each stream's weekly cycle actually is
+    (complements q_events_seasonality's profile with an error metric).
+    Counts and absolute errors are integers end to end (sum |a−f| is
+    an exact BIGINT), so both scores are single exact-integer
+    divisions. Plan: one (type, day) rollup — dimension-sized — then a
+    self-join on a 7-day key shift; shuffles keyed by (type, day) at
+    any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    cur = d.select("event_type", "day", F.col("n").alias("actual"))
+    prev = d.select(
+        "event_type",
+        F.expr("day + interval 7 day").alias("day"),
+        F.col("n").alias("forecast"),
+    )
+    j = cur.join(prev, ["event_type", "day"])
+    abs_err = F.abs(F.col("actual") - F.col("forecast"))
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(abs_err).cast("bigint").alias("abs_err_sum"),
+        (F.sum(abs_err).cast("double") / F.count("*")).cast("double").alias("mae"),
+        (F.sum(abs_err).cast("double") / F.sum("actual"))
+        .cast("double")
+        .alias("wape"),
+    )
