@@ -510,3 +510,48 @@ def test_drift_term_scale_is_tie_free():
             f"sf{sf}: {len(ties)} drift term(s) are exact decimal(…,12) "
             f"rounding ties, e.g. {ties[:3]} — move the cast scale"
         )
+
+
+def test_winnowing_null_and_empty_text(spark):
+    """Null text yields NO fingerprints (split(null) explodes to
+    nothing — the decontaminate convention); empty text yields exactly
+    one (the hash of its single empty shingle); both deterministic,
+    neither crashes the window-min path."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(df).collect():
+        fps.setdefault(int(r.doc_id), set()).add(int(r.fp))
+    assert 2 not in fps, "null-text doc must emit no fingerprints"
+    assert len(fps[3]) == 1, "empty text = one whole-text fingerprint"
+    assert len(fps[1]) >= 1
+
+
+def test_commonness_null_text_excluded(spark, sf_dir):
+    """explode(split(null)) emits no rows — a null-text doc is simply
+    absent from the commonness output, never a null/NaN score."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    # engine path on a synthetic frame mirroring the key's plan
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, None)], "doc_id long, text string"
+    )
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    wf = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    out = tok.join(wf, "w").groupBy("doc_id").count().collect()
+    assert {int(r.doc_id) for r in out} == {1}
