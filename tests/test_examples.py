@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
         "analytics.py",
         "scale_toolkit.py",
         "dashboards.py",
+        "audit.py",
     ],
 )
 def test_example_runs(script):
