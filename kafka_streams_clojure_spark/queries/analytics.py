@@ -4199,3 +4199,69 @@ def q_events_naive_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("wape"),
     )
+
+
+@query(
+    "q_events_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s FROM ut GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both, sa.s AS n_a, sb.s AS n_b,
+           CAST(CAST(n_both AS DOUBLE) / (sa.s + sb.s - n_both)
+                AS DOUBLE) AS jaccard,
+           CAST(CAST(n_both AS DOUBLE) / least(sa.s, sb.s)
+                AS DOUBLE) AS containment
+    FROM inter
+    JOIN sz sa ON sa.event_type = type_a
+    JOIN sz sb ON sb.event_type = type_b
+    """,
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE-OVERLAP matrix between event types: for every type
+    pair, the users doing both, the Jaccard of the two audiences, and
+    the containment (overlap ÷ smaller audience — the "is B's audience
+    a subset of A's" number product analytics actually asks). The
+    within-user self-join is bounded by types-per-user² (≤ |types|²,
+    a constant), so cost is linear in users — the basket-Jaccard
+    argument with a constant-size basket. Integer counts, two exact
+    single divisions; output ≤ C(|types|,2) rows at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("s"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("s").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("s").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            )
+            .cast("double")
+            .alias("jaccard"),
+            (F.col("n_both").cast("double") / F.least("n_a", "n_b"))
+            .cast("double")
+            .alias("containment"),
+        )
+    )
