@@ -98,6 +98,9 @@ EXTRAS = [
     "q_llm_dup_provenance",    # near-dup same-source/same-lang audit
     "q_llm_knn_label_agreement",  # 5-NN label accuracy eval
     "q_llm_filter_funnel",     # curation-loss attribution funnel
+    "q_llm_winnowing",         # MOSS window-min fingerprint candidates
+    "q_orders_basket_jaccard", # shared-part basket set-similarity
+    "q_events_rolling_dau",    # exact trailing-7d distinct
 ]
 
 
