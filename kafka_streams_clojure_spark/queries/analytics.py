@@ -4265,3 +4265,36 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment"),
         )
     )
+
+
+@query(
+    "q_orders_discount_profile",
+    oracle=f"""
+    SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l_quantity')} AS total_qty,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {sql_dsum('l_extendedprice * l_discount')} AS discount_cost
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_orders_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCOUNT-band demand profile: per discount percentage, line
+    volume, average quantity, realized revenue, and the money the
+    discount gave away — the table a pricing analyst reads to see
+    whether deeper discounts actually move more units (TPC-H Q6's
+    what-if extended into the full elasticity view). Discount bands
+    are integers (discounts are exact hundredths, so ×100 never lands
+    near a rounding tie); every money/quantity aggregate rides the
+    standing decimal-cast helpers on both engines. One map-side-
+    combined rollup over ≤ ~11 bands at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.round(F.col("l_discount") * 100).cast("bigint").alias("discount_pct")
+    return li.groupBy(band).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("discount_cost"),
+    )
