@@ -4502,7 +4502,12 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint. Pairs sharing >= 2 fingerprints are the candidate
     set. Every fingerprint is bit-reproducible in DuckDB (md5-prefix
     hash, identical window-min and boundary rules), so unlike MinHash
-    this SELECTIVE family stays exact-oracle. Plan: codegen shingle
+    this SELECTIVE family stays exact-oracle — it is the word-shingle,
+    oracle-gated face of the same algorithm whose character-chunk
+    rolling-hash form is the rows-only `q_llm_winnow`
+    (operators/winnow.py: catches sub-word/byte-level chunk reuse the
+    word tokenization can't see; this key catches word-level reuse
+    with a cross-engine proof). Plan: codegen shingle
     build, per-doc window min (doc-keyed, the pinned-repartition
     shape), fingerprint equi-join — never docs²."""
     from kafka_streams_clojure_spark.operators.dedup import winnowing_fingerprints
