@@ -123,6 +123,7 @@ def main() -> None:
     keys = [
         "q_llm_ngram_jaccard",
         "q_llm_ngram_jaccard_capped",
+        "q_llm_winnowing",
         "q_llm_passage_dedup",
         "q_llm_triplets",
     ]
