@@ -3871,7 +3871,10 @@ def q_orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hirschman index Σ share² over each supplier's revenue share, plus
     its reciprocal (effective number of equal-size suppliers) — the
     supply-chain-risk metric a buyer runs before a nation's market
-    consolidates under one vendor. HHI is the one concentration
+    consolidates under one vendor; the REVENUE-weighted, per-NATION
+    sibling of `q_market_hhi` (per-brand QUANTITY shares — integer
+    quantities let that key stay in plain BIGINT; money here forces
+    the decimal machinery below). HHI is the one concentration
     measure that needs NO libm (squares and one division, vs entropy's
     banned ln). Exactness discipline (the q_events_burstiness
     DECIMAL(38,0)/HUGEINT precedent): per-supplier revenue takes the
