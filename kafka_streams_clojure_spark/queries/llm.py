@@ -4066,7 +4066,9 @@ def q_llm_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE duplication comes from (intra-source crawler artifacts vs
     cross-source syndication vs cross-lingual template reuse), which
     decides whether dedup should run per-source (cheap, shardable) or
-    global (one corpus shuffle). Cross-engine discipline: the group
+    global (one corpus shuffle); the NEAR-dup complement of
+    `q_llm_source_overlap`'s exact-fingerprint source-pair matrix.
+    Cross-engine discipline: the group
     carries only integer counts and min/max of the jaccard ratio —
     min/max are order-independent and the ratios themselves are the
     same one-division doubles on both engines (never a double SUM of
