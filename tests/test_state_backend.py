@@ -111,3 +111,81 @@ def test_stream_dedup_matches_batch_under_rocksdb(spark, sf_dir, rocksdb_ck):
     }
     assert set(got) == batch and len(batch) > 0
     _assert_rocksdb_engaged(rocksdb_ck)
+
+
+def test_stateful_recovery_under_rocksdb(spark, sf_dir, rocksdb_ck):
+    """Kill a STATEFUL streaming aggregation mid-stream and restart it
+    from the same checkpoint under the RocksDB provider: the restarted
+    query must RESTORE its state from the RocksDB snapshot/changelog
+    (not recount from zero, not double-count the replayed batch) — the
+    recovery path is where this provider differs most from the heap
+    one. Final per-user counts must equal the batch aggregate."""
+    import os
+    import tempfile
+    import time
+
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    src = tempfile.mkdtemp(prefix="kscs_rocks_src_")
+    ckpt = os.path.join(rocksdb_ck, "recovery_q")
+    out = tempfile.mkdtemp(prefix="kscs_rocks_out_")
+    ev = load_table(spark, sf_dir, "events")
+    n_files = 6
+    n = ev.count()
+    step = n // n_files + 1
+    for i in range(n_files):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            )
+            .select("event_id", "user_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"part_{i}"))
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "part_*"))
+        )
+        agg = stream.groupBy("user_id").count()
+
+        def sink(bdf, epoch_id):
+            # complete mode: each epoch carries the FULL state — the
+            # store is an overwrite materialized view
+            bdf.write.mode("overwrite").parquet(out)
+
+        return (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.3)
+    assert len(q.recentProgress) >= 1, "no batch completed before kill"
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+
+    got = {
+        r.user_id: r["count"] for r in spark.read.parquet(out).collect()
+    }
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exact and len(got) > 0
+    _assert_rocksdb_engaged(rocksdb_ck)
