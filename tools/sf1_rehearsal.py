@@ -82,8 +82,17 @@ def stage_metrics(ui: str) -> dict[str, int]:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    if not os.path.exists(f"{OUT_DIR}/documents.parquet"):
+    events_mode = "--events" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if args else 50_000
+    if events_mode:
+        if not os.path.exists(f"{OUT_DIR}/events.parquet"):
+            t0 = time.perf_counter()
+            generate_events(n_docs)
+            print(f"generated {n_docs} events in {time.perf_counter()-t0:.1f}s")
+        # the event keys only read events.parquet, but load_table of the
+        # other fixtures must not fail if a key touches them
+    elif not os.path.exists(f"{OUT_DIR}/documents.parquet"):
         t0 = time.perf_counter()
         generate(n_docs)
         print(f"generated {n_docs} docs in {time.perf_counter()-t0:.1f}s")
@@ -120,7 +129,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     ui = spark.sparkContext.uiWebUrl
     qs = queries()
-    keys = [
+    keys = EVENT_KEYS if events_mode else [
         "q_llm_ngram_jaccard",
         "q_llm_ngram_jaccard_capped",
         "q_llm_winnowing",
@@ -141,6 +150,51 @@ def main() -> None:
         print(k, json.dumps(report[k]))
     print("REPORT", json.dumps(report))
     spark.stop()
+
+
+
+
+def generate_events(n_rows: int) -> None:
+    """10×-sf0.1-shaped synthetic `events` (fixture profile: 100k rows,
+    1.5k users, 5 types, 30 days) scaled to ``n_rows`` with users
+    scaled ∝ rows — the events-family counterpart of generate()."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(7)
+    n_users = max(150, (n_rows * 15) // 1000)
+    types = ["signup", "click", "error", "view", "purchase"]
+    os.makedirs(OUT_DIR, exist_ok=True)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    span_us = 30 * 86_400_000_000
+    ts = sorted(rng.randrange(span_us) for _ in range(n_rows))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n_rows), pa.int64()),
+            "ts": pa.array(
+                [base_us + t for t in ts], pa.timestamp("us")
+            ),
+            "user_id": pa.array(
+                [rng.randrange(n_users) for _ in range(n_rows)], pa.int64()
+            ),
+            "event_type": pa.array(
+                [types[rng.randrange(5)] for _ in range(n_rows)]
+            ),
+            "value": pa.array(
+                [round(rng.uniform(0, 100), 4) for _ in range(n_rows)]
+            ),
+            "props": pa.array(['{"k":1}'] * n_rows),
+        }
+    )
+    pq.write_table(tbl, f"{OUT_DIR}/events.parquet")
+
+
+EVENT_KEYS = [
+    "q_events_rolling_dau",
+    "q_events_retention",
+    "q_events_funnel",
+    "q_events_rolling_zscore",
+]
 
 
 if __name__ == "__main__":
