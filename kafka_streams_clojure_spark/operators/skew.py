@@ -132,13 +132,23 @@ def hot_key_guard(
     broadcast (then the join-back shuffles on ``key_cols`` — the same
     partitioning the downstream self-join needs, so AQE reuses the
     exchange). Returns ``df``'s rows unchanged (guard column dropped)
-    when every key is within bound.
+    when every key is within bound — INCLUDING null-keyed rows: the
+    join-back uses ``eqNullSafe`` per key (null is a groupBy group, so
+    it has a degree too and is guarded like any other key; a plain
+    equi-join would silently drop — and silently NOT guard — them,
+    violating the null-safe-operator rule).
     """
     keys = list(key_cols)
     deg = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
+    deg = deg.select(
+        *[F.col(k).alias(f"__hk{i}") for i, k in enumerate(keys)], "__kn"
+    )
     if broadcast:
         deg = F.broadcast(deg)
-    guarded = df.join(deg, keys)
+    cond = F.lit(True)
+    for i, k in enumerate(keys):
+        cond = cond & df[k].eqNullSafe(F.col(f"__hk{i}"))
+    guarded = df.join(deg, cond).drop(*[f"__hk{i}" for i in range(len(keys))])
     trip = F.when(
         F.col("__kn") > F.lit(max_count),
         F.raise_error(

@@ -3910,7 +3910,10 @@ def q_orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     r4d = F.col("r4").cast("decimal(20,0)")
     byn = j.groupBy("n_name").agg(
         F.count("*").cast("bigint").alias("n_suppliers"),
-        F.sum(F.col("r4")).cast("decimal(20,0)").alias("tot"),
+        # widen BEFORE summing (mirrors the oracle's sum(CAST(r4 AS
+        # HUGEINT))): a BIGINT accumulation of ×10^4-scaled revenue
+        # overflows int64 near the 100 TB design point
+        F.sum(F.col("r4").cast("decimal(38,0)")).alias("tot"),
         F.sum(r4d * r4d).alias("sumsq"),
     )
     tot2 = (F.col("tot") * F.col("tot")).cast("double")
@@ -3993,7 +3996,9 @@ def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = ranked.groupBy("n_name").agg(
         F.count("*").cast("bigint").alias("n_customers"),
-        F.sum("r4").cast("decimal(20,0)").alias("tot"),
+        # widen BEFORE summing (= oracle's sum(CAST(r4 AS HUGEINT)));
+        # BIGINT accumulation overflows int64 at the 100 TB posture
+        F.sum(F.col("r4").cast("decimal(38,0)")).alias("tot"),
         F.sum(F.col("i").cast("decimal(20,0)") * F.col("r4").cast("decimal(20,0)")).alias(
             "wsum"
         ),
@@ -4122,8 +4127,16 @@ def q_orders_basket_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ip = persist_if_uncached(ip)
     sz = ip.groupBy("o").agg(F.count("*").cast("bigint").alias("s"))
+    # broadcast=False: the degree table has one row per distinct PART —
+    # cardinality grows with SF, so at the 100 TB posture it is not
+    # broadcast-small; the shuffled join-back lands on the same part
+    # partitioning the candidate self-join needs anyway
     a_g = hot_key_guard(
-        ip, ["p"], max_count=10_000, op_name="q_orders_basket_jaccard part"
+        ip,
+        ["p"],
+        max_count=10_000,
+        op_name="q_orders_basket_jaccard part",
+        broadcast=False,
     )
     a = a_g.select(F.col("o").alias("o_a"), "p")
     b = ip.select(F.col("o").alias("o_b"), "p")

@@ -135,6 +135,31 @@ def test_hot_key_guard_trips_on_synthetic_hot_key(spark):
     assert "wedge-test" in msg and "key=(7)" in msg and "count=50" in msg
 
 
+def test_hot_key_guard_null_keys_guarded_not_dropped(spark):
+    """CLAUDE.md null-safe rule: null IS a key (a groupBy group). The
+    guard must (a) pass null-keyed rows through when within bound —
+    a plain equi-join-back would silently DROP them — and (b) trip on
+    a hot null key like any other."""
+    import pytest
+
+    from kafka_streams_clojure_spark.operators.skew import hot_key_guard
+
+    df = spark.createDataFrame(
+        [(None, "n1"), (None, "n2"), (1, "a")], "k bigint, v string"
+    )
+    got = sorted(
+        ((r.k, r.v) for r in hot_key_guard(df, ["k"], 5).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [(1, "a"), (None, "n1"), (None, "n2")]
+
+    hot_null = [(None, f"s{i}") for i in range(20)] + [(3, "x")]
+    dfh = spark.createDataFrame(hot_null, "k bigint, v string")
+    with pytest.raises(Exception) as ei:
+        hot_key_guard(dfh, ["k"], max_count=10, op_name="null-test").collect()
+    assert "null-test" in str(ei.value) and "count=20" in str(ei.value)
+
+
 def test_cap_per_key_truncates_deterministically(spark):
     from kafka_streams_clojure_spark.operators.skew import cap_per_key
 
@@ -149,13 +174,15 @@ def test_cap_per_key_truncates_deterministically(spark):
 
 def test_wedge_queries_carry_hot_key_guard(spark, sf_dir):
     """The two quadratic wedge keys plan with the guard's degree join
-    (the __kn raise_error path) — and still compute over the fixture
-    (no trip: fixture hubs are far below the 10k bound)."""
+    (the __kn raise_error path) — asserted in the OPTIMIZED plan (the
+    analyzed plan would still show a guard a later optimizer rule or
+    refactor had elided) — and still compute over the fixture (no
+    trip: fixture hubs are far below the 10k bound)."""
     import __spark_entry__ as entrymod
-    from kafka_streams_clojure_spark.plans import physical_plan
 
     q = entrymod.queries()
     for key in ("q_graph_link_prediction", "q_basket_affinity"):
         df = q[key](spark, sf_dir)
-        assert "raise_error" in df._jdf.queryExecution().analyzed().toString(), key
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "raise_error" in opt, key
         assert df.count() > 0, key
