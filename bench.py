@@ -60,6 +60,22 @@ HEADLINE2 = [
 ]
 
 
+#: Third gated set (r6 verdict #6): the highest-RISK family — the
+#: shared-key pair joins that can go quadratic on a hot shingle or
+#: fingerprint. r7 capped all three formerly-uncapped members
+#: (containment / dup_provenance / winnowing now take the stop-shingle
+#: or fp doc-freq cut; basket_jaccard carries hot_key_guard), and this
+#: pin is what catches a future regression in that family as a NUMBER
+#: rather than a plan read. Reference values: BENCH_NOTES.md
+#: "headline3 pinning".
+HEADLINE3 = [
+    "q_llm_winnowing",         # MOSS window-min fp candidates (capped)
+    "q_llm_containment",       # asymmetric containment near-dup (capped)
+    "q_llm_dup_provenance",    # near-dup provenance audit (capped pairs)
+    "q_orders_basket_jaccard", # shared-part basket sets (hot_key_guard)
+]
+
+
 #: Round-5 additions, timed AFTER the headline set and reported in a
 #: separate "extras" field so the baseline-comparable headline total is
 #: untouched. One run each (these are not regression-gated, just
@@ -73,7 +89,6 @@ EXTRAS = [
     "q_llm_bloom_dedup",       # Bloom-prefiltered ingest dedup
     "q_events_heavy_hitters_sketch",  # Misra-Gries bounded-memory HH
     "q_agg_session_dynamic",   # dynamic-gap session windows
-    "q_llm_containment",       # asymmetric containment near-dup
     # round-5 continuation additions
     "q_graph_bfs",             # 3-hop BFS neighborhood
     "q_zorder_curve",          # Morton layout key (pure map)
@@ -95,11 +110,8 @@ EXTRAS = [
     "q_graph_link_prediction", # shared-customer Jaccard wedges
     "q_events_drift_chi2",     # timeline-half distribution drift
     # round-6 additions
-    "q_llm_dup_provenance",    # near-dup same-source/same-lang audit
     "q_llm_knn_label_agreement",  # 5-NN label accuracy eval
     "q_llm_filter_funnel",     # curation-loss attribution funnel
-    "q_llm_winnowing",         # MOSS window-min fingerprint candidates
-    "q_orders_basket_jaccard", # shared-part basket set-similarity
     "q_events_rolling_dau",    # exact trailing-7d distinct
 ]
 
@@ -184,6 +196,24 @@ def main() -> None:
         timings2[name] = round(best, 3)
     total2 = round(sum(timings2.values()), 3)
 
+    # headline3: same discipline — gated against BENCH_NOTES.md
+    # "headline3 pinning" (the capped pair-join family).
+    for name in HEADLINE3:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timings3: dict[str, float] = {}
+    for name in HEADLINE3:
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings3[name] = round(best, 3)
+    total3 = round(sum(timings3.values()), 3)
+
     extras: dict[str, float] = {}
     # Warm extras at the smallest SF too: the iterative keys
     # (cluster_best's Pregel loop) generate many unique codegen'd plans
@@ -222,6 +252,8 @@ def main() -> None:
                 ),
                 "headline2_total_sec": total2,
                 "queries2": timings2,
+                "headline3_total_sec": total3,
+                "queries3": timings3,
                 "extras": extras,
             }
         )

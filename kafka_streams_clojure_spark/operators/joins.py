@@ -117,6 +117,148 @@ def asof_join(
     return out
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    bucket: str = "1 day",
+    how: str = "left",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """:func:`asof_join` with the documented hot-key mitigation
+    (SCALE.md "Joins"): the plain form windows over the KEY alone, so
+    one pathological key (a user holding 10% of a 100 TB stream) lands
+    its entire history in ONE task's sort. This variant pre-splits by
+    TIME BUCKET and windows over ``(key, bucket)`` — a hot key spreads
+    across as many tasks as it spans buckets — and stays EXACT by
+    carrying each bucket's inherited state as a seed row:
+
+    1. per ``(key, bucket)`` the newest right payload (``max_by`` —
+       map-side combined, shuffles one row per key-bucket);
+    2. a running ``last(ignorenulls)`` over the per-bucket lasts in
+       bucket order, frame ending at the PREVIOUS bucket — the state a
+       bucket inherits from everything before it. This window is per
+       key over #buckets-per-key rows (bounded: stream span ÷ bucket),
+       not per event — the whole point;
+    3. the within-bucket as-of: union seed rows (sort first in their
+       bucket) + right rows + left probes, one ``last(ignorenulls)``
+       window over ``(key, bucket)``.
+
+    Result rows are identical to ``asof_join`` (same oracle text
+    applies); cost is one extra small shuffle (per-bucket lasts + the
+    distinct bucket spine). Backward direction only — the forward
+    mirror would carry each bucket's FIRST state from the next bucket.
+    Same contracts as :func:`asof_join`: right side unique per
+    ``(key, ts)``; null-key/null-ts right rows can never match; a
+    null-ts LEFT row matches nothing (it buckets to null, which
+    inherits no seed — exactly the plain form's nulls-first sort).
+
+    ``bucket``: a day-time interval string (e.g. ``"1 day"``,
+    ``"6 hours"``). Pick it so rate × bucket rows fit one task
+    comfortably; too fine costs seed-spine rows, too coarse stops
+    splitting the hot key.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(
+            f"asof_join_bucketed supports how='left'|'inner', got {how!r}"
+        )
+    lcols = left.columns
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+    payload = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+    )
+    bucket_us = F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {bucket}")
+    )
+    rtype = right.select(payload.alias("p")).schema["p"].dataType.simpleString()
+
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.floor(F.unix_micros(F.col(left_ts)) / bucket_us).alias("__b"),
+        F.lit(1).alias("__probe"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(rtype).alias("__r"),
+    )
+    ltype = lhs.schema["__l"].dataType.simpleString()
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.floor(F.unix_micros(F.col(right_ts)) / bucket_us).alias("__b"),
+        F.lit(0).alias("__probe"),
+        F.lit(None).cast(ltype).alias("__l"),
+        payload.alias("__r"),
+    )
+
+    # (2) the seed spine: every (key, bucket) either side touches,
+    # joined to the per-bucket newest right payload, then the running
+    # inherited state — frame ends at the PREVIOUS bucket so a bucket
+    # never sees its own rows through the seed.
+    per_bucket = rhs.groupBy("__k", "__b").agg(
+        F.max_by("__r", "__ts").alias("__last")
+    )
+    spine = (
+        lhs.select("__k", "__b")
+        .unionByName(per_bucket.select("__k", "__b"))
+        .distinct()
+    )
+    wseed = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        spine.join(per_bucket, ["__k", "__b"], "left")
+        .withColumn("__carry", F.last("__last", ignorenulls=True).over(wseed))
+        .filter(F.col("__carry").isNotNull())
+        .select(
+            "__k",
+            F.lit(None).cast("timestamp").alias("__ts"),  # sorts first
+            "__b",
+            F.lit(-1).alias("__probe"),
+            F.lit(None).cast(ltype).alias("__l"),
+            F.col("__carry").alias("__r"),
+        )
+    )
+
+    # (3) the within-bucket as-of — identical to asof_join's window but
+    # partitioned by (key, BUCKET): the hot-key split.
+    w = (
+        Window.partitionBy("__k", "__b")
+        .orderBy(F.col("__ts").asc(), F.col("__probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lhs.unionByName(rhs)
+        .unionByName(seeds)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__probe") == 1)
+    )
+    if tolerance is not None:
+        lt_type = dict(left.dtypes)[left_ts]
+        if "timestamp" not in lt_type:
+            raise ValueError(
+                f"tolerance requires timestamp ts columns; {left_ts!r} is {lt_type}"
+            )
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__rts") >= F.col("__ts") - tolerance,
+                F.col("__match"),
+            ),
+        )
+    out = matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    return out
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
