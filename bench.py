@@ -85,6 +85,7 @@ EXTRAS = [
     "q_llm_refresh_curation",  # composed crawl-refresh pipeline
     "q_join_salted",           # replicate-side salted skew join
     "q_join_asof_forward",     # forward as-of join
+    "q_join_asof_bucketed",    # skew-split as-of (per-bucket seeds)
     "q_events_trending",       # per-day top-k
     "q_llm_bloom_dedup",       # Bloom-prefiltered ingest dedup
     "q_events_heavy_hitters_sketch",  # Misra-Gries bounded-memory HH

@@ -177,10 +177,23 @@ def lsh_cosine_pairs(
     n_tables: int = 4,
     threshold: float = 0.8,
     dim: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: `n_tables` independent sign-LSH
     bucketings; docs colliding in any table become candidates; exact
-    cosine verifies. Join cost ∝ colliding buckets, not n²."""
+    cosine verifies. Join cost ∝ colliding buckets, not n².
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 (each single plane-bit flipped) — the standard
+    multi-probe LSH recall lever (Lv et al., VLDB'07): a near pair that
+    straddles ONE hyperplane still collides, lifting per-table
+    collision from p^m to p^m + m·p^(m-1)(1-p) at the cost of a
+    (m+1)× wider probe side. Only ONE side of the pair join explodes
+    (XOR distance is symmetric, so probing A's neighborhood against
+    B's home bucket covers both orderings); the bucketed base table is
+    built once. The join stays a bucket equi-join — never all-pairs."""
+    if multiprobe not in (0, 1):
+        raise ValueError(f"multiprobe must be 0 or 1, got {multiprobe!r}")
     tables = [
         lsh_bucket(F.col(vec_col), random_hyperplanes(dim, n_planes, seed=42 + t)).alias(
             f"b_{t}"
@@ -195,7 +208,19 @@ def lsh_cosine_pairs(
     # against the already-persisted bucketed projection.
     pairs = None
     for t in range(n_tables):
-        a = bucketed.select(F.col(id_col).alias("id_a"), F.col(f"b_{t}").alias("bkt"))
+        if multiprobe:
+            probe_buckets = F.explode(
+                F.array(
+                    F.col(f"b_{t}"),
+                    *[
+                        F.col(f"b_{t}").bitwiseXOR(F.lit(1 << i).cast("long"))
+                        for i in range(n_planes)
+                    ],
+                )
+            )
+        else:
+            probe_buckets = F.col(f"b_{t}")
+        a = bucketed.select(F.col(id_col).alias("id_a"), probe_buckets.alias("bkt"))
         b = bucketed.select(F.col(id_col).alias("id_b"), F.col(f"b_{t}").alias("bkt"))
         cand = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         pairs = cand if pairs is None else pairs.unionByName(cand)

@@ -870,18 +870,22 @@ def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_llm_cosine_ann")  # LSH recall is probabilistic — rows-only
 def q_llm_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, scale path: random-hyperplane sign-LSH
-    bucketing, exact cosine verification on collisions. Threshold 0.4
-    because the fixture's vectors are near-orthogonal (max pairwise
-    cosine ≈ 0.5), and bucket geometry is matched to that LOW
-    threshold: cos 0.4 → collision prob per plane ≈ 0.63, so 6 planes
-    × 8 tables gives ≈ 1-(1-0.63^6)^8 ≈ 40% recall (measured: 26 of
-    59 true pairs at sf0.01) — non-empty on the natural data. The
-    earlier 12×4 geometry had ≈1.6% recall at this threshold and
-    returned 0 natural rows; 12-plane buckets are the HIGH-threshold
-    (~0.9, near-dup) geometry, which the planted-dup recall tests
-    still exercise."""
+    bucketing with 1-bit MULTI-PROBE (r6 verdict #2), exact cosine
+    verification on collisions. Threshold 0.4 because the fixture's
+    vectors are near-orthogonal (max pairwise cosine ≈ 0.5), and the
+    geometry is matched to that LOW threshold: cos 0.4 → collision
+    prob per plane ≈ 0.63, so 6 planes × 8 tables alone gave ≈
+    1-(1-0.63^6)^8 ≈ 40% recall (r6's measured 26 of 59 true pairs at
+    sf0.01); probing each single-bit-flipped neighbor bucket lifts the
+    per-table collision to p^6 + 6·p^5(1-p) ≈ 0.28 → predicted ≈93%,
+    MEASURED 0.915 at sf0.01 and 0.864 at sf0.001 — at the cost of a
+    7× wider probe side, keeping the bucketed equi-join shape (never
+    all-pairs). The earlier 12×4 geometry had ≈1.6% recall at this
+    threshold and returned 0 natural rows; 12-plane buckets are the
+    HIGH-threshold (~0.9, near-dup) geometry, which the planted-dup
+    recall tests still exercise."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, n_planes=6, n_tables=8, threshold=0.4)
+    return lsh_cosine_pairs(emb, n_planes=6, n_tables=8, threshold=0.4, multiprobe=1)
 
 
 @query(

@@ -78,6 +78,60 @@ def test_asof_join_is_single_shuffle_sort(spark, sf_dir):
     assert plan.count("Window") >= 1
 
 
+def test_asof_bucketed_windows_on_key_and_bucket(spark, sf_dir):
+    """r6 verdict #3 'done' condition, plan half: the bucketed as-of's
+    main window must partition by (key, bucket) — the hot-key split —
+    and stay cartesian-free."""
+    import re
+
+    df = _Q["q_join_asof_bucketed"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the within-bucket as-of window partitions by both __k and __b
+    assert re.search(r"windowspecdefinition\(__k#\d+L?, __b#\d+L?,", plan), plan
+
+
+def test_asof_bucketed_splits_hot_key_across_tasks(spark):
+    """r6 verdict #3 'done' condition, runtime half: ONE hot key whose
+    history spans many buckets must be processed by >1 task in the
+    bucketed form (the plain form provably sorts it in one), while the
+    results stay row-identical to the plain as-of."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.operators.joins import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    # one user, 2000 left rows + 1000 right rows spread over ~42 days
+    left = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.lit("hot").alias("user_id"),
+        (base + F.make_interval(hours=F.col("id") % 1000)).alias("ts"),
+    )
+    right = spark.range(1000).select(
+        F.lit("hot").alias("user_id"),
+        (base + F.make_interval(hours=F.col("id"), mins=F.lit(30))).alias("ts"),
+        F.col("id").alias("click_id"),
+    )
+    kw = dict(
+        on="user_id", left_ts="ts", right_ts="ts", right_cols=["click_id"]
+    )
+    bucketed = asof_join_bucketed(left, right, bucket="1 day", **kw)
+    got = {(r.event_id, r.click_id) for r in bucketed.collect()}
+    exp = {(r.event_id, r.click_id) for r in asof_join(left, right, **kw).collect()}
+    assert got == exp and len(got) == 2000
+    # spark_partition_id at the output reflects the (key, bucket) hash
+    # exchange the window ran on: the single hot key must span tasks
+    npart = (
+        bucketed.withColumn("pid", F.spark_partition_id())
+        .agg(F.countDistinct("pid"))
+        .collect()[0][0]
+    )
+    assert npart > 1, f"hot key still processed by {npart} task(s)"
+
+
 def test_entry_stays_jvm_side(spark):
     """The flagship pipeline must contain no Python UDF evaluation."""
     df = entrymod.entry(spark)
