@@ -3543,30 +3543,43 @@ _SQL_PROBE_BUCKET = (
 )
 
 
-def _neg_bucket(col, salt: str | None = None):
-    """Spark twin of `_SQL_NEG_BUCKET` / `_SQL_PROBE_BUCKET`."""
+def _neg_bucket(col, salt: str | None = None, b=None):
+    """Spark twin of `_SQL_NEG_BUCKET` / `_SQL_PROBE_BUCKET`.
+    ``b`` overrides the bucket-count modulus (a Column for the
+    corpus-derived B∝N form); default is the fixed `_NEG_B`."""
     s = col.cast("string") if salt is None else F.concat(
         col.cast("string"), F.lit(salt)
     )
+    bb = F.lit(_NEG_B).cast("bigint") if b is None else b
     return (
-        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % _NEG_B
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % bb
     )
 
 
 def _neg_candidates(docs: DataFrame, anchors: DataFrame,
-                    shared: DataFrame) -> DataFrame:
+                    shared: DataFrame, b_df: DataFrame | None = None) -> DataFrame:
     """Shingle-clean negative candidates for every anchor via the
     decomposable bucket equi-join (see `_NEG_B`): docs bucketed by
     md5(doc_id), anchors probing md5(anchor_id‖'#probe'), joined on
     the bucket id, self-pairs dropped, then the shared-shingle
     anti-join. Returns (anchor_id, neg_id, h) with h the pair hash
-    used only for deterministic RANKING, never as a filter."""
+    used only for deterministic RANKING, never as a filter.
+
+    ``b_df``: optional broadcast 1-row frame carrying the bucket count
+    as ``__b`` — the B∝N form (q_llm_triplets_scaled): B derived from
+    corpus size IN-PLAN, no driver round-trip."""
+    bcol = None
+    if b_df is not None:
+        b_df = F.broadcast(b_df)
+        docs = docs.crossJoin(b_df)
+        anchors = anchors.crossJoin(b_df)
+        bcol = F.col("__b")
     dbuck = docs.select(
         F.col("doc_id").alias("neg_id"),
-        _neg_bucket(F.col("doc_id")).alias("nb"),
+        _neg_bucket(F.col("doc_id"), b=bcol).alias("nb"),
     )
     abuck = anchors.select(
-        "anchor_id", _neg_bucket(F.col("anchor_id"), "#probe").alias("nb")
+        "anchor_id", _neg_bucket(F.col("anchor_id"), "#probe", b=bcol).alias("nb")
     )
     h = F.md5(
         F.concat(
@@ -3659,6 +3672,14 @@ def q_llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_neg_candidates`) — no anchors×corpus nested loop anywhere in
     the plan. Everything RNG-free: the triplet set is a pure function
     of the corpus."""
+    return _mine_triplets(spark, sf_dir)
+
+
+def _mine_triplets(
+    spark: SparkSession, sf_dir: str, b_df: DataFrame | None = None
+) -> DataFrame:
+    """Shared triplet-mining plan for q_llm_triplets (fixed `_NEG_B`)
+    and q_llm_triplets_scaled (``b_df`` = in-plan corpus-derived B)."""
     from kafka_streams_clojure_spark.operators.dedup import (
         ngram_jaccard_pairs,
         shingle_sets,
@@ -3691,7 +3712,7 @@ def q_llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", F.col("doc_id").alias("neg_id"))
         .distinct()
     )
-    cand = _neg_candidates(docs, anchors, shared)
+    cand = _neg_candidates(docs, anchors, shared, b_df=b_df)
     wn = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
     neg = (
         cand.withColumn("neg_rnk", F.row_number().over(wn))
@@ -3701,6 +3722,47 @@ def q_llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(neg, "anchor_id").select(
         "anchor_id", "pos_id", "neg_id", "neg_rnk"
     )
+
+
+#: In-plan corpus-size bucket count for the B∝N triplet key: one
+#: bucket per 100 docs, exact integer arithmetic ((n+99) DIV 100 —
+#: never float ceil) so both engines derive the identical B. At the
+#: fixtures: 500 docs → B=5 (the fixed key's value, so the two keys
+#: coincide at sf0.001/sf0.01) and 5000 docs → B=50 (the setting the
+#: sf~1 rehearsal measured LINEAR, vs 70× quadratic growth at fixed
+#: B — SCALE.md "Triplet mining").
+_B_DYN_SQL = "(SELECT (count(*) + 99) // 100 FROM documents)"
+
+#: The scaled oracle is the SHARED chain with both bucket moduli
+#: swapped from the literal to the corpus-derived scalar subquery.
+assert _TRIPLET_CTES.count(f"% {_NEG_B}") == 2, "bucket moduli drifted"
+_TRIPLET_CTES_SCALED = _TRIPLET_CTES.replace(f"% {_NEG_B}", f"% {_B_DYN_SQL}")
+
+
+@query(
+    "q_llm_triplets_scaled",
+    oracle=f"""
+    WITH {_TRIPLET_CTES_SCALED}
+    {_TRIPLET_SELECT}
+    """,
+)
+def q_llm_triplets_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_llm_triplets with the bucket count derived FROM THE CORPUS
+    IN-PLAN (r6 verdict #4): B = (|docs|+99) DIV 100, computed as a
+    broadcast 1-row aggregate crossed onto both bucket projections —
+    no driver round-trip, no baked literal. This is the form the sf~1
+    rehearsal proved linear (B ∝ N holds per-anchor candidates
+    constant; fixed B=5 grew 70× at 10× docs — SCALE.md); the fixed-B
+    key stays registered as the rehearsal's control. Same decomposable
+    md5-bucket equi-join plan (zero NestedLoop, pinned with the other
+    triplet keys in tests/test_plan_shape.py); the oracle computes the
+    identical B via a scalar subquery, so the key is exact-gated at
+    every SF even as B changes with corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    b_df = docs.agg(F.count("*").alias("__n")).select(
+        F.expr("CAST((__n + 99) DIV 100 AS BIGINT)").alias("__b")
+    )
+    return _mine_triplets(spark, sf_dir, b_df=b_df)
 
 
 @query(

@@ -263,3 +263,21 @@ def test_triplet_negative_mining_avoids_nested_loop(spark, sf_dir):
         assert "NestedLoop" not in plan and "Cartesian" not in plan, (
             key + ":\n" + plan[:3000]
         )
+
+
+def test_scaled_triplets_keep_bucket_equi_join(spark, sf_dir):
+    """The B∝N form (r6 verdict #4) may broadcast its 1-ROW corpus
+    count onto the two bucket projections (exactly 2 bounded BNLJs),
+    but the candidate join itself must remain the md5-bucket EQUI-join
+    — a shuffle keyed by nb — and never a cartesian."""
+    import re
+
+    plan = physical_plan(_Q["q_llm_triplets_scaled"](spark, sf_dir))
+    assert "Cartesian" not in plan, plan[:3000]
+    # formatted explain prints each node in the tree AND the detail
+    # section — count node headers, not substrings
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) <= 2, plan[:3000]
+    # the candidate join is keyed on the bucket id (hash join at
+    # fixture scale, shuffled at 100 TB — either way an EQUI join)
+    assert re.search(r"keys \[1\]: \[nb#\d+L?\]", plan), plan[:3000]
