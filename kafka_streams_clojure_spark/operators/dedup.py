@@ -220,6 +220,122 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    n_hashes: int = 32,
+    bands: int = 8,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """The banded MinHash INDEX shape: ``(id, signature, band,
+    bucket)`` — one row per (doc, band), bucket = xxhash64 of that
+    band's r = n_hashes/bands signature positions. This is both the
+    self-join input of :func:`minhash_lsh_pairs` and the standing
+    index a streaming ingest probes (:func:`near_dup_ingest_delta`):
+    persisting THIS table is what makes near-dup detection incremental
+    — a delta only ever joins the index on (band, bucket), never
+    re-shingles the corpus. ``sig`` short-circuits signature
+    generation when the caller already holds (and persisted) it."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}); a remainder "
+            "would silently drop signature positions and lower recall"
+        )
+    r = n_hashes // bands
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    return sig.select(
+        F.col(id_col),
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+
+
+def _est_jaccard(sig_a, sig_b, n_hashes: int):
+    """Estimated Jaccard = fraction of equal signature positions."""
+    eq = F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return eq.cast("double") / F.lit(float(n_hashes))
+
+
+def near_dup_ingest_delta(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """ONLINE near-dup dedup of an ingest DELTA against a standing
+    banded MinHash index (the :func:`minhash_band_rows` shape) — the
+    streaming twin of :func:`minhash_lsh_pairs`, the op a crawl
+    pipeline runs continuously: band-bucket the delta, probe the index
+    on (band, bucket), score candidates by estimated Jaccard, and drop
+    every delta doc whose best index match clears ``threshold``
+    (an identical re-crawl of an indexed doc estimates 1.0 and is
+    dropped — the index REPRESENTS accepted content, so there is no
+    self-id exemption). Docs are compared against the INDEX only, not
+    against each other — within-delta near-dups are the next delta's
+    problem once the first one's bands land in the index (or run
+    :func:`minhash_lsh_pairs` on the delta first).
+
+    Returns ``(accepted, accepted_band_rows)``: the caller appends
+    ``accepted_band_rows`` to the index store so later deltas dedup
+    against earlier accepted ones — the cross-batch contract
+    (tests/test_incremental_passage_dedup.py).
+
+    Scale shape: the delta joins the index on (band, bucket) — an
+    equi-join whose cost follows colliding buckets, never
+    delta×corpus; the index carries fixed-width rows (id + 32 longs +
+    band/bucket), so at 100 TB it is a compact table keyed exactly how
+    the probe reads it. At fixture scale the delta's signatures are
+    recomputed for the band-rows output; a production loop persists
+    the delta signature projection once per batch."""
+    bb = minhash_band_rows(new_df, id_col, text_col, k, n_hashes, bands)
+    cand = (
+        bb.select(
+            F.col(id_col).alias("__nid"),
+            F.col("signature").alias("sig_n"),
+            "band",
+            "bucket",
+        )
+        .join(
+            index.select(
+                F.col("signature").alias("sig_o"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+    )
+    dup_ids = (
+        cand.filter(_est_jaccard(F.col("sig_n"), F.col("sig_o"), n_hashes) >= threshold)
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    accepted = new_df.join(dup_ids, id_col, "left_anti")
+    accepted_bands = bb.join(accepted.select(id_col), id_col, "left_semi")
+    return accepted, accepted_bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -242,25 +358,10 @@ def minhash_lsh_pairs(
             f"bands ({bands}) must divide n_hashes ({n_hashes}); a remainder "
             "would silently drop signature positions and lower recall"
         )
-    r = n_hashes // bands
     sig = persist_if_uncached(minhash_signatures(df, id_col, text_col, k, n_hashes))
-    band_rows = sig.select(
-        F.col(id_col),
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    band_rows = minhash_band_rows(
+        df, id_col, text_col, k, n_hashes, bands, sig=sig
+    )
     # Candidate dedup is an ID-WIDTH exchange: a doc pair colliding in
     # several bands would otherwise be distinct'd carrying two full
     # 32-long signatures (~512 B/row, ~30× wider than two ids) — at

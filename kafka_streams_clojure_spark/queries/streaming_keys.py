@@ -411,6 +411,62 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(fresh, output_mode="append")
 
 
+@query("q_stream_near_dup_ingest")  # xxhash64 MinHash — rows-only
+def q_stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup dedup at ingest (r6 verdict #5) — the ONLINE twin of
+    `q_llm_near_dup` and the fuzzy upgrade of `q_stream_dedup_ingest`:
+    each micro-batch of incoming documents is MinHash-banded and
+    probed against a STANDING banded index (every 3rd doc = the
+    already-ingested corpus, same convention as the exact-fp key);
+    docs whose best index match estimates Jaccard >= 0.5 are dropped,
+    survivors land in the sink AND their band rows are APPENDED to the
+    index store — so a near-dup arriving in a LATER batch of the same
+    run is caught against an earlier batch's acceptance (the
+    cross-batch contract, invariant-tested with planted dups in
+    tests/test_incremental_passage_dedup.py). Rows-only: signatures
+    are xxhash64, not portable to DuckDB; the batch operator's
+    semantics are gated by the planted-dup tests.
+
+    Scale shape: per batch, one (band, bucket) equi-join of the delta
+    against the index — never delta×corpus — and the index grows by
+    fixed-width rows per accepted doc. The index store here is a
+    parquet dir (the run_available_now local-mode contract); a
+    production deployment points it at shared storage and compacts."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        minhash_band_rows,
+        near_dup_ingest_delta,
+    )
+
+    hist = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    idx_root = scratch_dir("kscs_neardup_idx_")
+    out_root = scratch_dir("kscs_neardup_out_")
+    # seed the standing index once (in production this parquet dir IS
+    # the persistent index, written by previous runs)
+    minhash_band_rows(hist).write.mode("overwrite").parquet(idx_root)
+
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        index = spark.read.parquet(idx_root)
+        accepted, accepted_bands = near_dup_ingest_delta(
+            batch_df, index, threshold=0.5
+        )
+        accepted.select("doc_id", "source").write.mode("append").parquet(out_root)
+        accepted_bands.write.mode("append").parquet(idx_root)
+        batch_df.unpersist()
+
+    q = docs.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.read.parquet(out_root)
+
+
 @query(
     "q_stream_branch_sinks",
     oracle=f"""

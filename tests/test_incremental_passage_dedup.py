@@ -144,3 +144,45 @@ def test_passage_dedup_hash_key_path_identical(spark):
     a = sorted(map(tuple, passage_dedup(docs).collect()))
     b = sorted(map(tuple, passage_dedup(docs, hash_key=True).collect()))
     assert a == b
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_near_dup_ingest_cross_batch_contract(spark):
+    """r6 verdict #5's invariant gate for the online banded-MinHash
+    ingest (q_stream_near_dup_ingest's batch core): (a) a near-copy of
+    an INDEXED doc is dropped, an exact re-crawl is dropped, fresh
+    content is accepted; (b) the CROSS-BATCH contract — appending an
+    accepted batch's band rows to the index makes a later batch's
+    near-copy of it a dup, which is the whole point of returning
+    accepted_band_rows."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        minhash_band_rows,
+        near_dup_ingest_delta,
+    )
+
+    text_a = _words("a", 30)
+    text_b = _words("b", 30)
+    text_c = _words("c", 30)
+    corpus = _mk_docs(spark, [(0, text_a)])
+    index = minhash_band_rows(corpus)
+
+    near_a = text_a.replace("a15", "CHANGED")  # 1 word off: jaccard ~0.85
+    batch1 = _mk_docs(spark, [(10, near_a), (11, text_b), (12, text_a)])
+    acc1, bands1 = near_dup_ingest_delta(batch1, index)
+    got1 = {r.doc_id for r in acc1.collect()}
+    assert got1 == {11}, got1  # near-copy 10 and exact re-crawl 12 dropped
+
+    index2 = index.unionByName(bands1)
+    near_b = text_b.replace("b7", "ALTERED")
+    batch2 = _mk_docs(spark, [(20, near_b), (21, text_c)])
+    acc2, _ = near_dup_ingest_delta(batch2, index2)
+    got2 = {r.doc_id for r in acc2.collect()}
+    assert got2 == {21}, got2  # 20 is a dup of BATCH-1's acceptance
+
+    # without the band append, batch 2's near-copy would sail through —
+    # proves the cross-batch drop really came from bands1
+    acc2_stale, _ = near_dup_ingest_delta(batch2, index)
+    assert {r.doc_id for r in acc2_stale.collect()} == {20, 21}
