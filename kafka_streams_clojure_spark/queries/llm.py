@@ -4642,3 +4642,157 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@query(
+    "q_llm_bitext_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT em.vec_id, em.label, em.embedding, d.lang
+      FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+    ),
+    cand AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             {_MMR_COS.format(a='s.embedding', b='t.embedding')} AS cos_sim
+      FROM e s JOIN e t ON t.label = s.label
+      WHERE s.lang = 'en' AND t.lang <> 'en'
+    ),
+    ranked AS (
+      SELECT src_id, tgt_id, cos_sim,
+             row_number() OVER w AS rnk,
+             lead(cos_sim) OVER w AS runner_up
+      FROM cand
+      WINDOW w AS (PARTITION BY src_id ORDER BY cos_sim DESC, tgt_id)
+    )
+    SELECT src_id, tgt_id, cos_sim, cos_sim - runner_up AS margin
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def q_llm_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEXT MINING for multilingual training data: for every English
+    document, the best NON-English candidate by embedding cosine
+    within the same label block, scored with the absolute MARGIN over
+    the runner-up (the margin-criterion idea of Artetxe & Schwenk,
+    ACL'19, in its difference form — a ratio margin would divide by
+    near-zero cosines on this near-orthogonal fixture). High-margin
+    rows are the aligned-pair candidates a translation-pair pipeline
+    promotes; low margins flag hubness (one target near-best for many
+    sources). Exactness: cosines are the exact left-to-right folds,
+    the runner-up comes from a lead() over the (cos DESC, tgt_id)
+    tiebroken window — identical in both engines; margin is one
+    double subtraction (NULL when a block offers a single candidate).
+    Scale shape: candidates are LABEL-blocked (the
+    q_llm_embedding_near_dup argument: never |src|x|tgt| global, cost
+    ∝ Σ_label |src_l|·|tgt_l|), one src-keyed window, one row out per
+    English doc."""
+    from kafka_streams_clojure_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    e = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    src = e.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("src_id"), "label", F.col("embedding").alias("sv")
+    )
+    tgt = e.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("tgt_id"), "label", F.col("embedding").alias("tv")
+    )
+    scored = src.join(tgt, "label").select(
+        "src_id", "tgt_id", cosine(F.col("sv"), F.col("tv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), "tgt_id")
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("runner_up", F.lead("cos_sim").over(w))
+    )
+    return ranked.filter(F.col("rnk") == 1).select(
+        "src_id",
+        "tgt_id",
+        "cos_sim",
+        (F.col("cos_sim") - F.col("runner_up")).alias("margin"),
+    )
+
+
+def _sql_winnow_fps(src: str, sfx: str) -> str:
+    """DuckDB CTE chain computing winnowing fingerprints (k=4, w=4 —
+    the exact q_llm_winnowing conventions) over source CTE ``src``,
+    with every CTE name suffixed so two slices can coexist in one
+    WITH. Kept textually in lock-step with the q_llm_winnowing oracle
+    and operators/dedup.winnowing_fingerprints."""
+    return f"""toks{sfx} AS (
+      SELECT doc_id, {_TOK} AS t FROM {src}
+    ),
+    sh{sfx} AS (
+      SELECT doc_id, len(t) - 3 AS nsh, i AS pos,
+             array_to_string(t[i:i+3], ' ') AS s
+      FROM toks{sfx}, unnest(range(1, len(t) - 2)) AS r(i)
+      WHERE len(t) > 4
+      UNION ALL
+      SELECT doc_id, 1 AS nsh, 1 AS pos, array_to_string(t, ' ') AS s
+      FROM toks{sfx} WHERE len(t) <= 4
+    ),
+    hashed{sfx} AS (
+      SELECT doc_id, nsh, pos,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+      FROM sh{sfx}
+    ),
+    fps{sfx} AS (
+      SELECT DISTINCT doc_id, m AS fp FROM (
+        SELECT doc_id, pos, nsh,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM hashed{sfx} WHERE nsh >= 4
+      ) WHERE pos <= nsh - 3
+      UNION
+      SELECT doc_id, min(h) AS fp FROM hashed{sfx} WHERE nsh < 4
+      GROUP BY doc_id
+    )"""
+
+
+@query(
+    "q_llm_decontaminate_fuzzy",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, {_SQL_BUCKET} AS bucket FROM documents
+    ),
+    ev AS (SELECT doc_id, text FROM b WHERE bucket < 5),
+    tr AS (SELECT doc_id, text FROM b WHERE bucket >= 5),
+    {_sql_winnow_fps('ev', '_e')},
+    {_sql_winnow_fps('tr', '_t')},
+    efp AS (SELECT DISTINCT fp FROM fps_e)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps_t t JOIN efp USING (fp)
+    GROUP BY t.doc_id
+    """,
+)
+def q_llm_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training docs sharing any
+    WINNOWING fingerprint with the held-out eval slice (the same
+    deterministic 5% md5-bucket split as q_llm_decontaminate). Where
+    the exact key needs a verbatim shared 4-gram, the winnowing form
+    detects any shared run of >= k+w-1 = 7 words while probing with
+    ~2/(w+1) of the eval slice's shingle mass — the cheap first pass a
+    pipeline runs at crawl scale before the exact confirm. Winnowing
+    fingerprints are md5-based and bit-reproducible in DuckDB, so
+    unlike MinHash this FUZZY family stays exact-oracle (the
+    q_llm_winnowing argument, applied to contamination).
+
+    Scale shape: the eval slice's distinct fingerprints BROADCAST
+    (eval sets are small by definition — the q_llm_decontaminate
+    argument), the training side streams through one codegen shingle
+    build + per-doc window-min and a broadcast hash probe; output one
+    row per contaminated training doc."""
+    from kafka_streams_clojure_spark.operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.withColumn("bucket", _bucket())
+    ev = b.filter(F.col("bucket") < 5).select("doc_id", "text")
+    tr = b.filter(F.col("bucket") >= 5).select("doc_id", "text")
+    efp = winnowing_fingerprints(ev, k=4, window=4).select("fp").distinct()
+    tfp = winnowing_fingerprints(tr, k=4, window=4)
+    return (
+        tfp.join(F.broadcast(efp), "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
