@@ -83,8 +83,12 @@ def stage_metrics(ui: str) -> dict[str, int]:
 
 def main() -> None:
     events_mode = "--events" in sys.argv
+    asof_mode = "--asof" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_docs = int(args[0]) if args else 50_000
+    if asof_mode:
+        run_asof_rehearsal(int(args[0]) if args else 2_000_000)
+        return
     if events_mode:
         if not os.path.exists(f"{OUT_DIR}/events.parquet"):
             t0 = time.perf_counter()
@@ -195,6 +199,87 @@ EVENT_KEYS = [
     "q_events_funnel",
     "q_events_rolling_zscore",
 ]
+
+
+
+
+def run_asof_rehearsal(n_rows: int) -> None:
+    """Hot-key as-of rehearsal (r6 verdict #3's scale evidence): one
+    user holds 30% of an n_rows event stream spanning ~60 days; the
+    PLAIN as-of must sort that user's whole history in one task, the
+    BUCKETED form spreads it over one task per day. Reports wall-clock
+    and shuffle for both (results asserted row-identical first)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.operators.joins import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("asof-rehearsal")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    ui = spark.sparkContext.uiWebUrl
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    # 30% hot user, rest uniform over 1000 cold users; ts over ~60 days
+    ev = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 3, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), (F.col("id") % 1000).cast("string")))
+        .alias("user_id"),
+        (base + F.make_interval(secs=(F.col("id") % 5_184_000).cast("double")))
+        .alias("ts"),
+        (F.col("id") % 2 == 0).alias("is_probe"),
+    )
+    left = ev.filter(F.col("is_probe")).select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(~F.col("is_probe"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    kw = dict(on="user_id", left_ts="ts", right_ts="ts",
+              right_cols=["click_id", "click_ts"], how="left")
+
+    # row-identity first (checksum both forms)
+    def checksum(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("event_id", "user_id", "click_id").cast("bigint")).alias("h"),
+        ).collect()[0]
+
+    plain_df = asof_join(left, right, **kw)
+    bucket_df = asof_join_bucketed(left, right, bucket="1 day", **kw)
+    cp, cb = checksum(plain_df), checksum(bucket_df)
+    assert (cp.n, cp.h) == (cb.n, cb.h), (cp, cb)
+    print(f"row-identity OK: {cp.n} rows, checksum {cp.h}")
+
+    report = {}
+    for name, df_fn in (
+        ("asof_plain", lambda: asof_join(left, right, **kw)),
+        ("asof_bucketed", lambda: asof_join_bucketed(left, right, bucket="1 day", **kw)),
+    ):
+        spark.catalog.clearCache()
+        prev = stage_metrics(ui) if ui else {}
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        cur = stage_metrics(ui) if ui else {}
+        delta = {m: cur[m] - prev[m] for m in cur} if cur else {}
+        report[name] = {"sec": round(dt, 1), **delta}
+        print(name, json.dumps(report[name]))
+    print("REPORT", json.dumps(report))
+    spark.stop()
 
 
 if __name__ == "__main__":
