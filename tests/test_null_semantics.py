@@ -555,3 +555,56 @@ def test_commonness_null_text_excluded(spark, sf_dir):
     wf = tok.groupBy("w").agg(F.count("*").alias("n_w"))
     out = tok.join(wf, "w").groupBy("doc_id").count().collect()
     assert {int(r.doc_id) for r in out} == {1}
+
+
+def test_asof_bucketed_null_semantics_match_plain(spark):
+    """The bucketed as-of must inherit the plain form's null contract
+    exactly: null-key/null-ts RIGHT rows are never matches, and a
+    null-ts LEFT row (bucket NULL inherits no seed) matches nothing —
+    checked by direct comparison against asof_join on data planted
+    with every null case."""
+    from kafka_streams_clojure_spark.operators.joins import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 500_000_000), (2, 1, None), (3, None, 500_000_000)],
+        "lid long, k long, us long",
+    ).selectExpr("lid", "k", "timestamp_micros(us) AS ts")
+    right = spark.createDataFrame(
+        [(1, None, 100), (1, 400_000_000, 200), (None, 300_000_000, 300)],
+        "k long, us long, payload long",
+    ).selectExpr("k", "timestamp_micros(us) AS ts", "payload")
+    kw = dict(on="k", left_ts="ts", right_ts="ts", right_cols=["payload"])
+    plain = {(r.lid, r.payload) for r in asof_join(left, right, **kw).collect()}
+    for bucket in ("1 day", "1 minute"):
+        got = {
+            (r.lid, r.payload)
+            for r in asof_join_bucketed(left, right, bucket=bucket, **kw).collect()
+        }
+        assert got == plain == {(1, 200), (2, None), (3, None)}, (bucket, got)
+
+
+def test_near_dup_ingest_null_text_accepted_without_bands(spark):
+    """A null-text delta doc has no shingles, hence no signature and
+    no band rows — it must be ACCEPTED (nothing to match on) and must
+    contribute NO band rows to the index (a null doc must never become
+    a match-everything bucket)."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        minhash_band_rows,
+        near_dup_ingest_delta,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    index = minhash_band_rows(corpus)
+    batch = spark.createDataFrame(
+        [(10, None), (11, "completely unrelated fresh words here now")],
+        "doc_id bigint, text string",
+    )
+    accepted, bands = near_dup_ingest_delta(batch, index)
+    assert {r.doc_id for r in accepted.collect()} == {10, 11}
+    assert {r.doc_id for r in bands.collect()} == {11}
