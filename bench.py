@@ -87,6 +87,8 @@ EXTRAS = [
     "q_join_asof_forward",     # forward as-of join
     "q_join_asof_bucketed",    # skew-split as-of (per-bucket seeds)
     "q_llm_triplets_scaled",   # B-proportional-to-N contrastive mining
+    "q_llm_bitext_mining",     # margin-criterion cross-lingual pairs
+    "q_llm_decontaminate_fuzzy",  # winnowing-fp eval-overlap first pass
     "q_events_trending",       # per-day top-k
     "q_llm_bloom_dedup",       # Bloom-prefiltered ingest dedup
     "q_events_heavy_hitters_sketch",  # Misra-Gries bounded-memory HH

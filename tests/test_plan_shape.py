@@ -265,6 +265,23 @@ def test_triplet_negative_mining_avoids_nested_loop(spark, sf_dir):
         )
 
 
+def test_capped_pair_joins_carry_doc_freq_filter(spark, sf_dir):
+    """r6 verdict #1's 'done' condition, plan half: the three
+    formerly-uncapped pair-join keys must plan the doc-freq cut — the
+    `__df <= cap` filter on the join input. A refactor that silently
+    drops the cap reverts the family to quadratic-on-hot-keys; this
+    catches it structurally (headline3 catches it as a number)."""
+    import re
+
+    for key, cap in (
+        ("q_llm_containment", 2),
+        ("q_llm_dup_provenance", 2),
+        ("q_llm_winnowing", 4),
+    ):
+        plan = _Q[key](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert re.search(rf"__df#\d+L? <= {cap}\)", plan), (key, plan[:2000])
+
+
 def test_scaled_triplets_keep_bucket_equi_join(spark, sf_dir):
     """The B∝N form (r6 verdict #4) may broadcast its 1-ROW corpus
     count onto the two bucket projections (exactly 2 bounded BNLJs),
