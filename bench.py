@@ -89,6 +89,7 @@ EXTRAS = [
     "q_llm_triplets_scaled",   # B-proportional-to-N contrastive mining
     "q_llm_bitext_mining",     # margin-criterion cross-lingual pairs
     "q_llm_decontaminate_fuzzy",  # winnowing-fp eval-overlap first pass
+    "q_llm_cosine_ann",        # multi-probe sign-LSH (7x probe side)
     "q_events_trending",       # per-day top-k
     "q_llm_bloom_dedup",       # Bloom-prefiltered ingest dedup
     "q_events_heavy_hitters_sketch",  # Misra-Gries bounded-memory HH

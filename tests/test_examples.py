@@ -27,6 +27,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
         "scale_toolkit.py",
         "dashboards.py",
         "audit.py",
+        "contrastive.py",
+        "streaming_cascade.py",
+        "online_ingest.py",
     ],
 )
 def test_example_runs(script):
