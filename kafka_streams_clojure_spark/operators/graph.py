@@ -401,3 +401,50 @@ def personalized_pagerank(
     finally:
         if we_cached:
             und.unpersist()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """``rounds`` iterations of k-core PEELING over the undirected
+    pair graph: each round drops every vertex whose CURRENT degree is
+    below ``k`` (removals cascade — a vertex can fall below k only
+    because its neighbors were peeled). With enough rounds this is the
+    exact k-core decomposition (Seidman 1983); with a FIXED budget it
+    is "rounds levels of peeling", deterministic either way — which is
+    what makes it DuckDB-oracle-able by unrolling the rounds as CTE
+    levels (the integer-PageRank trick: operators/graph.pagerank).
+
+    Returns ``(node, degree)`` — survivors with their within-core
+    degree after the last round.
+
+    Scale shape: per round one degree aggregate (map-side combined,
+    shuffle ∝ surviving vertices) and two semi-joins keyed like the
+    edge list; edge state shrinks monotonically, and
+    ``localCheckpoint`` truncates the per-round lineage exactly as in
+    :func:`connected_components`.
+    """
+    und, we_cached = persist_scoped(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    cur = und
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("a")
+        )
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    out = cur.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return out.select(F.col("a").alias("node"), "degree")

@@ -805,6 +805,73 @@ def _bfs_sql(source: int, hops: int) -> str:
 _BFS_SOURCE, _BFS_HOPS = 1, 3
 
 
+_KCORE_K, _KCORE_ROUNDS = 8, 4
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling oracle (the _pagerank_sql trick): level
+    i+1 keeps level i's edges whose BOTH endpoints have level-i degree
+    >= k. Fixture-verified: 4 rounds reach the true fixpoint at all
+    three SFs for k=8."""
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT o_custkey AS a, l_suppkey + 1000000 AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        UNION
+        SELECT l_suppkey + 1000000 AS a, o_custkey AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      )
+    )"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""k{i} AS (
+      SELECT a FROM e{i} GROUP BY a HAVING count(*) >= {k}
+    ),
+    e{i + 1} AS (
+      SELECT e.a, e.b FROM e{i} e
+      JOIN k{i} ka ON ka.a = e.a
+      JOIN k{i} kb ON kb.a = e.b
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY a"""
+    )
+
+
+@query("q_graph_kcore", oracle=_kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition (k=8) of the customer↔supplier co-purchase
+    graph — the dense-subgraph peel that separates structurally
+    embedded entities from peripheral ones (fraud rings, supply-chain
+    backbones, community cores; Seidman 1983). Each round drops every
+    vertex whose CURRENT degree is below k, cascading; 4 rounds reach
+    the exact fixpoint on the fixtures (verified at all three SFs), and
+    a fixed round budget is what makes the iterative algorithm
+    DuckDB-oracle-able — the oracle unrolls the same 4 integer peeling
+    levels as CTE layers (the q_graph_pagerank trick). Per round: one
+    map-side-combined degree aggregate + two semi-joins keyed like the
+    edge list, state shrinking monotonically; lineage truncated per
+    round (operators/graph.kcore)."""
+    from kafka_streams_clojure_spark.operators.graph import kcore
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("id_a"),
+            (F.col("l_suppkey") + 1000000).alias("id_b"),
+        )
+    )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 @query("q_graph_bfs", oracle=_bfs_sql(_BFS_SOURCE, _BFS_HOPS))
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-hop BFS neighborhood (blast radius) from customer 1 over the

@@ -4796,3 +4796,79 @@ def q_llm_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+@query(
+    "q_llm_budget_select",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST((
+               least(len({_TOK}) / 100.0, 1.0)
+               + CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK})
+               + CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                            / len({_TOK})) BETWEEN 3.0 AND 10.0
+                      THEN 1.0 ELSE 0.5 END
+             ) / 3.0 AS DOUBLE) AS quality,
+             CAST(len({_TOK}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST((sum(n_tok) + 9) // 10 AS BIGINT) AS budget FROM scored
+    ),
+    r AS (
+      SELECT doc_id, quality, n_tok,
+             CAST(row_number() OVER w AS BIGINT) AS rnk,
+             CAST(sum(n_tok) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tok
+      FROM scored
+      WINDOW w AS (ORDER BY quality DESC, doc_id)
+    )
+    SELECT doc_id, quality, n_tok, rnk, cum_tok
+    FROM r CROSS JOIN tot
+    WHERE cum_tok <= budget
+    """,
+)
+def q_llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET curation: keep the highest-quality documents whose
+    cumulative token count fits 10% of the corpus's token mass — the
+    greedy budget cut every "train on the best N tokens" recipe runs
+    (quality-ordered running sum, stop at the budget line). The budget
+    itself is derived IN-PLAN from the corpus ((Σtok+9) DIV 10 — exact
+    integer arithmetic, broadcast 1-row), so the key is scale-free
+    like q_llm_triplets_scaled. Ordering ties (identical texts score
+    identically) are doc_id-broken — the CLAUDE.md ordered-cumsum
+    rule; token counts are integers so the running sum is exact and
+    partition-split-independent. The global running sum is the
+    operators/order.ranked_prefix_sum idiom: range-partitioned local
+    cumsums + one broadcast per-partition prefix — NO single-task
+    window at any corpus size."""
+    from kafka_streams_clojure_spark.operators.order import ranked_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    tot = scored.agg(
+        F.expr("CAST((sum(n_tok) + 9) DIV 10 AS BIGINT)").alias("budget")
+    )
+    ranked = ranked_prefix_sum(
+        scored,
+        order_by=[F.col("quality").desc(), F.col("doc_id")],
+        value_col="n_tok",
+        idx_col="rnk",
+        cum_col="cum_tok",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_tok") <= F.col("budget"))
+        .select(
+            "doc_id",
+            "quality",
+            "n_tok",
+            "rnk",
+            F.col("cum_tok").cast("bigint").alias("cum_tok"),
+        )
+    )

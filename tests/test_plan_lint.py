@@ -75,6 +75,8 @@ _NONEQUI_OK = {
     "q_events_drift_chi2",
     # crossJoin of the broadcast 1-row Σ√n mixture denominator
     "q_llm_mixture_weights",
+    # crossJoin of the broadcast 1-row token-budget aggregate
+    "q_llm_budget_select",
     # crossJoins of the broadcast 1-row corpus-derived bucket count B
     # onto both bucket projections (the B∝N triplet form; the negative
     # candidate join itself stays the md5-bucket EQUI-join —
