@@ -171,3 +171,33 @@ def test_ppr_symmetry(spark):
     r = _ppr(spark, [(1, 2), (2, 3)], seed=2, iters=5)
     assert r[1] == r[3]
     assert r[2] > r[1]
+
+
+def test_kcore_peels_pendants_keeps_clique(spark):
+    """Textbook k-core shape: a 5-clique with pendant chains hanging
+    off it. At k=3 the pendants peel away ROUND BY ROUND (the cascade
+    — a chain node only drops once its outer neighbor is gone) and the
+    clique survives with within-core degree 4; at k=5 everything
+    peels. Also pins the fixed-round contract: every survivor of a
+    CONVERGED run has degree >= k."""
+    from kafka_streams_clojure_spark.operators.graph import kcore
+
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]
+    # two pendant chains: 5-10-11-12 and 2-20
+    chains = [(0, 10), (10, 11), (11, 12), (2, 20)]
+    edges = spark.createDataFrame(clique + chains, "id_a bigint, id_b bigint")
+
+    out = {r.node: r.degree for r in kcore(edges, k=3, rounds=4).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in out.values()), out
+    assert all(d >= 3 for d in out.values())
+
+    # the cascade, visible at k=2: chain interiors have degree 2, so
+    # only the ENDPOINTS peel in round 1 (12, 20); each further round
+    # peels one more chain node as its outer neighbor disappears
+    partial = {r.node for r in kcore(edges, k=2, rounds=1).collect()}
+    assert {10, 11} <= partial and 12 not in partial and 20 not in partial
+    full2 = {r.node for r in kcore(edges, k=2, rounds=4).collect()}
+    assert full2 == {0, 1, 2, 3, 4}
+
+    assert kcore(edges, k=5, rounds=4).count() == 0
