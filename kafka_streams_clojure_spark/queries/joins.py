@@ -318,9 +318,12 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The as-of join at PRODUCTION SKEW (r6 verdict #3, SCALE.md
-    "Joins"): identical semantics — and the identical DuckDB ``ASOF
-    JOIN`` oracle text — as `q_join_asof`, but windowed over
+    """The as-of join at PRODUCTION SKEW — the KStream⋈KTable
+    enrichment row (reference README.md:30-34) under the
+    one-user-is-10%-of-the-stream load a real deployment sees
+    (r6 verdict #3, SCALE.md "Joins"): identical semantics — and the
+    identical DuckDB ``ASOF JOIN`` oracle text — as `q_join_asof`,
+    but windowed over
     ``(user, day-bucket)`` instead of the user alone, with each
     bucket's inherited state carried in as a seed row
     (operators/joins.asof_join_bucketed). The plain form puts a hot
