@@ -381,13 +381,7 @@ def minhash_lsh_pairs(
     ).join(
         sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")), "id_b"
     )
-    eq = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    est = (eq.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard")
+    est = _est_jaccard(F.col("sig_a"), F.col("sig_b"), n_hashes).alias("est_jaccard")
     return pairs.select("id_a", "id_b", est).filter(F.col("est_jaccard") >= threshold)
 
 
