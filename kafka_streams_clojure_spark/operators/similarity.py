@@ -685,3 +685,34 @@ def mmr_topk(
         )
         selected = selected.union(pick)
     return selected
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss RANDOM PROJECTION: multiply every vector
+    by a deterministic ``out_dim × dim`` Gaussian matrix (the
+    :func:`random_hyperplanes` generator, so the matrix is a pure
+    function of the seed — reproducible across runs AND engines).
+    JL is the standard pre-ANN dimensionality cut at corpus scale:
+    pairwise distances are preserved within (1±ε) for
+    out_dim = O(log n / ε²), and every downstream op (top-k, LSH,
+    IVF) gets a dim/out_dim-fold cheaper vector column.
+
+    Returns the EXPLODED row form ``(id, dim, value)`` (the
+    q_llm_quantize_int8 surface convention). Pure map — zero shuffles
+    at any corpus size; each output value is one left-to-right
+    64-term double fold (:func:`dot`), bit-reproducible in DuckDB.
+    """
+    planes = random_hyperplanes(dim, out_dim, seed=seed)
+    vals = F.array(
+        *[dot(F.col(vec_col), _vec_lit(p)) for p in planes]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(vals).alias("dim", "value")
+    )

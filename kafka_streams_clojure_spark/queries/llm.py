@@ -4872,3 +4872,52 @@ def q_llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tok").cast("bigint").alias("cum_tok"),
         )
     )
+
+
+#: JL projection constants: the 16x64 Gaussian matrix is a pure
+#: function of the seed (operators/similarity.random_hyperplanes), so
+#: BOTH engines receive the identical matrix — Spark as F.lit doubles,
+#: DuckDB as 17-significant-digit E-NOTATION literals (e-notation =
+#: approximate numeric = DOUBLE; bare decimals would parse as DECIMAL,
+#: the CLAUDE.md literal trap). 17 sig digits round-trips IEEE754
+#: exactly, so the per-element products — and the left-to-right
+#: 64-term folds — are bit-identical.
+from kafka_streams_clojure_spark.operators.similarity import (  # noqa: E402
+    random_hyperplanes as _jl_planes_gen,
+)
+
+_JL_OUT_DIM, _JL_SEED = 16, 7
+_JL_PLANES = _jl_planes_gen(64, _JL_OUT_DIM, seed=_JL_SEED)
+
+
+def _sql_dvec(p: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.17e}" for x in p) + "]"
+
+
+_JL_SQL = "\n    UNION ALL\n    ".join(
+    f"""SELECT vec_id, {j} AS dim,
+      list_sum(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * ({_sql_dvec(p)})[i])) AS value
+    FROM embeddings"""
+    for j, p in enumerate(_JL_PLANES)
+)
+
+
+@query("q_llm_random_projection", oracle=_JL_SQL)
+def q_llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss RANDOM PROJECTION of the embedding table
+    to 16 dimensions — the standard pre-ANN cut at corpus scale
+    (pairwise distances preserved within (1±ε) for out_dim =
+    O(log n/ε²); every downstream top-k/LSH/IVF pass gets 4× narrower
+    vectors). The projection matrix is seeded-deterministic and baked
+    into BOTH engines (see `_JL_PLANES`), each output value is one
+    left-to-right 64-term double fold, and the result ships in the
+    exploded (id, dim, value) row form (the q_llm_quantize_int8
+    surface convention). Pure map — zero shuffles at any corpus
+    size."""
+    from kafka_streams_clojure_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(
+        emb, out_dim=_JL_OUT_DIM, dim=64, seed=_JL_SEED
+    )

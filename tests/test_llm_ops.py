@@ -1015,3 +1015,49 @@ def test_winnowing_guarantee_and_recall(spark, docs, sf_dir):
     assert exact08, "fixture should contain strong near-dups"
     recall = len(exact08 & cand) / len(exact08)
     assert recall >= 0.9, f"winnowing recall {recall:.2f} over {len(exact08)}"
+
+
+def test_random_projection_preserves_distances_on_average(spark, emb, sf_dir):
+    """The JL semantic claim (not just oracle parity): projected
+    pairwise L2 distances estimate the originals. With out_dim=16 a
+    single ratio has std ≈ sqrt(2/16) ≈ 0.35, but the MEAN ratio over
+    many pairs concentrates near 1 (deterministic here: fixed matrix,
+    fixed fixture). Scaling: E[||Px||²] = out_dim·||x||²/... — we use
+    the empirical mean-ratio gate, which also catches a wrong matrix
+    orientation or a dropped dimension."""
+    import numpy as np
+
+    from kafka_streams_clojure_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(60).collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    P = np.array(random_hyperplanes(64, 16, seed=7), dtype=np.float64)
+    Y = X @ P.T
+    # JL scaling: E[||Px||^2] = ||x||^2 * sum of plane norms / ...; for
+    # Gaussian planes the unbiased distance estimate divides by
+    # sqrt(out_dim) when planes are N(0,1): ||Px||^2 ~ ||x||^2 * 16
+    ratios = []
+    for i in range(0, 50):
+        a, b = X[i], X[i + 5]
+        pa, pb = Y[i], Y[i + 5]
+        d0 = np.linalg.norm(a - b)
+        d1 = np.linalg.norm(pa - pb) / np.sqrt(16.0)
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    m = float(np.mean(ratios))
+    assert 0.8 <= m <= 1.2, m
+    # and the ENGINE's projection matches the numpy reference exactly
+    # (same matrix, same fold inputs; fold vs BLAS differ only in
+    # accumulation order — allow 1e-9)
+    got = {
+        (r.vec_id, r.dim): r.value
+        for r in _registered("q_llm_random_projection")(
+            spark, sf_dir
+        ).collect()
+    }
+    ids = [int(r.vec_id) for r in rows]
+    for row_i, vid in enumerate(ids[:10]):
+        for j in range(16):
+            assert abs(got[(vid, j)] - Y[row_i, j]) < 1e-9, (vid, j)
