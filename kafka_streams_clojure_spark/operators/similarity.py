@@ -716,3 +716,53 @@ def random_projection(
     return df.select(
         F.col(id_col), F.posexplode(vals).alias("dim", "value")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k_cells: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_block: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): SEMANTIC deduplication in
+    embedding space — cluster the corpus with the deterministic
+    k-means quantizer, then inside each cell drop every vector that
+    has a LOWER-id neighbor with cosine >= ``threshold`` (the keep-min
+    rule of :func:`operators.dedup.exact_dedup`, applied to semantic
+    neighborhoods). This is the embedding-side production recipe
+    (LAION / DataComp style) that catches paraphrases and re-encodes
+    the text-shingle family cannot see.
+
+    Returns the SURVIVORS as ``(id, cell)``.
+
+    Scale shape: the quantizer build is iters × (one corpus scan + two
+    aggregates); assignment is one broadcast-centroid scan; the
+    within-cell pair search is the cell-BLOCKED
+    :func:`embedding_cosine_near_dups` plan — cost Σ|cell|², with the
+    same enforced ``max_block`` guard (a skewed cell fails loudly or
+    routes through LSH, never silently quadratic; at 100 TB raise
+    ``k_cells`` ∝ corpus so cells stay bounded). Deterministic end to
+    end (seeded-free: k-means seeds are the k lowest ids) but floats
+    iterate → rows-only, invariant-gated.
+    """
+    cents = kmeans_centroids(
+        df, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    assigned = _assign_cells(
+        df.select(id_col, vec_col), cents, vec_col=vec_col, id_cols=[id_col]
+    )
+    pairs = embedding_cosine_near_dups(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+        threshold=threshold,
+        max_block=max_block,
+        dim=dim,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(drops, id_col, "left_anti").select(id_col, "cell")

@@ -4921,3 +4921,22 @@ def q_llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         emb, out_dim=_JL_OUT_DIM, dim=64, seed=_JL_SEED
     )
+
+
+@query("q_llm_semdedup")  # iterative float k-means — rows-only
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): SEMANTIC dedup in embedding space
+    — k-means cells (the deterministic IVF quantizer), then inside
+    each cell drop every vector with a lower-id cosine >= 0.95
+    neighbor. Catches paraphrases/re-encodes the text-shingle family
+    can't see — the embedding-side member of the dedup suite beside
+    exact (hash), fuzzy-text (shingle/MinHash/winnowing), and
+    edit-distance. Rows-only (k-means iterates floats); planted-dup
+    keep-min and survivor invariants in tests/test_llm_ops.py. Scale:
+    quantizer = iters corpus scans; pair search is cell-blocked
+    Σ|cell|² with the enforced max_block guard — raise k_cells ∝
+    corpus so cells stay bounded (operators/similarity.semdedup)."""
+    from kafka_streams_clojure_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k_cells=16, iters=3, threshold=0.95)

@@ -1061,3 +1061,28 @@ def test_random_projection_preserves_distances_on_average(spark, emb, sf_dir):
     for row_i, vid in enumerate(ids[:10]):
         for j in range(16):
             assert abs(got[(vid, j)] - Y[row_i, j]) < 1e-9, (vid, j)
+
+
+def test_semdedup_drops_planted_semantic_dups(spark, emb, sf_dir):
+    """SemDeDup invariants: (a) planted exact-copy vectors (cosine 1)
+    are dropped in favor of their lower-id original — copies land in
+    the SAME cell by construction (identical vectors, deterministic
+    tie-break), so the cell blocking cannot hide them; (b) the
+    registered key runs and keeps a sane survivor share; (c) survivors
+    are unique ids."""
+    from kafka_streams_clojure_spark.operators.similarity import semdedup
+
+    planted = emb.filter(F.col("vec_id") < 15).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    corpus = emb.unionByName(planted)
+    survivors = {int(r.vec_id) for r in semdedup(corpus, k_cells=16).collect()}
+    for i in range(15):
+        assert i + 1_000_000 not in survivors, f"copy {i} survived"
+        assert i in survivors, f"original {i} was dropped instead of its copy"
+
+    out = _registered("q_llm_semdedup")(spark, sf_dir).collect()
+    ids = [int(r.vec_id) for r in out]
+    n_total = emb.count()
+    assert len(ids) == len(set(ids))
+    assert 0.5 * n_total <= len(ids) <= n_total

@@ -77,6 +77,9 @@ _NONEQUI_OK = {
     "q_llm_mixture_weights",
     # crossJoin of the broadcast 1-row token-budget aggregate
     "q_llm_budget_select",
+    # crossJoins of the broadcast k-row centroid table (kmeans build +
+    # cell assignment — the q_llm_ivf_topk/nearest_centroid precedent)
+    "q_llm_semdedup",
     # crossJoins of the broadcast 1-row corpus-derived bucket count B
     # onto both bucket projections (the B∝N triplet form; the negative
     # candidate join itself stays the md5-bucket EQUI-join —
