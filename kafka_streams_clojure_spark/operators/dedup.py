@@ -312,22 +312,31 @@ def near_dup_ingest_delta(
     recomputed for the band-rows output; a production loop persists
     the delta signature projection once per batch."""
     bb = minhash_band_rows(new_df, id_col, text_col, k, n_hashes, bands)
-    cand = (
-        bb.select(
-            F.col(id_col).alias("__nid"),
-            F.col("signature").alias("sig_n"),
-            "band",
-            "bucket",
-        )
+    # Dedup candidate (delta, index-doc) pairs at ID WIDTH before
+    # scoring — a delta doc colliding with the same index doc in
+    # several bands otherwise gets zip_with-scored once per colliding
+    # band, each row carrying two full 32-long signatures. Same
+    # discipline as minhash_lsh_pairs: distinct on ids, re-attach
+    # signatures once per pair.
+    cand_ids = (
+        bb.select(F.col(id_col).alias("__nid"), "band", "bucket")
         .join(
-            index.select(
-                F.col("signature").alias("sig_o"), "band", "bucket"
-            ),
+            index.select(F.col(id_col).alias("__oid"), "band", "bucket"),
             ["band", "bucket"],
         )
+        .select("__nid", "__oid")
+        .distinct()
     )
+    sig_n = bb.select(
+        F.col(id_col).alias("__nid"), F.col("signature").alias("sig_n")
+    ).dropDuplicates(["__nid"])
+    sig_o = index.select(
+        F.col(id_col).alias("__oid"), F.col("signature").alias("sig_o")
+    ).dropDuplicates(["__oid"])
     dup_ids = (
-        cand.filter(_est_jaccard(F.col("sig_n"), F.col("sig_o"), n_hashes) >= threshold)
+        cand_ids.join(sig_n, "__nid")
+        .join(sig_o, "__oid")
+        .filter(_est_jaccard(F.col("sig_n"), F.col("sig_o"), n_hashes) >= threshold)
         .select(F.col("__nid").alias(id_col))
         .distinct()
     )

@@ -428,12 +428,14 @@ def kcore(
     ``localCheckpoint`` truncates the per-round lineage exactly as in
     :func:`connected_components`.
     """
-    und, we_cached = persist_scoped(
+    # No persist here (unlike the iterative siblings): the undirected
+    # projection is scanned exactly once before the first
+    # localCheckpoint truncates lineage, so a cache would only leak.
+    cur = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    cur = und
     for _ in range(rounds):
         keep = (
             cur.groupBy("a")

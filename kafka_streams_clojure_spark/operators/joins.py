@@ -28,6 +28,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _interval_micros(interval: Column) -> Column:
+    """Length of a day-time interval in microseconds, timezone-INDEPENDENT.
+
+    The previous idiom ``unix_micros(lit('1970-01-01 00:00:00')
+    .cast('timestamp') + interval)`` parses the epoch string in the
+    SESSION timezone, so the result was ``interval_us - tz_offset_us``:
+    in a session east of UTC with an interval shorter than the offset
+    (e.g. '6 hours' at UTC+8) the modulus went zero/negative,
+    ``floor(ts/us)`` became non-monotonic, and the bucketed as-of's
+    seed-carry window silently pulled FUTURE right-state into earlier
+    buckets. ``timestamp_micros(0)`` is epoch UTC in every session.
+
+    The guard branch is literal-foldable, so Catalyst raises at
+    optimization time for a non-positive interval instead of emitting
+    wrong buckets per row.
+    """
+    us = F.unix_micros(F.timestamp_micros(F.lit(0)) + interval)
+    return F.when(us > 0, us).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interval must be a positive day-time interval, got "),
+                us.cast("string"),
+                F.lit(" microseconds"),
+            )
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -170,9 +198,7 @@ def asof_join_bucketed(
     payload = F.struct(
         *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
     )
-    bucket_us = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {bucket}")
-    )
+    bucket_us = _interval_micros(F.expr(f"INTERVAL {bucket}"))
     rtype = right.select(payload.alias("p")).schema["p"].dataType.simpleString()
 
     lhs = left.select(
@@ -312,9 +338,9 @@ def range_join(
     if how != "inner":
         raise ValueError(f"range_join supports how='inner' only, got {how!r}")
     band_col = F.expr(f"INTERVAL {band}") if isinstance(band, str) else band
-    # band length in microseconds, computed in-plan (works for any
-    # day-time interval literal)
-    band_us = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + band_col)
+    # band length in microseconds, computed in-plan, TZ-independent
+    # (works for any day-time interval literal)
+    band_us = _interval_micros(band_col)
     lb = F.floor(F.unix_micros(F.col(left_ts)) / band_us)
     rb = F.floor(F.unix_micros(F.col(right_ts)) / band_us)
     lhs = left.withColumn(

@@ -254,7 +254,7 @@ def sq_l2(a: Column, b: Column) -> Column:
 
 def kmeans_centroids(
     df: DataFrame,
-    k: int = 16,
+    k: int | None = 16,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -263,7 +263,19 @@ def kmeans_centroids(
     """Deterministic Lloyd's k-means over an embedding column, pure
     DataFrame ops — the IVF coarse quantizer build.
 
-    Init: the k smallest ``id_col`` vectors (deterministic, no RNG).
+    Init: with an explicit ``k``, the k smallest ``id_col`` vectors
+    (deterministic, no RNG). With ``k=None`` the cell count is derived
+    IN-PLAN ∝ √corpus (r7 verdict #1 / the ``q_llm_triplets_scaled``
+    B∝N precedent): seeds are the rows whose ``xxhash64(id) % stride
+    == 0`` for ``stride = ceil(√N)`` computed as a broadcast 1-row
+    aggregate — expected seed count √N, no driver round-trip, no baked
+    literal, no global sort/limit. √N is the cost-balancing choice for
+    the SemDeDup consumer: assignment work is N·k and within-cell pair
+    work is Σ|cell|² ≈ N²/k, so k = √N puts both at N^1.5 — the
+    standard IVF ``nlist ≈ √N`` rule. The min-id row is always a seed
+    (guards the tiny-N case where the hash filter could select zero
+    rows).
+
     Each iteration: broadcast the k centroids, assign every vector to
     its nearest (min_by over the broadcast cross join — one shuffle on
     the row id), then groupBy-average per cell. Per-element sums go
@@ -272,24 +284,50 @@ def kmeans_centroids(
     drift can flip a Voronoi-boundary assignment between runs.
     Distributed cost per iteration is one corpus scan + two aggregates;
     the centroid table itself (k×dim doubles) always fits in a
-    broadcast.
+    broadcast — at N=10⁹, √N ≈ 31.6k centroids ≈ 16 MB.
 
     Returns ``(cell, centroid array<double>)``. Iterative refinement is
     genuinely non-SQL-expressible → consumers are rows-only keys with
     invariant tests.
     """
-    # deterministic seeds: the k lowest-id vectors; the seed's own id is
-    # the cell label (labels only need to be stable, not dense — and
-    # this avoids a global row_number window entirely)
-    cents = (
-        df.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).cast("int").alias("cell"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    # deterministic seeds; the seed's own id is the cell label (labels
+    # only need to be stable, not dense — and this avoids a global
+    # row_number window entirely)
+    vec_as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if k is None:
+        stats = F.broadcast(
+            df.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(F.col(id_col)).alias("__mid"),
+            ).select(
+                "__mid",
+                F.greatest(
+                    F.ceil(F.sqrt(F.col("__n"))).cast("bigint"), F.lit(1)
+                ).alias("__stride"),
+            )
         )
-    )
+        cents = (
+            df.select(id_col, vec_col)
+            .crossJoin(stats)
+            .filter(
+                (F.pmod(F.xxhash64(F.col(id_col)), F.col("__stride")) == 0)
+                | (F.col(id_col) == F.col("__mid"))
+            )
+            .select(
+                F.col(id_col).cast("bigint").alias("cell"),
+                vec_as_double.alias("centroid"),
+            )
+        )
+    else:
+        cents = (
+            df.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).cast("int").alias("cell"),
+                vec_as_double.alias("centroid"),
+            )
+        )
     for _ in range(iters):
         assigned = _assign_cells(df, cents, vec_col=vec_col)
         sums = [
@@ -308,6 +346,13 @@ def kmeans_centroids(
                     ]
                 ).alias("centroid"),
             )
+            # truncate lineage per iteration (the graph.py iterative
+            # discipline): without this, iteration i's plan embeds all
+            # previous iterations' 64-wide decimal aggregates — one
+            # enormous nested plan whose codegen dominated the build
+            # (measured ~10 s → ~4 s at sf0.1). The checkpointed table
+            # is k×dim doubles — metadata-scale at any corpus size.
+            .localCheckpoint(eager=True)
         )
     return cents
 
@@ -720,7 +765,7 @@ def random_projection(
 
 def semdedup(
     df: DataFrame,
-    k_cells: int = 16,
+    k_cells: int | None = None,
     iters: int = 3,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -744,17 +789,29 @@ def semdedup(
     within-cell pair search is the cell-BLOCKED
     :func:`embedding_cosine_near_dups` plan — cost Σ|cell|², with the
     same enforced ``max_block`` guard (a skewed cell fails loudly or
-    routes through LSH, never silently quadratic; at 100 TB raise
-    ``k_cells`` ∝ corpus so cells stay bounded). Deterministic end to
-    end (seeded-free: k-means seeds are the k lowest ids) but floats
-    iterate → rows-only, invariant-gated.
+    routes through LSH, never silently quadratic). With the default
+    ``k_cells=None`` the cell count is derived IN-PLAN ∝ √corpus
+    (:func:`kmeans_centroids` adaptive seeds — the r7 verdict's B∝N
+    treatment): expected cell size √N, so assignment (N·k) and pair
+    search (N²/k) both sit at N^1.5 and the ``max_block`` backstop
+    only trips on genuine density skew, not on corpus growth. An
+    explicit ``k_cells`` pins the cell count (the rehearsal control).
+    Deterministic end to end (seed ids are a pure hash/sort of the id
+    column, no RNG) but floats iterate → rows-only, invariant-gated.
     """
     cents = kmeans_centroids(
         df, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
     )
+    # The assignment is consumed FOUR times downstream (the oversize
+    # guard's count collect, both sides of the within-cell self-join,
+    # and the final anti-join) — without materialization each consumer
+    # re-executes the full iters×(scan+aggs) k-means chain (measured
+    # 4× at sf0.1: 18.8 s → 6 s). localCheckpoint truncates lineage
+    # exactly as in operators/graph's iterative siblings; the
+    # checkpointed footprint is N×(id+vec) rows, the op's working set.
     assigned = _assign_cells(
         df.select(id_col, vec_col), cents, vec_col=vec_col, id_cols=[id_col]
-    )
+    ).localCheckpoint(eager=True)
     pairs = embedding_cosine_near_dups(
         assigned,
         id_col=id_col,

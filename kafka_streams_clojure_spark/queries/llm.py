@@ -4932,11 +4932,80 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't see — the embedding-side member of the dedup suite beside
     exact (hash), fuzzy-text (shingle/MinHash/winnowing), and
     edit-distance. Rows-only (k-means iterates floats); planted-dup
-    keep-min and survivor invariants in tests/test_llm_ops.py. Scale:
-    quantizer = iters corpus scans; pair search is cell-blocked
-    Σ|cell|² with the enforced max_block guard — raise k_cells ∝
-    corpus so cells stay bounded (operators/similarity.semdedup)."""
+    keep-min and survivor invariants in tests/test_llm_ops.py. Scale
+    (r7 verdict #1 closed): the cell count is derived IN-PLAN ∝
+    √corpus (kmeans_centroids adaptive seeds, the triplets-scaled B∝N
+    pattern) so cells stay ~√N-sized at any SF — assignment N·k and
+    cell-blocked pair search Σ|cell|² ≈ N²/k both N^1.5, with the
+    enforced max_block guard kept as the loud-fail backstop for
+    genuine density skew (operators/similarity.semdedup)."""
     from kafka_streams_clojure_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, k_cells=16, iters=3, threshold=0.95)
+    return semdedup(emb, iters=3, threshold=0.95)
+
+
+@query(
+    "q_llm_dedup_reconcile",
+    oracle=f"""
+    WITH {_JACCARD_CAPPED_CTES},
+    epairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+             >= 0.3
+    )
+    SELECT COALESCE(e.id_a, j.id_a) AS id_a,
+           COALESCE(e.id_b, j.id_b) AS id_b,
+           e.cos_sim,
+           j.jaccard,
+           CASE WHEN e.id_a IS NOT NULL AND j.id_a IS NOT NULL THEN 'both'
+                WHEN e.id_a IS NOT NULL THEN 'embedding_only'
+                ELSE 'shingle_only' END AS found_by
+    FROM epairs e
+    FULL OUTER JOIN jpairs_c j ON e.id_a = j.id_a AND e.id_b = j.id_b
+    """,
+)
+def q_llm_dedup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FAMILY DEDUP RECONCILIATION (r7 verdict #4): full-outer
+    join of the exact embedding-cosine near-dup pairs
+    (q_llm_embedding_near_dup, cosine >= 0.3 within label blocks) with
+    the production capped-shingle Jaccard pairs
+    (q_llm_ngram_jaccard_capped, word-4-gram >= 0.5), tagging each pair
+    'both' / 'embedding_only' / 'shingle_only'. This is the audit a
+    pipeline operator runs to decide WHICH dedup passes a corpus needs
+    — the SemDeDup paper's motivation (paraphrases/re-encodes are
+    invisible to shingles; boilerplate-only overlap is invisible to
+    embeddings) made measurable on the fixtures. The fixture id space
+    is shared (doc_id and vec_id both 0..N-1 — the q_llm_triplet_eval
+    contract), which is what makes the pair-level join meaningful.
+    Both input chains are independently exact-oracle-gated, so the
+    reconciliation inherits their arithmetic bit-for-bit; the outer
+    join adds one shuffle on the (tiny) pair tables. Fixture note: the
+    cosine threshold is 0.3 (near-orthogonal synthetic vectors, max
+    pairwise ~0.48); real corpora would run ~0.95."""
+    emb_p = q_llm_embedding_near_dup(spark, sf_dir)
+    jac_p = q_llm_ngram_jaccard_capped(spark, sf_dir)
+    joined = emb_p.join(jac_p, ["id_a", "id_b"], "full_outer")
+    return joined.select(
+        "id_a",
+        "id_b",
+        "cos_sim",
+        "jaccard",
+        F.when(
+            F.col("cos_sim").isNotNull() & F.col("jaccard").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("cos_sim").isNotNull(), F.lit("embedding_only"))
+        .otherwise(F.lit("shingle_only"))
+        .alias("found_by"),
+    )

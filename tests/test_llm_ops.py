@@ -1076,13 +1076,41 @@ def test_semdedup_drops_planted_semantic_dups(spark, emb, sf_dir):
         "vec_id", F.col("vec_id") + 1_000_000
     )
     corpus = emb.unionByName(planted)
-    survivors = {int(r.vec_id) for r in semdedup(corpus, k_cells=16).collect()}
-    for i in range(15):
-        assert i + 1_000_000 not in survivors, f"copy {i} survived"
-        assert i in survivors, f"original {i} was dropped instead of its copy"
+    # both the pinned-k rehearsal control AND the adaptive (cells ∝
+    # √corpus, in-plan) default must catch every planted copy
+    for k_cells in (16, None):
+        survivors = {
+            int(r.vec_id) for r in semdedup(corpus, k_cells=k_cells).collect()
+        }
+        for i in range(15):
+            assert i + 1_000_000 not in survivors, f"copy {i} survived k={k_cells}"
+            assert i in survivors, f"original {i} dropped instead of copy k={k_cells}"
 
     out = _registered("q_llm_semdedup")(spark, sf_dir).collect()
     ids = [int(r.vec_id) for r in out]
     n_total = emb.count()
     assert len(ids) == len(set(ids))
     assert 0.5 * n_total <= len(ids) <= n_total
+
+
+def test_semdedup_cells_scale_with_corpus(spark):
+    """r7 verdict #1 (the one `weak` operator): the adaptive cell
+    count must be derived in-plan ∝ √corpus — cells VARY with the SF
+    instead of the old pinned k_cells=16, so at 100 TB the max_block
+    guard only trips on genuine skew, never on corpus growth. Checks
+    every fixture SF: survivor cell count lands within [√N/3, 3√N]
+    and strictly grows from the 500-row to the 2000-row corpus."""
+    import math
+
+    from kafka_streams_clojure_spark.operators.similarity import semdedup
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    n_cells: dict[str, int] = {}
+    for sf in ("0.001", "0.01", "0.1"):
+        emb = load_table(spark, f"/root/testdata/sf{sf}", "embeddings")
+        out = semdedup(emb, iters=1).select("cell").distinct().collect()
+        n = emb.count()
+        root = math.sqrt(n)
+        assert root / 3 <= len(out) <= 3 * root, (sf, n, len(out))
+        n_cells[sf] = len(out)
+    assert n_cells["0.1"] > n_cells["0.001"], n_cells

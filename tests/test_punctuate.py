@@ -157,3 +157,27 @@ def test_punctuate_rejects_bad_args(spark, sf_dir):
         punctuate_flush(ev, interval="1 hour", time_mode="nope")
     with pytest.raises(ValueError, match="interval"):
         punctuate_flush(ev, interval="soon", time_mode="stream")
+
+
+def test_wall_clock_punctuate_registered_key_content(spark, sf_dir):
+    """The registered rows-only key q_stream_punctuate_wall must emit
+    exactly one row per fixture key (user_id < 10), each carrying its
+    FULL single-batch buffer — (key, n, total) equal to the batch
+    aggregation, with total decimal-exact. Only firing time is
+    nondeterministic; content is pinned here."""
+    import __spark_entry__ as entrymod
+
+    from kafka_streams_clojure_spark.queries._util import dsum, load_table
+
+    got = {
+        (int(r.key), int(r.n), float(r.total))
+        for r in entrymod.queries()["q_stream_punctuate_wall"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    want = {
+        (int(r.key), int(r.n), float(r.total))
+        for r in ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .collect()
+    }
+    assert got == want

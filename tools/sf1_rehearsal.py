@@ -84,10 +84,14 @@ def stage_metrics(ui: str) -> dict[str, int]:
 def main() -> None:
     events_mode = "--events" in sys.argv
     asof_mode = "--asof" in sys.argv
+    r7_mode = "--r7" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_docs = int(args[0]) if args else 50_000
     if asof_mode:
         run_asof_rehearsal(int(args[0]) if args else 2_000_000)
+        return
+    if r7_mode:
+        run_r7_rehearsal(int(args[0]) if args else 1)
         return
     if events_mode:
         if not os.path.exists(f"{OUT_DIR}/events.parquet"):
@@ -278,6 +282,137 @@ def run_asof_rehearsal(n_rows: int) -> None:
         delta = {m: cur[m] - prev[m] for m in cur} if cur else {}
         report[name] = {"sec": round(dt, 1), **delta}
         print(name, json.dumps(report[name]))
+    print("REPORT", json.dumps(report))
+    spark.stop()
+
+
+#: r7-family rehearsal keys (r7 verdict #3): measure shuffle/exchange
+#: growth at 1x vs 10x fixture scale for the round-7 additions.
+R7_KEYS = [
+    "q_llm_semdedup",            # cells ∝ √corpus (the r8 fix under test)
+    "q_llm_bitext_mining",       # label-blocked margin candidates
+    "q_llm_decontaminate_fuzzy", # broadcast eval-fp probe
+    "q_graph_kcore",             # 4-round peeling ∝ E
+]
+
+
+def generate_r7(d: str, mult: int) -> None:
+    """sf0.1-shaped documents/embeddings/orders/lineitem scaled by
+    ``mult`` (sf0.1 = 5k docs / 2k vecs / 150k orders / 600k lines).
+    Embeddings follow the fixture profile (64-dim float32, label
+    0..9) with ~2% planted exact copies so semdedup has work to do;
+    orders/lineitem carry only the columns q_graph_kcore reads."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d, exist_ok=True)
+    rng = random.Random(42)
+    nprng = np.random.default_rng(42)
+
+    n_docs = 5_000 * mult
+    texts: list[str] = []
+    for _ in range(n_docs):
+        n = rng.randint(15, 60)
+        texts.append(" ".join(rng.choice(VOCAB) for _ in range(n)))
+    n_near = n_docs // 25
+    for i in range(n_near):
+        src = rng.randrange(n_docs - n_near)
+        words = texts[src].split()
+        for _ in range(max(1, len(words) // 10)):
+            words[rng.randrange(len(words))] = rng.choice(VOCAB)
+        texts[n_docs - n_near + i] = " ".join(words)
+    langs = ["en"] * 8 + ["de", "zh"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array([langs[i % 10] for i in range(n_docs)]),
+                "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+
+    n_vec = 2_000 * mult
+    emb = nprng.standard_normal((n_vec, 64)).astype(np.float32)
+    n_copy = n_vec // 50
+    for i in range(n_copy):  # planted exact copies of earlier vectors
+        emb[n_vec - n_copy + i] = emb[nprng.integers(0, n_vec - n_copy)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vec), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+                "label": pa.array([i % 10 for i in range(n_vec)], pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+
+    n_ord, n_li = 150_000 * mult, 600_000 * mult
+    n_cust, n_supp = 15_000 * mult, 1_000 * mult
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_ord), pa.int64()),
+                "o_custkey": pa.array(
+                    nprng.integers(0, n_cust, n_ord), pa.int64()
+                ),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(nprng.integers(0, n_ord, n_li), pa.int64()),
+                "l_suppkey": pa.array(nprng.integers(0, n_supp, n_li), pa.int64()),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+
+
+def run_r7_rehearsal(mult: int) -> None:
+    d = f"/tmp/sf1_r7_x{mult}"
+    if not os.path.exists(f"{d}/documents.parquet"):
+        t0 = time.perf_counter()
+        generate_r7(d, mult)
+        print(f"generated x{mult} fixtures in {time.perf_counter()-t0:.1f}s")
+
+    from pyspark.sql import SparkSession
+
+    from kafka_streams_clojure_spark.queries import queries
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("sf1-r7-rehearsal")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    ui = spark.sparkContext.uiWebUrl
+    qs = queries()
+    report = {}
+    prev = {"n_stages": 0, "shuffle_read_b": 0, "shuffle_write_b": 0, "input_b": 0}
+    for k in R7_KEYS:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[k](spark, d).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        cur = stage_metrics(ui) if ui else {}
+        delta = {m: cur[m] - prev[m] for m in cur} if cur else {}
+        prev = cur or prev
+        report[k] = {"sec": round(dt, 1), **{m: delta.get(m) for m in delta}}
+        print(k, json.dumps(report[k]))
     print("REPORT", json.dumps(report))
     spark.stop()
 
