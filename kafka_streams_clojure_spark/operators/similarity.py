@@ -823,3 +823,59 @@ def semdedup(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(drops, id_col, "left_anti").select(id_col, "cell")
+
+
+def semdedup_ingest_delta(
+    new_df: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """ONLINE SemDeDup: dedup an ingest DELTA of embeddings against a
+    STANDING cell-assigned index — the embedding-space twin of
+    :func:`operators.dedup.near_dup_ingest_delta` and the op a
+    continuously-crawling multimodal/embedding pipeline runs per batch
+    (LAION-style online semantic dedup). The quantizer (``centroids``,
+    a :func:`kmeans_centroids` table built ONCE from the historical
+    corpus) stays FIXED across batches — that is what makes cell
+    membership stable, so a delta vector only ever probes the one cell
+    its nearest centroid names (the IVF probe shape). Delta vectors
+    with any index neighbor at cosine >= ``threshold`` in their cell
+    are dropped; survivors are returned together with their
+    ``(id, cell, vec)`` rows for the caller to APPEND to the index —
+    the cross-batch contract (a near-copy arriving in a later batch is
+    caught against an earlier batch's acceptance).
+
+    Scale shape: per batch one broadcast-centroid assignment scan of
+    the DELTA only (the corpus is never rescanned), then a cell
+    equi-join delta×(cell members) — with the index built on adaptive
+    ~√N cells (kmeans_centroids ``k=None``), expected probe cost per
+    delta row is √N vectors, never the corpus. The index carries
+    fixed-width rows (id + cell + the vector), keyed exactly how the
+    probe reads it — partition the store by ``cell`` at scale.
+    Fixed-quantizer drift (cells going stale as the distribution
+    moves) is handled operationally: rebuild centroids + re-assign
+    offline, swap the store — same recipe as any IVF index rebuild.
+    """
+    assigned = _assign_cells(
+        new_df.select(id_col, vec_col), centroids, vec_col=vec_col,
+        id_cols=[id_col],
+    )
+    probe = assigned.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nv"),
+        "cell",
+    ).join(
+        index.select(F.col(vec_col).alias("__iv"), "cell"),
+        "cell",
+    )
+    dup_ids = (
+        probe.filter(cosine(F.col("__nv"), F.col("__iv")) >= threshold)
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    accepted = new_df.join(dup_ids, id_col, "left_anti")
+    accepted_rows = assigned.join(accepted.select(id_col), id_col, "left_semi")
+    return accepted, accepted_rows.select(id_col, "cell", vec_col)

@@ -1259,3 +1259,73 @@ def q_stream_punctuate_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total")
     )
     return emitted.select("key", "n").join(exact, "key").select("key", "n", "total")
+
+
+@query("q_stream_semdedup_ingest")  # float k-means quantizer — rows-only
+def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup at ingest — the EMBEDDING-space member of the
+    ingest-dedup family (exact fp `q_stream_dedup_ingest`, MinHash
+    `q_stream_near_dup_ingest`, now cosine): each micro-batch of
+    incoming vectors is assigned to its nearest cell of a STANDING
+    k-means quantizer (built once from the historical corpus — every
+    3rd vector, the family's convention), probed against a standing
+    cell-assigned index, dropped on any cosine >= 0.95 neighbor, and
+    survivors are APPENDED to the index — so a paraphrase/re-encode
+    arriving in a later batch is caught against an earlier batch's
+    acceptance (the cross-batch contract,
+    tests/test_incremental_passage_dedup.py planted-copy tests).
+
+    Rows-only: the quantizer is iterative float k-means. Content is
+    still deterministic on the fixtures (history members match
+    themselves at cosine 1.0 and are dropped; the near-orthogonal
+    fixture has no natural >= 0.95 cross pairs) — pinned by the
+    invariant test, not an oracle. Scale shape: per batch, ONE
+    broadcast-centroid assignment scan of the delta + a cell equi-join
+    against ~√N-sized cells (operators/similarity.semdedup_ingest_delta
+    docstring); the corpus is never rescanned."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup_ingest_delta,
+        _assign_cells,
+    )
+
+    hist = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 3 == 0
+    )
+    cent_root = scratch_dir("kscs_semdedup_cent_")
+    idx_root = scratch_dir("kscs_semdedup_idx_")
+    out_root = scratch_dir("kscs_semdedup_out_")
+    # quantizer + seeded index, built once (in production these parquet
+    # dirs ARE the persistent store, written by previous runs)
+    kmeans_centroids(hist, k=None, iters=2).write.mode("overwrite").parquet(
+        cent_root
+    )
+    cents0 = spark.read.parquet(cent_root)
+    _assign_cells(
+        hist.select("vec_id", "embedding"), cents0, id_cols=["vec_id"]
+    ).select("vec_id", "cell", "embedding").write.mode("overwrite").parquet(
+        idx_root
+    )
+
+    vecs = stream_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        cents = spark.read.parquet(cent_root)
+        index = spark.read.parquet(idx_root)
+        accepted, accepted_rows = semdedup_ingest_delta(
+            batch_df, index, cents, threshold=0.95
+        )
+        accepted.select("vec_id", "label").write.mode("append").parquet(out_root)
+        accepted_rows.write.mode("append").parquet(idx_root)
+        batch_df.unpersist()
+
+    q = vecs.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.read.parquet(out_root)

@@ -186,3 +186,80 @@ def test_near_dup_ingest_cross_batch_contract(spark):
     # proves the cross-batch drop really came from bands1
     acc2_stale, _ = near_dup_ingest_delta(batch2, index)
     assert {r.doc_id for r in acc2_stale.collect()} == {20, 21}
+
+
+def test_semdedup_ingest_cross_batch_contract(spark):
+    """semdedup_ingest_delta (embedding-space ingest dedup): exact and
+    near (cosine>=0.95) copies of INDEXED vectors are dropped; fresh
+    orthogonal vectors survive; a batch-2 copy of a batch-1 ACCEPTANCE
+    is dropped only when batch 1's rows were appended to the index —
+    the cross-batch contract, mirroring the MinHash twin above."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_streams_clojure_spark.operators.similarity import (
+        _assign_cells,
+        kmeans_centroids,
+        semdedup_ingest_delta,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64)).astype(np.float32)
+
+    def _mk(ids_vecs):
+        pdf = pd.DataFrame(
+            {"vec_id": [i for i, _ in ids_vecs],
+             "embedding": [list(map(float, v)) for _, v in ids_vecs]}
+        )
+        return spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    hist = _mk(list(enumerate(base)))
+    cents = kmeans_centroids(hist, k=None, iters=2).persist()
+    index = _assign_cells(
+        hist.select("vec_id", "embedding"), cents, id_cols=["vec_id"]
+    ).select("vec_id", "cell", "embedding").persist()
+
+    near5 = base[5] + 0.01 * rng.standard_normal(64).astype(np.float32)  # cos ~1
+    fresh_a = rng.standard_normal(64).astype(np.float32)
+    fresh_b = rng.standard_normal(64).astype(np.float32)
+    batch1 = _mk([(100, base[7]), (101, near5), (102, fresh_a)])
+    acc1, rows1 = semdedup_ingest_delta(batch1, index, cents)
+    assert {r.vec_id for r in acc1.collect()} == {102}
+
+    index2 = index.unionByName(rows1)
+    near_fresh_a = fresh_a + 0.01 * rng.standard_normal(64).astype(np.float32)
+    batch2 = _mk([(200, near_fresh_a), (201, fresh_b)])
+    acc2, _ = semdedup_ingest_delta(batch2, index2, cents)
+    assert {r.vec_id for r in acc2.collect()} == {201}
+
+    # without the append, batch 2's near-copy of 102 sails through —
+    # proves the cross-batch drop came from rows1
+    acc2_stale, _ = semdedup_ingest_delta(batch2, index, cents)
+    assert {r.vec_id for r in acc2_stale.collect()} == {200, 201}
+    cents.unpersist()
+    index.unpersist()
+
+
+def test_semdedup_ingest_registered_key_content(spark, sf_dir):
+    """The registered key's fixture content is deterministic: every
+    stream vector whose vec_id ≡ 0 (mod 3) IS the standing index
+    (cosine 1.0 with itself → dropped); the near-orthogonal fixture
+    has no natural >=0.95 cross pairs, so survivors are exactly the
+    non-history ids."""
+    import __spark_entry__ as entrymod
+
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    got = {
+        int(r.vec_id)
+        for r in entrymod.queries()["q_stream_semdedup_ingest"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        int(r.vec_id)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 3 != 0)
+        .collect()
+    }
+    assert got == want
