@@ -772,6 +772,7 @@ def semdedup(
     vec_col: str = "embedding",
     dim: int = 64,
     max_block: int | None = 100_000,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): SEMANTIC deduplication in
     embedding space — cluster the corpus with the deterministic
@@ -798,6 +799,12 @@ def semdedup(
     explicit ``k_cells`` pins the cell count (the rehearsal control).
     Deterministic end to end (seed ids are a pure hash/sort of the id
     column, no RNG) but floats iterate → rows-only, invariant-gated.
+
+    ``n_probe > 1`` closes the paper's boundary blind spot: the pair
+    search runs over each vector's ``n_probe`` nearest cells instead of
+    only the primary one, so a near-dup pair straddling a Voronoi
+    boundary still collides — at ~``n_probe²`` × the within-cell pair
+    cost (see inline note). Survivor labels stay the primary cell.
     """
     cents = kmeans_centroids(
         df, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
@@ -812,8 +819,25 @@ def semdedup(
     assigned = _assign_cells(
         df.select(id_col, vec_col), cents, vec_col=vec_col, id_cols=[id_col]
     ).localCheckpoint(eager=True)
+    if n_probe == 1:
+        probe_rows = assigned
+    else:
+        # Multi-probe recall lever (beyond the paper's single
+        # assignment): a TRUE near-dup pair that straddles a Voronoi
+        # boundary lands in different primary cells and is invisible to
+        # single-probe blocking. Re-assigning every vector to its
+        # n_probe nearest cells makes such a pair collide in at least
+        # one probed cell (near-identical vectors have near-identical
+        # centroid distances, so their top-n_probe cell SETS overlap).
+        # Cost: the pair search runs over n_probe×N block rows —
+        # Σ|cell|² grows ~n_probe², the documented trade. Reported
+        # (id, cell) labels stay the PRIMARY assignment.
+        probe_rows = _assign_cells(
+            df.select(id_col, vec_col), cents, vec_col=vec_col,
+            id_cols=[id_col], n_probe=n_probe,
+        ).localCheckpoint(eager=True)
     pairs = embedding_cosine_near_dups(
-        assigned,
+        probe_rows,
         id_col=id_col,
         vec_col=vec_col,
         block_col="cell",

@@ -1114,3 +1114,35 @@ def test_semdedup_cells_scale_with_corpus(spark):
         assert root / 3 <= len(out) <= 3 * root, (sf, n, len(out))
         n_cells[sf] = len(out)
     assert n_cells["0.1"] > n_cells["0.001"], n_cells
+
+
+def test_semdedup_multiprobe_superset_and_catches_near_copies(spark):
+    """n_probe=2 SemDeDup: (a) drops a SUPERSET of single-probe drops
+    (more blocking can only add collisions); (b) every planted
+    perturbed near-copy (cosine ~1 with its source) is dropped even
+    when a Voronoi boundary might separate primary cells; (c) survivor
+    labels stay the primary cell (one row per survivor)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_streams_clojure_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((120, 64)).astype(np.float32)
+    rows = [(i, list(map(float, base[i]))) for i in range(120)]
+    # perturbed near-copies (cos >= ~0.999) of the first 20 vectors
+    for i in range(20):
+        v = base[i] + 0.005 * rng.standard_normal(64).astype(np.float32)
+        rows.append((1_000 + i, list(map(float, v))))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<float>",
+    )
+    single = {int(r.vec_id) for r in semdedup(corpus, n_probe=1).collect()}
+    multi = semdedup(corpus, n_probe=2).collect()
+    multi_ids = [int(r.vec_id) for r in multi]
+    assert set(multi_ids) <= single  # superset of drops = subset of survivors
+    for i in range(20):
+        assert 1_000 + i not in multi_ids, f"near-copy {i} survived n_probe=2"
+        assert i in multi_ids, f"original {i} dropped instead of its near-copy"
+    assert len(multi_ids) == len(set(multi_ids))
