@@ -10,6 +10,10 @@ this surface is what runs CONTINUOUSLY as new crawls arrive:
   NEAR-dup at ingest       -> q_stream_near_dup_ingest (banded MinHash
                               vs a standing index that grows with each
                               accepted batch)
+  SEMANTIC dedup at ingest -> q_stream_semdedup_ingest (embedding
+                              cosine vs a standing k-means cell index
+                              — catches paraphrases/re-encodes the
+                              text side can't see)
   latest-state enrichment  -> q_join_asof (KStream⋈KTable shape)
   ...at production skew    -> q_join_asof_bucketed (one hot user no
                               longer lands in one task; measured 1.42×
@@ -47,6 +51,12 @@ def main(sf_dir: str, stop: bool = True) -> None:
     n_near = qs["q_stream_near_dup_ingest"](spark, sf_dir).count()
     print(f"near-dup ingest accepted:    {n_near} docs (<= exact: "
           "near-dup also catches mutated re-crawls)")
+
+    #    ...and the embedding-space member: the same delta-vs-index
+    #    loop with cosine >= 0.95 inside fixed k-means cells (the IVF
+    #    probe shape) — the pass that catches paraphrases.
+    n_sem = qs["q_stream_semdedup_ingest"](spark, sf_dir).count()
+    print(f"semantic ingest accepted:    {n_sem} vectors")
 
     # 3. Enrichment: each purchase sees the user's latest click state.
     #    The bucketed form computes the IDENTICAL rows with the window
