@@ -346,14 +346,12 @@ def kmeans_centroids(
                     ]
                 ).alias("centroid"),
             )
-            # truncate lineage per iteration (the graph.py iterative
-            # discipline): without this, iteration i's plan embeds all
-            # previous iterations' 64-wide decimal aggregates — one
-            # enormous nested plan whose codegen dominated the build
-            # (measured ~10 s → ~4 s at sf0.1). The checkpointed table
-            # is k×dim doubles — metadata-scale at any corpus size.
-            .localCheckpoint(eager=True)
         )
+    # NO per-iteration checkpoint: measured ~0 for the 64-dim semdedup
+    # build (the win there is semdedup's checkpoint of the 4×-consumed
+    # ASSIGNMENT), while eager per-iteration jobs added ~2-4 s of fixed
+    # job overhead to pq_codebooks' 8-subspace × iters loop. The final
+    # nested plan executes each iteration's scan exactly once.
     return cents
 
 
