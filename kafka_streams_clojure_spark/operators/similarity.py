@@ -854,6 +854,7 @@ def semdedup_ingest_delta(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """ONLINE SemDeDup: dedup an ingest DELTA of embeddings against a
     STANDING cell-assigned index — the embedding-space twin of
@@ -881,6 +882,25 @@ def semdedup_ingest_delta(
     moves) is handled operationally: rebuild centroids + re-assign
     offline, swap the store — same recipe as any IVF index rebuild.
     """
+    if max_cell is not None:
+        # the family's loud-fail contract (embedding_cosine_near_dups):
+        # a skewed index cell makes the probe join quadratic in that
+        # cell — fail naming the cells rather than silently blow up.
+        # One metadata-scale aggregate over the index per call.
+        oversized = [
+            (r["cell"], int(r["__n"]))
+            for r in index.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_cell)
+            .collect()
+        ]
+        if oversized:
+            raise RuntimeError(
+                f"semdedup_ingest_delta: index cell(s) exceed max_cell="
+                f"{max_cell}: {oversized[:10]}; rebuild the quantizer with "
+                "more cells (kmeans_centroids k=None scales ∝ √corpus) or "
+                "re-shard the oversized cells"
+            )
     assigned = _assign_cells(
         new_df.select(id_col, vec_col), centroids, vec_col=vec_col,
         id_cols=[id_col],

@@ -263,3 +263,34 @@ def test_semdedup_ingest_registered_key_content(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_semdedup_ingest_max_cell_guard(spark):
+    """A skewed index cell beyond max_cell must fail LOUDLY naming the
+    cell, never silently run the quadratic probe."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from kafka_streams_clojure_spark.operators.similarity import (
+        _assign_cells,
+        kmeans_centroids,
+        semdedup_ingest_delta,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 64)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(30), "embedding": [list(map(float, v)) for v in base]}
+    )
+    hist = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(hist, k=2, iters=1)
+    index = _assign_cells(
+        hist.select("vec_id", "embedding"), cents, id_cols=["vec_id"]
+    ).select("vec_id", "cell", "embedding")
+    batch = hist.limit(3)
+    with pytest.raises(RuntimeError, match="max_cell"):
+        semdedup_ingest_delta(batch, index, cents, max_cell=5)
+    # disabling the guard (caller asserts boundedness) still works
+    acc, _ = semdedup_ingest_delta(batch, index, cents, max_cell=None)
+    assert acc.count() == 0  # batch rows are exact copies of the index
