@@ -921,3 +921,108 @@ def semdedup_ingest_delta(
     accepted = new_df.join(dup_ids, id_col, "left_anti")
     accepted_rows = assigned.join(accepted.select(id_col), id_col, "left_semi")
     return accepted, accepted_rows.select(id_col, "cell", vec_col)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    probes_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    dim: int = 64,
+    coarse: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition FAISS ships as its
+    production index (Jégou et al. 2011 §IV): an inverted-file coarse
+    quantizer restricts the search to each probe's ``n_probe`` nearest
+    cells (the :func:`ivf_topk` pruning), and within those cells
+    vectors are scored by asymmetric distance over RESIDUAL product
+    codes (the :func:`pq_topk` memory shape, trained on ``vec −
+    centroid[cell]`` — residuals are tighter-clustered than raw
+    vectors, so the same codebook budget quantizes finer).
+
+    Scale shape, piecewise: the coarse quantizer defaults to the
+    adaptive √N cells (:func:`kmeans_centroids` ``k=None``); corpus
+    assignment + residual is one broadcast-centroid scan; codebooks
+    are m·ks rows (always broadcast); the encoded corpus is m fixed-
+    width code rows per vector (raw vectors never move at query time);
+    the probe side carries n_probe·m·ks ADC table rows per probe
+    (broadcast); and the candidate join keys on (coarse cell, sub,
+    code) — only probed cells' codes are ever touched, never the
+    corpus. Per-(probe, vec) ADC sums go through decimal (the repo's
+    double-sum rule); ties break on ``id_col``.
+
+    Returns ``(probe_id, id, adc_d2)`` ascending per probe. Rows-only
+    (two nested iterative quantizers); self-retrieval / planted-dup /
+    cell-pruning invariants in tests/test_llm_ops.py.
+    """
+    cents = persist_if_uncached(
+        coarse
+        if coarse is not None
+        else kmeans_centroids(
+            df, k=None, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    )
+    residual = F.zip_with(
+        F.col(vec_col), F.col("centroid"), lambda x, y: x.cast("double") - y
+    )
+    # consumed by the m-subspace codebook build AND the encode pass —
+    # materialize once (the semdedup assignment lesson)
+    resid = (
+        _assign_cells(
+            df.select(id_col, vec_col), cents, vec_col=vec_col, id_cols=[id_col]
+        )
+        .join(F.broadcast(cents), "cell")
+        .select(id_col, "cell", residual.alias("__rv"))
+        .localCheckpoint(eager=True)
+    )
+    books = persist_if_uncached(
+        pq_codebooks(resid, m=m, k=ks, iters=iters, id_col=id_col,
+                     vec_col="__rv", dim=dim)
+    )
+    codes = pq_encode(
+        resid, books, m=m, id_col=id_col, vec_col="__rv", dim=dim
+    ).join(resid.select(id_col, F.col("cell").alias("__ivf_cell")), id_col)
+
+    presid = (
+        _assign_cells(
+            probes_df.select(id_col, vec_col), cents, vec_col=vec_col,
+            id_cols=[id_col], n_probe=n_probe,
+        )
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.col(id_col).alias(probe_id_col),
+            F.col("cell").alias("__ivf_cell"),
+            residual.alias("__rv"),
+        )
+    )
+    d = dim // m
+    ptab = (
+        _pq_subvectors(presid, m, d, [probe_id_col, "__ivf_cell"], "__rv")
+        .join(F.broadcast(books), "sub")
+        .select(
+            probe_id_col,
+            "__ivf_cell",
+            "sub",
+            F.col("cell").alias("code"),
+            sq_l2(F.col("v"), F.col("centroid")).alias("d2"),
+        )
+    )
+    cand = (
+        codes.join(F.broadcast(ptab), ["__ivf_cell", "sub", "code"])
+        .groupBy(probe_id_col, id_col)
+        .agg(
+            F.sum(F.col("d2").cast("decimal(38,18)")).cast("double").alias("adc_d2")
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("adc_d2"), F.col(id_col))
+    return (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

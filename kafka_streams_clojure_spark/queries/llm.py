@@ -5009,3 +5009,25 @@ def q_llm_dedup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("shingle_only"))
         .alias("found_by"),
     )
+
+
+@query("q_llm_ivfpq_topk")  # two nested iterative quantizers — rows-only
+def q_llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the composition FAISS ships as its production
+    index and the fourth ANN family beside sign-LSH, IVF-Flat and
+    plain PQ: an adaptive √corpus-cell coarse quantizer restricts each
+    probe to its 4 nearest cells, and inside them candidates are
+    scored by asymmetric distance over RESIDUAL product codes (vec −
+    cell centroid; residuals cluster tighter, so the same m=8 / k=16
+    codebook budget quantizes finer than raw-vector PQ). Raw corpus
+    vectors never move at query time — the probe side carries
+    broadcast ADC tables, the corpus side only its m byte-sized codes
+    within probed cells. Rows-only (nested iterative k-means);
+    self-retrieval, planted-duplicate and cell-pruning invariants in
+    tests/test_llm_ops.py."""
+    from kafka_streams_clojure_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, m=8, ks=16
+    )

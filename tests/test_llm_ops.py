@@ -1146,3 +1146,72 @@ def test_semdedup_multiprobe_superset_and_catches_near_copies(spark):
         assert 1_000 + i not in multi_ids, f"near-copy {i} survived n_probe=2"
         assert i in multi_ids, f"original {i} dropped instead of its near-copy"
     assert len(multi_ids) == len(set(multi_ids))
+
+
+def test_ivfpq_self_retrieval_and_cell_pruning(emb, spark):
+    """IVF-PQ invariants: (a) a probe drawn from the corpus retrieves
+    ITSELF at rank 1 (its ADC distance is pure quantization error,
+    minimal on a near-orthogonal fixture); (b) planted exact copies of
+    the probes surface in the top-k (identical vector → identical cell
+    and codes → identical ADC distance); (c) every returned candidate
+    lies in one of the probe's n_probe nearest coarse cells — the
+    structural proof that the inverted file actually pruned."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        _assign_cells,
+        ivfpq_topk,
+        kmeans_centroids,
+    )
+
+    planted = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    corpus = emb.unionByName(planted)
+    probes = emb.filter(F.col("vec_id") < 3)
+    cents = kmeans_centroids(corpus, k=None, iters=2).persist()
+    out = ivfpq_topk(corpus, probes, k=5, n_probe=4, coarse=cents).collect()
+    by_probe: dict = {}
+    for r in out:
+        by_probe.setdefault(int(r.probe_id), []).append(
+            (float(r.adc_d2), int(r.vec_id))
+        )
+    for p in range(3):
+        ranked = sorted(by_probe[p])
+        ids = [i for _, i in ranked]
+        assert ranked[0][1] in (p, p + 1_000_000), (p, ranked)  # self or its twin
+        assert p in ids and p + 1_000_000 in ids, (p, ids)  # twin surfaces
+        # twin and self tie on ADC distance (identical codes)
+        d_self = dict((i, d) for d, i in ranked)
+        assert abs(d_self[p] - d_self[p + 1_000_000]) < 1e-12
+
+    # (c) candidates ⊆ probed cells
+    corpus_cells = {
+        int(r.vec_id): int(r.cell)
+        for r in _assign_cells(
+            corpus.select("vec_id", "embedding"), cents, id_cols=["vec_id"]
+        ).collect()
+    }
+    probe_cells: dict = {}
+    for r in _assign_cells(
+        probes.select("vec_id", "embedding"), cents, id_cols=["vec_id"], n_probe=4
+    ).collect():
+        probe_cells.setdefault(int(r.vec_id), set()).add(int(r.cell))
+    for r in out:
+        assert corpus_cells[int(r.vec_id)] in probe_cells[int(r.probe_id)], r
+    cents.unpersist()
+
+
+def test_ivfpq_registered_key_shape(spark, sf_dir):
+    """The registered key returns 5 rows per probe, ascending ADC
+    distance, unique candidates per probe."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_llm_ivfpq_topk"](spark, sf_dir).collect()
+    by_probe: dict = {}
+    for r in rows:
+        by_probe.setdefault(int(r.probe_id), []).append(r)
+    assert set(by_probe) == set(range(5))
+    for p, rs in by_probe.items():
+        assert len(rs) == 5
+        assert len({int(r.vec_id) for r in rs}) == 5
+        ds = [float(r.adc_d2) for r in sorted(rs, key=lambda r: float(r.adc_d2))]
+        assert all(d >= 0 for d in ds)
