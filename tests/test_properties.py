@@ -204,3 +204,55 @@ def test_partition_by_matches_python_reference(spark, vals):
             run += 1
         want[i] = run
     assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200_000)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200_000)),
+        min_size=1, max_size=25,
+    ),
+    bucket=st.sampled_from(["90 minutes", "6 hours", "1 day"]),
+    tz=st.sampled_from(["UTC", "Asia/Shanghai", "America/New_York", "Asia/Kathmandu"]),
+)
+@_settings
+def test_asof_bucketed_equals_plain_any_bucket_any_tz(spark, left, right, bucket, tz):
+    """asof_join_bucketed == asof_join for arbitrary key/ts multisets,
+    EVERY bucket granularity and EVERY session timezone — the r8
+    regression surface for the epoch-string modulus bug (a sub-offset
+    bucket east of UTC used to floor by a negative modulus and carry
+    future state backwards). Timestamps span ~2.3 days so all three
+    bucket sizes genuinely split the data."""
+    from kafka_streams_clojure_spark.operators.joins import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    lpdf = pd.DataFrame(left, columns=["k", "s"]).reset_index(names="lid")
+    rpdf = (
+        pd.DataFrame(right, columns=["k", "s"])
+        .drop_duplicates(["k", "s"])
+        .reset_index(drop=True)
+        .reset_index(names="rid")
+    )
+    ldf = spark.createDataFrame(
+        lpdf[["lid", "k", "s"]], "lid long, k long, s long"
+    ).select("lid", "k", F.timestamp_seconds("s").alias("ts"))
+    rdf = spark.createDataFrame(
+        rpdf[["rid", "k", "s"]], "rid long, k long, s long"
+    ).select("rid", "k", F.timestamp_seconds("s").alias("ts"))
+    kw = dict(on="k", left_ts="ts", right_ts="ts", right_cols=["rid"])
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        plain = {(r.lid, r.rid) for r in asof_join(ldf, rdf, **kw).collect()}
+        got = {
+            (r.lid, r.rid)
+            for r in asof_join_bucketed(ldf, rdf, bucket=bucket, **kw).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert got == plain, (bucket, tz, sorted(got ^ plain)[:5])
