@@ -104,6 +104,8 @@ EXTRAS = [
     "q_llm_budget_select",     # token-budget greedy curation cut
     "q_graph_kcore",           # 4-round k-core peeling
     "q_llm_random_projection", # JL dim cut (pure map)
+    "q_llm_ivfpq_topk",        # IVF-PQ (residual codes over probed cells)
+    "q_llm_dedup_reconcile",   # embedding-vs-shingle dedup audit
     "q_events_trending",       # per-day top-k
     "q_llm_bloom_dedup",       # Bloom-prefiltered ingest dedup
     "q_events_heavy_hitters_sketch",  # Misra-Gries bounded-memory HH

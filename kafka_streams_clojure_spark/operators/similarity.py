@@ -474,18 +474,63 @@ def pq_codebooks(
     IVF (the compute-side paths already in this module): each vector
     compresses to m small codes (m bytes at k<=256 vs dim·4 bytes raw,
     32× at the defaults), and query scoring never touches raw vectors.
+
+    All m subspace quantizers train in ONE vectorized Lloyd's chain
+    over the exploded ``(id, sub, v)`` table — every step groups by
+    ``(…, sub)``, so the math is identical to m independent runs (r8:
+    the former per-subspace loop unioned m separate kmeans chains,
+    whose m× distinct plans/codegen dominated the build — pq/ivfpq
+    keys ~2× faster vectorized). Seeds are the k lowest-id vectors'
+    slices (same ids for every sub, labels = seed id as before);
+    per-element means go through DECIMAL so partial-agg order can't
+    drift a centroid (the kmeans_centroids rule).
     """
     if dim % m != 0:
         raise ValueError(f"m ({m}) must divide dim ({dim})")
     d = dim // m
-    books = None
-    for s in range(m):
-        sub = df.select(id_col, F.slice(F.col(vec_col), s * d + 1, d).alias(vec_col))
-        cents = kmeans_centroids(
-            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=d
-        ).select(F.lit(s).alias("sub"), "cell", "centroid")
-        books = cents if books is None else books.unionByName(cents)
-    return books
+    parts = _pq_subvectors(df, m, d, [id_col], vec_col).localCheckpoint(
+        eager=True
+    )  # scanned once per iteration + once for seeds
+    seed_ids = df.select(id_col).orderBy(id_col).limit(k)
+    cents = parts.join(F.broadcast(seed_ids), id_col).select(
+        "sub",
+        F.col(id_col).cast("int").alias("cell"),
+        F.transform(F.col("v"), lambda x: x.cast("double")).alias("centroid"),
+    )
+    sums = [
+        F.sum(F.col("v")[i].cast("decimal(38,18)")).alias(f"s{i}") for i in range(d)
+    ]
+    for _ in range(iters):
+        scored = parts.join(F.broadcast(cents), "sub").select(
+            id_col,
+            "sub",
+            "v",
+            "cell",
+            sq_l2(F.col("v"), F.col("centroid")).alias("__d2"),
+        )
+        assigned = scored.groupBy(id_col, "sub").agg(
+            F.min_by(
+                F.struct(F.col("cell"), F.col("v")),
+                F.struct(F.col("__d2"), F.col("cell")),
+            ).alias("__best")
+        ).select(
+            "sub", F.col("__best.cell").alias("cell"), F.col("__best.v").alias("v")
+        )
+        cents = (
+            assigned.groupBy("sub", "cell")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .select(
+                "sub",
+                "cell",
+                F.array(
+                    *[
+                        (F.col(f"s{i}").cast("double") / F.col("n"))
+                        for i in range(d)
+                    ]
+                ).alias("centroid"),
+            )
+        )
+    return cents
 
 
 def _pq_subvectors(
