@@ -330,27 +330,31 @@ def kmeans_centroids(
         )
     for _ in range(iters):
         assigned = _assign_cells(df, cents, vec_col=vec_col)
-        sums = [
-            F.sum(F.col(vec_col)[i].cast("decimal(38,18)")).alias(f"s{i}")
-            for i in range(dim)
-        ]
-        cents = (
-            assigned.groupBy("cell")
-            .agg(F.count("*").alias("n"), *sums)
-            .select(
-                "cell",
-                F.array(
-                    *[
-                        (F.col(f"s{i}").cast("double") / F.col("n"))
-                        for i in range(dim)
-                    ]
-                ).alias("centroid"),
-            )
+        # NARROW mean aggregate: posexplode to (cell, d, x) rows and
+        # sum one decimal column grouped by (cell, d), then rebuild the
+        # centroid array ordered by dimension. Mathematically identical
+        # to a dim-wide projection of per-element decimal sums (same
+        # sums, same division), but the codegen is one 3-column agg
+        # instead of a 64-wide one — the former dominated the build
+        # (r8: measured on the semdedup/ivfpq coarse quantizers). The
+        # exploded exchange carries k×dim mean rows — metadata-scale.
+        ex = assigned.select("cell", F.posexplode(F.col(vec_col)).alias("d", "x"))
+        cellmeans = ex.groupBy("cell", "d").agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+        cents = cellmeans.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mu"))),
+                lambda s: s["mu"],
+            ).alias("centroid")
         )
     # NO per-iteration checkpoint: measured ~0 for the 64-dim semdedup
     # build (the win there is semdedup's checkpoint of the 4×-consumed
     # ASSIGNMENT), while eager per-iteration jobs added ~2-4 s of fixed
-    # job overhead to pq_codebooks' 8-subspace × iters loop. The final
+    # job overhead to pq_codebooks' former 8-subspace loop. The final
     # nested plan executes each iteration's scan exactly once.
     return cents
 
