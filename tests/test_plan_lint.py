@@ -25,6 +25,10 @@ _NONEQUI_OK = {
     "q_llm_tfidf",
     "q_llm_ivf_topk",
     "q_llm_pq_topk",  # kmeans codebook build broadcasts k centroids
+    # same bounded shapes composed: broadcast-centroid assignment
+    # crossJoins (corpus × √N-cell table, probes × cells), the m·ks-row
+    # codebook broadcast, and the 1-row adaptive-seed stats broadcast
+    "q_llm_ivfpq_topk",
     # crossJoin of a broadcast 1-ROW aggregate (corpus total folded
     # in-plan) — a BNLJ whose build side is a single row is bounded
     "q_llm_domain_mix",
