@@ -169,6 +169,41 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _lsh_buckets_arrow(dim: int, n_planes: int, n_tables: int, seed0: int = 42):
+    """One Arrow-batched UDF computing ALL tables' sign-LSH buckets per
+    row: a single (n, dim)×(dim, T·P) matrix multiply + bit packing,
+    replacing T·P interpreted higher-order plane-folds per row (the
+    CLAUDE.md interpreted-lambda tax — measured on q_llm_cosine_ann).
+    Same planes (seed-deterministic), same ``>= 0`` sign rule; einsum
+    vs fold accumulation can only differ on exact-zero dots
+    (measure-zero for Gaussian planes), and both join sides of the
+    pair join read the SAME bucketed projection, so bucketing stays
+    internally consistent. Rows-only path (recall-gated), mirroring
+    the :func:`cosine_arrow` verify-stage precedent."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    M = np.array(
+        [
+            p
+            for t in range(n_tables)
+            for p in random_hyperplanes(dim, n_planes, seed=seed0 + t)
+        ],
+        dtype=np.float64,
+    )
+    W = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (A @ M.T) >= 0.0
+        vals = (bits.reshape(len(A), n_tables, n_planes) * W).sum(axis=2)
+        return pd.Series(list(vals))
+
+    return buckets
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -194,13 +229,14 @@ def lsh_cosine_pairs(
     built once. The join stays a bucket equi-join — never all-pairs."""
     if multiprobe not in (0, 1):
         raise ValueError(f"multiprobe must be 0 or 1, got {multiprobe!r}")
-    tables = [
-        lsh_bucket(F.col(vec_col), random_hyperplanes(dim, n_planes, seed=42 + t)).alias(
-            f"b_{t}"
+    bks = _lsh_buckets_arrow(dim, n_planes, n_tables)(F.col(vec_col))
+    bucketed = persist_if_uncached(
+        df.select(F.col(id_col), F.col(vec_col), bks.alias("__bks")).select(
+            F.col(id_col),
+            F.col(vec_col),
+            *[F.col("__bks")[t].alias(f"b_{t}") for t in range(n_tables)],
         )
-        for t in range(n_tables)
-    ]
-    bucketed = persist_if_uncached(df.select(F.col(id_col), F.col(vec_col), *tables))
+    )
     # Candidate generation carries ONLY (id_a, id_b): the dedup across
     # tables is an id-width exchange (2 longs/row), not a vector-width
     # one (2×64 doubles/row, ~100× wider — at 100 TB the distinct()
