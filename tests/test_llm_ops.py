@@ -1215,3 +1215,29 @@ def test_ivfpq_registered_key_shape(spark, sf_dir):
         assert len({int(r.vec_id) for r in rs}) == 5
         ds = [float(r.adc_d2) for r in sorted(rs, key=lambda r: float(r.adc_d2))]
         assert all(d >= 0 for d in ds)
+
+
+def test_lsh_buckets_arrow_matches_fold(emb):
+    """The Arrow matrix-multiply bucket path (r8 perf rewrite) must
+    produce the SAME buckets as the codegen-expressible per-plane fold
+    (lsh_bucket) on the real fixture — the sign rule can only diverge
+    on exact-zero dots, measure-zero for Gaussian planes; this pins
+    that empirically for every (vector, table) on the fixture."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        _lsh_buckets_arrow,
+        lsh_bucket,
+        random_hyperplanes,
+    )
+
+    n_planes, n_tables, dim = 6, 8, 64
+    fold_cols = [
+        lsh_bucket(
+            F.col("embedding"), random_hyperplanes(dim, n_planes, seed=42 + t)
+        ).alias(f"f_{t}")
+        for t in range(n_tables)
+    ]
+    arrow = _lsh_buckets_arrow(dim, n_planes, n_tables)(F.col("embedding"))
+    rows = emb.select("vec_id", arrow.alias("a"), *fold_cols).collect()
+    for r in rows:
+        for t in range(n_tables):
+            assert int(r.a[t]) == int(r[f"f_{t}"]), (int(r.vec_id), t)
