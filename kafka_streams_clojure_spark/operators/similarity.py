@@ -6,8 +6,15 @@ Scale design: the brute-force path is a broadcast of the (small) probe
 set against a full scan — linear, no shuffle, exact; right for one-off
 probes. The LSH path buckets both sides by sign-pattern so the join
 touches only colliding buckets — the 100 TB shape where the corpus is
-huge and probes are many. Embedding math runs in Catalyst higher-order
-functions (zip_with/aggregate) — JVM-side, no Python in the row path.
+huge and probes are many.
+
+Execution split: ORACLE-gated paths keep embedding math in Catalyst
+higher-order functions (zip_with/aggregate — deterministic
+left-to-right fold, bit-identical to the DuckDB oracle), while
+ROWS-ONLY hot loops (candidate scoring in the ANN families, sign-LSH
+bucket computation) use Arrow-batched pandas UDFs (`cosine_arrow`,
+`_lsh_buckets_arrow`) — one vectorized matrix op per batch instead of
+per-row interpreted folds. Never row-at-a-time Python.
 """
 
 from __future__ import annotations
@@ -966,6 +973,12 @@ def semdedup_ingest_delta(
     Fixed-quantizer drift (cells going stale as the distribution
     moves) is handled operationally: rebuild centroids + re-assign
     offline, swap the store — same recipe as any IVF index rebuild.
+
+    Blind spot (same as :func:`operators.dedup.near_dup_ingest_delta`):
+    the delta is compared against the INDEX only, not against itself —
+    two near-dup vectors arriving in the SAME batch are both accepted
+    and both appended. Remedy where intra-batch dups matter: run
+    :func:`semdedup` on the delta first, then ingest the survivors.
     """
     if max_cell is not None:
         # the family's loud-fail contract (embedding_cosine_near_dups):

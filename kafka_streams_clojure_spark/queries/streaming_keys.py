@@ -454,6 +454,12 @@ def q_stream_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         accepted, accepted_bands = near_dup_ingest_delta(
             batch_df, index, threshold=0.5
         )
+        # materialize the batch decision BEFORE mutating the store: both
+        # writes re-execute a plan that reads idx_root, so cut the lineage
+        # (localCheckpoint) so the appends can never race their own input —
+        # and the index probe runs once per batch instead of twice
+        accepted = accepted.localCheckpoint(eager=True)
+        accepted_bands = accepted_bands.localCheckpoint(eager=True)
         accepted.select("doc_id", "source").write.mode("append").parquet(out_root)
         accepted_bands.write.mode("append").parquet(idx_root)
         batch_df.unpersist()
@@ -1255,6 +1261,19 @@ def q_stream_punctuate_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(30)
     emitted = spark.table(name).persist()
     emitted.count()  # pin the memory-sink snapshot before the query object goes away
+    if emitted.count() < n_keys:
+        # loud-fail (repo convention): a partial snapshot would make this
+        # rows-only key silently nondeterministic on a slow run
+        fired = {r["key"] for r in emitted.select("key").collect()}
+        missing = sorted(
+            r["user_id"]
+            for r in ev_batch.select("user_id").distinct().collect()
+            if r["user_id"] not in fired
+        )
+        raise RuntimeError(
+            f"wall-clock punctuate poll deadline expired with only "
+            f"{emitted.count()}/{n_keys} keys fired; missing keys: {missing}"
+        )
     exact = ev_batch.groupBy(F.col("user_id").alias("key")).agg(
         dsum("value").alias("total")
     )
@@ -1318,6 +1337,11 @@ def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         accepted, accepted_rows = semdedup_ingest_delta(
             batch_df, index, cents, threshold=0.95
         )
+        # materialize the batch decision BEFORE mutating the store (the
+        # accepted_rows plan reads idx_root): cut lineage so the append
+        # never races its own input, and the cell probe runs once per batch
+        accepted = accepted.localCheckpoint(eager=True)
+        accepted_rows = accepted_rows.localCheckpoint(eager=True)
         accepted.select("vec_id", "label").write.mode("append").parquet(out_root)
         accepted_rows.write.mode("append").parquet(idx_root)
         batch_df.unpersist()
