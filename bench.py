@@ -89,6 +89,17 @@ HEADLINE4 = [
 ]
 
 
+#: Fifth gated set (r8 verdict #1): the two heaviest keys in the whole
+#: registry (~7.6 s each idle — more than anything inside the other
+#: four gates) were sitting in ungated extras, so a regression there
+#: was invisible to the bench gate. Promoted with the standard pin
+#: discipline. Reference values: BENCH_NOTES.md "headline5 pinning".
+HEADLINE5 = [
+    "q_llm_ivfpq_topk",        # IVF-PQ train+encode+ADC search (FAISS shape)
+    "q_llm_dedup_reconcile",   # embedding-vs-shingle dedup audit (2 chains)
+]
+
+
 #: Round-5 additions, timed AFTER the headline set and reported in a
 #: separate "extras" field so the baseline-comparable headline total is
 #: untouched. One run each (these are not regression-gated, just
@@ -104,8 +115,6 @@ EXTRAS = [
     "q_llm_budget_select",     # token-budget greedy curation cut
     "q_graph_kcore",           # 4-round k-core peeling
     "q_llm_random_projection", # JL dim cut (pure map)
-    "q_llm_ivfpq_topk",        # IVF-PQ (residual codes over probed cells)
-    "q_llm_dedup_reconcile",   # embedding-vs-shingle dedup audit
     "q_events_trending",       # per-day top-k
     "q_llm_bloom_dedup",       # Bloom-prefiltered ingest dedup
     "q_events_heavy_hitters_sketch",  # Misra-Gries bounded-memory HH
@@ -253,6 +262,24 @@ def main() -> None:
         timings4[name] = round(best, 3)
     total4 = round(sum(timings4.values()), 3)
 
+    # headline5: same discipline — gated against BENCH_NOTES.md
+    # "headline5 pinning" (the two heaviest registry keys, r8 verdict #1).
+    for name in HEADLINE5:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timings5: dict[str, float] = {}
+    for name in HEADLINE5:
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings5[name] = round(best, 3)
+    total5 = round(sum(timings5.values()), 3)
+
     extras: dict[str, float] = {}
     # Warm extras at the smallest SF too: the iterative keys
     # (cluster_best's Pregel loop) generate many unique codegen'd plans
@@ -298,6 +325,8 @@ def main() -> None:
         "queries3": timings3,
         "headline4_total_sec": total4,
         "queries4": timings4,
+        "headline5_total_sec": total5,
+        "queries5": timings5,
         "extras": extras,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
@@ -314,6 +343,7 @@ def main() -> None:
         "headline2_total_sec": total2,
         "headline3_total_sec": total3,
         "headline4_total_sec": total4,
+        "headline5_total_sec": total5,
     }
     line = json.dumps(compact)
     if len(line) > 2000:  # belt-and-braces: never outgrow the tail again

@@ -1058,6 +1058,48 @@ def ivfpq_topk(
     Returns ``(probe_id, id, adc_d2)`` ascending per probe. Rows-only
     (two nested iterative quantizers); self-retrieval / planted-dup /
     cell-pruning invariants in tests/test_llm_ops.py.
+
+    This convenience composition retrains per call — the 100 TB serving
+    reality is :func:`ivfpq_build` ONCE (persist the three index
+    tables), then :func:`ivfpq_search` per probe batch against the
+    standing index (`q_llm_ivfpq_serve`).
+    """
+    cents, books, codes = ivfpq_build(
+        df, m=m, ks=ks, iters=iters, id_col=id_col, vec_col=vec_col,
+        dim=dim, coarse=coarse,
+    )
+    return ivfpq_search(
+        cents, books, codes, probes_df, k=k, n_probe=n_probe, m=m,
+        id_col=id_col, vec_col=vec_col, probe_id_col=probe_id_col, dim=dim,
+    )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    coarse: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the IVF-PQ index ONCE: returns the three standing index
+    tables ``(cents, books, codes)`` —
+
+    - ``cents``: coarse quantizer, (cell, centroid) — √N rows,
+    - ``books``: per-subspace PQ codebooks, (sub, cell=code, centroid)
+      — m·ks rows, always broadcast-sized,
+    - ``codes``: the encoded corpus, (id, sub, code, __ivf_cell) — m
+      byte-width rows per vector, the ONLY ∝N table, and the one a
+      production deployment partitions by ``__ivf_cell`` on shared
+      storage (raw vectors never needed again at query time).
+
+    Training is deterministic on a fixed corpus (hash-stride k-means
+    seeding, fixed iterations), so an index persisted to parquet and
+    read back serves bit-identical results to a fresh train — the
+    `q_llm_ivfpq_serve` invariant. Rebuilds (distribution drift) follow
+    the standard IVF recipe: retrain offline, swap the store.
     """
     cents = persist_if_uncached(
         coarse
@@ -1086,7 +1128,35 @@ def ivfpq_topk(
     codes = pq_encode(
         resid, books, m=m, id_col=id_col, vec_col="__rv", dim=dim
     ).join(resid.select(id_col, F.col("cell").alias("__ivf_cell")), id_col)
+    return cents, books, codes
 
+
+def ivfpq_search(
+    cents: DataFrame,
+    books: DataFrame,
+    codes: DataFrame,
+    probes_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Serve one probe batch against a STANDING IVF-PQ index (the
+    tables :func:`ivfpq_build` returns, typically read back from
+    parquet) — train-once / probe-many, the only shape that runs at
+    100 TB. Per batch: one broadcast-centroid assignment of the PROBES
+    (n_probe cells each), broadcast ADC tables of n_probe·m·ks rows per
+    probe, and a (cell, sub, code) equi-join touching only probed
+    cells' code rows — the corpus is never rescanned and raw vectors
+    never move. Returns ``(probe_id, id, adc_d2)`` ascending per probe,
+    ties broken on ``id_col``.
+    """
+    residual = F.zip_with(
+        F.col(vec_col), F.col("centroid"), lambda x, y: x.cast("double") - y
+    )
     presid = (
         _assign_cells(
             probes_df.select(id_col, vec_col), cents, vec_col=vec_col,

@@ -5031,3 +5031,60 @@ def q_llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=4, m=8, ks=16
     )
+
+
+@query("q_llm_ivfpq_serve")  # iterative quantizer training — rows-only
+def q_llm_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index-REUSE serving (r8 verdict #2) — the 100 TB shape
+    `q_llm_ivfpq_topk` deliberately doesn't show: train the quantizers
+    ONCE (`ivfpq_build`), persist the three index tables to parquet
+    (centroids √N rows, codebooks m·ks rows, codes m fixed-width rows
+    per vector — the only ∝N table, partitioned by coarse cell), then
+    serve REPEATED probe batches against the standing index
+    (`ivfpq_search`) without ever touching the training path again.
+    Per batch the work is one broadcast-centroid probe assignment +
+    broadcast ADC tables + a (cell, sub, code) equi-join into probed
+    cells only — the corpus is never rescanned, raw vectors never move.
+
+    Rows-only (nested iterative k-means training); the invariant test
+    (tests/test_llm_ops.py::test_ivfpq_serve_matches_retrain) pins that
+    serving from the persisted store returns results IDENTICAL to the
+    retrain-per-call `ivfpq_topk` on the same probes — training is
+    deterministic on a fixed corpus, so the parquet round-trip is the
+    only new moving part, exactly what this key exists to exercise."""
+    import os
+
+    from kafka_streams_clojure_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+    from kafka_streams_clojure_spark.streaming import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = scratch_dir("kscs_ivfpq_idx_")
+    cents, books, codes = ivfpq_build(emb, m=8, ks=16)
+    cents.write.mode("overwrite").parquet(os.path.join(root, "cents"))
+    books.write.mode("overwrite").parquet(os.path.join(root, "books"))
+    # the ∝N table: partitioned by coarse cell, exactly how the probe
+    # join reads it (partition pruning at scale)
+    codes.write.mode("overwrite").partitionBy("__ivf_cell").parquet(
+        os.path.join(root, "codes")
+    )
+    cents_s = spark.read.parquet(os.path.join(root, "cents"))
+    books_s = spark.read.parquet(os.path.join(root, "books"))
+    codes_s = spark.read.parquet(os.path.join(root, "codes"))
+
+    batches = []
+    for lo, hi, tag in [(0, 5, 0), (5, 10, 1), (10, 15, 2)]:
+        probes = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        batches.append(
+            ivfpq_search(
+                cents_s, books_s, codes_s, probes, k=5, n_probe=4, m=8
+            ).withColumn("batch", F.lit(tag))
+        )
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -1241,3 +1241,33 @@ def test_lsh_buckets_arrow_matches_fold(emb):
     for r in rows:
         for t in range(n_tables):
             assert int(r.a[t]) == int(r[f"f_{t}"]), (int(r.vec_id), t)
+
+
+def test_ivfpq_serve_matches_retrain(spark, sf_dir):
+    """Index-reuse serving invariant (r8 verdict #2): `q_llm_ivfpq_serve`
+    trains once, round-trips the three index tables through parquet
+    (codes partitioned by coarse cell), and serves three probe batches —
+    each batch's results must be IDENTICAL to the retrain-per-call
+    `ivfpq_topk` on the same probes, because training is deterministic
+    on a fixed corpus and the parquet round-trip is the only new moving
+    part (doubles are binary-exact in parquet; the ADC sum is decimal)."""
+    import __spark_entry__ as entrymod
+    from kafka_streams_clojure_spark.operators.similarity import ivfpq_topk
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    served = entrymod.queries()["q_llm_ivfpq_serve"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    for lo, hi, tag in [(0, 5, 0), (5, 10, 1), (10, 15, 2)]:
+        got = {
+            (int(r.probe_id), int(r.vec_id)): float(r.adc_d2)
+            for r in served
+            if int(r.batch) == tag
+        }
+        probes = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        fresh = ivfpq_topk(emb, probes, k=5, n_probe=4, m=8, ks=16).collect()
+        want = {
+            (int(r.probe_id), int(r.vec_id)): float(r.adc_d2) for r in fresh
+        }
+        assert got.keys() == want.keys(), (tag, got.keys() ^ want.keys())
+        for key in got:
+            assert abs(got[key] - want[key]) < 1e-12, (tag, key)
