@@ -477,3 +477,193 @@ def sample_wav_frames(
 
     slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
     return slim.mapInPandas(run, schema="doc_id long, frame_idx long, amplitude long")
+
+
+#: Geometry of the deterministic gradient fixture rasters. w=36 and
+#: h=16 are chosen so EVERY dHash grid sample position survives a 2×
+#: nearest-neighbor decimation exactly: columns (i*36)//9 = 4i and rows
+#: (j*16)//8 = 2j are all even, and on the 18×8 decimated image the
+#: grid lands on (i*18)//9 = 2i, (j*8)//8 = j — i.e. original pixels
+#: (4i, 2j) again. A resized copy therefore carries an IDENTICAL dHash
+#: (the scale-invariance perceptual hashing is built for), while its
+#: md5 differs — exactly the duplicate class `q_multimodal_dedup`'s
+#: exact-bytes hash misses.
+GRADIENT_W, GRADIENT_H = 36, 16
+
+
+def gradient_bmp_blobs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministically render each doc as a SMOOTH 24-bpp gradient
+    BMP (the perceptual-hash fixture twin of :func:`text_to_bmp_blobs`,
+    whose raw-byte rasters are white noise — perceptual hashes are
+    meaningless on noise). Four integer params are drawn from
+    md5(text) (the engine-portable `_bucket` idiom: first four 8-hex
+    chunks as uint32s), and pixel luma is a folded triangle wave
+
+        t(x, y) = (a·x)//35 + (b·y)//15 + (c·x·(y+5))//700 + d
+        v(x, y) = |t mod 510 − 255|              (all-integer, 0..255)
+
+    so DuckDB can recompute every pixel — and hence the full dHash —
+    from the text alone (the q_multimodal_resize oracle discipline).
+    All three channels carry v. Params are computed SPARK-SIDE (JVM
+    md5/conv); only the 576-pixel raster loop is Python, Arrow-batched.
+    """
+    w, h = GRADIENT_W, GRADIENT_H
+    hx = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+
+    def chunk(pos: int) -> F.Column:
+        return F.conv(F.substring(hx, pos, 8), 16, 10).cast("long")
+
+    slim = df.select(
+        F.col(id_col).alias("__id"),
+        (F.lit(256) + chunk(1) % 768).alias("__a"),
+        (F.lit(256) + chunk(9) % 768).alias("__b"),
+        (chunk(17) % 1024).alias("__c"),
+        (chunk(25) % 510).alias("__d"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, a, b, c, d in zip(
+                pdf["__id"], pdf["__a"], pdf["__b"], pdf["__c"], pdf["__d"]
+            ):
+                a, b, c, d = int(a), int(b), int(c), int(d)
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        t = (
+                            (a * x) // (w - 1)
+                            + (b * y) // (h - 1)
+                            + (c * x * (y + 5)) // ((w - 1) * (h + 4))
+                            + d
+                        )
+                        v = abs((t % 510) - 255)
+                        px += bytes((v, v, v))
+                ids.append(i)
+                blobs.append(encode_bmp(bytes(px), w, h))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return slim.mapInPandas(encode, schema="doc_id long, blob binary")
+
+
+def dhash_bmp(blob: bytes) -> tuple[int, int, int, int]:
+    """64-bit dHash (difference hash) of a 24-bpp BMP, packed as four
+    16-bit bands: point-sample a 9×8 luma grid at ((i·w)//9, (j·h)//8),
+    luma = B+G+R of the sampled pixel (integer — no float ties), and
+    bit(j,i) = 1 iff luma(i,j) > luma(i+1,j). Band k carries grid rows
+    2k and 2k+1: bit position (j mod 2)·8 + i. The textbook perceptual
+    hash: smooth images get stable gradient-sign bits, and any blob
+    whose kept pixels are a subsample of another's (re-encode, integer
+    decimation) lands within a few bits."""
+    w, h, rows = _bmp_pixel_rows(blob)
+    hs = [0, 0, 0, 0]
+    for j in range(8):
+        row = rows[(j * h) // 8]
+        s = []
+        for i in range(9):
+            gx = 3 * ((i * w) // 9)
+            s.append(row[gx] + row[gx + 1] + row[gx + 2])
+        for i in range(8):
+            if s[i] > s[i + 1]:
+                hs[j // 2] |= 1 << ((j % 2) * 8 + i)
+    return hs[0], hs[1], hs[2], hs[3]
+
+
+def dhash_images(
+    df: DataFrame, binary_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch dHash over a binary image column (Arrow-batched
+    mapInPandas, same 100 TB shape as the decoders): returns
+    (vid, h0..h3) — four 16-bit bands per blob, 5 longs/row, the
+    id-width table every downstream banding join keys on (raw blobs
+    never move past this point)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {"vid": [], "h0": [], "h1": [], "h2": [], "h3": []}
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                h0, h1, h2, h3 = dhash_bmp(blob)
+                out["vid"].append(i)
+                out["h0"].append(h0)
+                out["h1"].append(h1)
+                out["h2"].append(h2)
+                out["h3"].append(h3)
+            yield pd.DataFrame(out, dtype="int64")
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
+    return slim.mapInPandas(
+        run, schema="vid long, h0 long, h1 long, h2 long, h3 long"
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "vid",
+    max_hamming: int = 2,
+    max_bucket: int | None = 50_000,
+) -> DataFrame:
+    """Perceptual-hash near-dup pairs via Hamming-band blocking (the
+    SimHash machinery, operators/dedup.simhash_near_dups, applied to
+    media): two images within ``max_hamming`` ≤ 3 of 64 bits must agree
+    EXACTLY on at least one of the four 16-bit bands (pigeonhole: k
+    flipped bits touch at most k bands), so candidates come from a
+    (band, value) equi-join — never images² — with ZERO recall loss at
+    this threshold, unlike probabilistic MinHash banding.
+    Candidate dedup is id-width (2 longs/row); the four band columns
+    re-join AFTER dedup for the exact Hamming filter (bit_count of
+    XOR, pure JVM). ``max_bucket`` is the family's loud-fail skew
+    guard: a degenerate band bucket (e.g. all-black thumbnails) makes
+    the self-join quadratic in that bucket — fail naming it rather
+    than silently blow up; one metadata-scale aggregate per call."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    # consumed 5× (guard agg, both candidate sides, both hash rejoins) —
+    # and each consumption would otherwise re-run the upstream decode+
+    # hash mapInPandas over the raw blobs
+    hashes = persist_if_uncached(hashes)
+    bands = hashes.select(
+        F.col(id_col),
+        F.posexplode(F.array("h0", "h1", "h2", "h3")).alias("band", "hb"),
+    )
+    if max_bucket is not None:
+        oversized = [
+            (int(r["band"]), int(r["hb"]), int(r["__n"]))
+            for r in bands.groupBy("band", "hb")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .collect()
+        ]
+        if oversized:
+            raise RuntimeError(
+                f"phash_near_dup_pairs: band bucket(s) exceed max_bucket="
+                f"{max_bucket}: {oversized[:10]}; widen the bands or"
+                " pre-split the degenerate image class"
+            )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "hb")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "hb")
+    cands = (
+        a.join(b, ["band", "hb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{k}").alias(f"__ha{k}") for k in range(4)],
+    )
+    hb_ = hashes.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{k}").alias(f"__hb{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"__ha{k}").bitwiseXOR(F.col(f"__hb{k}")))
+        for k in range(4)
+    ).cast("long")
+    return (
+        cands.join(ha, "id_a")
+        .join(hb_, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

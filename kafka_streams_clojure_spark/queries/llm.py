@@ -3973,6 +3973,98 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_near_dup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        256 + CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS BIGINT) % 768 AS a,
+        256 + CAST(('0x' || substr(md5(coalesce(text, '')), 9, 8)) AS BIGINT) % 768 AS b,
+        CAST(('0x' || substr(md5(coalesce(text, '')), 17, 8)) AS BIGINT) % 1024 AS c,
+        CAST(('0x' || substr(md5(coalesce(text, '')), 25, 8)) AS BIGINT) % 510 AS d
+      FROM documents
+    ),
+    gi  AS (SELECT doc_id, a, b, c, d, unnest(range(9)) AS i FROM p),
+    gij AS (SELECT doc_id, a, b, c, d, i, unnest(range(8)) AS j FROM gi),
+    -- luma at dHash sample (i,j): original-raster pixel (4i, 2j) of the
+    -- 36x16 gradient v = |t mod 510 - 255|,
+    -- t = (a*x)//35 + (b*y)//15 + (c*x*(y+5))//700 + d  (all-integer)
+    v AS (
+      SELECT doc_id, i, j,
+        abs((((a*4*i)//35 + (b*2*j)//15 + (c*4*i*(2*j+5))//700 + d) % 510) - 255) AS v
+      FROM gij
+    ),
+    bits AS (
+      SELECT l.doc_id, l.j, l.i, CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+      FROM v l JOIN v r ON r.doc_id = l.doc_id AND r.j = l.j AND r.i = l.i + 1
+      WHERE l.i < 8
+    ),
+    hashes AS (
+      SELECT doc_id, j // 2 AS band,
+             SUM(bit * (CAST(1 AS BIGINT) << ((j % 2) * 8 + i))) AS hb
+      FROM bits GROUP BY doc_id, j // 2
+    ),
+    -- decimation-aligned geometry: the resized variant samples the SAME
+    -- original pixels, so its dHash equals the original's — emit both
+    -- vids off one hash computation
+    vids AS (
+      SELECT doc_id + var * 10000000 AS vid, band, hb
+      FROM hashes, (SELECT unnest([0, 1]) AS var)
+    ),
+    cands AS (
+      SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+      FROM vids x JOIN vids y ON y.band = x.band AND y.hb = x.hb AND x.vid < y.vid
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(bit_count(xor(xa.hb, xb.hb))) AS BIGINT) AS hamming
+      FROM cands c
+      JOIN vids xa ON xa.vid = c.id_a
+      JOIN vids xb ON xb.vid = c.id_b AND xb.band = xa.band
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+    """,
+)
+def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media NEAR-dup via perceptual hashing (r8 verdict #3) — the
+    fuzzy upgrade of `q_multimodal_dedup`'s exact-bytes md5: each doc
+    renders as a deterministic SMOOTH gradient BMP (perceptual hashes
+    are meaningless on the raw-text-byte noise rasters), the corpus is
+    originals ∪ their 2×-decimated re-encodes (vid + 10M — the
+    duplicate class whose bytes, dims and md5 all differ), every blob
+    is dHashed (9×8 luma grid → 64 difference bits in four 16-bit
+    bands, operators/multimodal.dhash_bmp), and pairs within Hamming
+    distance 2 surface through exact Hamming-band blocking
+    (pigeonhole: ≤3 flipped bits leave ≥1 of 4 bands identical — no
+    recall loss, never images²).
+
+    Exactly ORACLE-gated end-to-end, unusual for a near-dup key: the
+    gradient raster is an integer triangle wave of four md5-derived
+    params and the 36×16 geometry makes every dHash sample position
+    survive the decimation (columns 4i, rows 2j — all even), so DuckDB
+    recomputes both variants' full 64-bit hashes, the banding join and
+    the Hamming filter from the text alone — codec, resize, hash and
+    blocking all value-checked. Scale: the hash table is 5 longs/row
+    (blobs never pass the mapInPandas boundary), candidates are
+    id-width, `max_bucket` loud-fails on degenerate buckets."""
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        dhash_images,
+        gradient_bmp_blobs,
+        phash_near_dup_pairs,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    orig = gradient_bmp_blobs(docs)
+    resized = resize_images(orig, "blob", factor=2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    corpus = orig.unionByName(resized)
+    hashes = dhash_images(corpus, "blob", id_col="doc_id")
+    return phash_near_dup_pairs(hashes, id_col="vid", max_hamming=2)
+
+
+@query(
     "q_llm_dataset_card",
     oracle=f"""
     SELECT CAST(count(*) AS BIGINT)                 AS n_docs,

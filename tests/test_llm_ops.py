@@ -1271,3 +1271,35 @@ def test_ivfpq_serve_matches_retrain(spark, sf_dir):
         assert got.keys() == want.keys(), (tag, got.keys() ^ want.keys())
         for key in got:
             assert abs(got[key] - want[key]) < 1e-12, (tag, key)
+
+
+def test_multimodal_near_dup_planted_resize(spark, sf_dir):
+    """Perceptual-hash near-dup invariants (r8 verdict #3): (a) the
+    decimation-aligned geometry makes dHash EXACTLY scale-invariant —
+    every original/2×-resized blob pair hashes identically (checked at
+    the operator level, real codec both sides); (b) therefore the
+    registered key surfaces every planted (doc_id, doc_id+10M) resize
+    pair at hamming 0 — the duplicate class md5-exact dedup
+    (q_multimodal_dedup) structurally misses."""
+    import __spark_entry__ as entrymod
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        dhash_bmp,
+        gradient_bmp_blobs,
+        resize_bmp,
+    )
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = gradient_bmp_blobs(docs.limit(50)).collect()
+    assert len(blobs) == 50
+    for r in blobs:
+        orig = bytes(r.blob)
+        shrunk = resize_bmp(orig, 2)
+        assert shrunk != orig  # bytes differ -> md5 dedup misses it
+        assert dhash_bmp(shrunk) == dhash_bmp(orig)
+
+    out = entrymod.queries()["q_multimodal_near_dup"](spark, sf_dir).collect()
+    pairs = {(int(r.id_a), int(r.id_b)): int(r.hamming) for r in out}
+    doc_ids = [int(r.doc_id) for r in docs.select("doc_id").collect()]
+    for d in doc_ids:
+        assert pairs.get((d, d + 10_000_000)) == 0, d

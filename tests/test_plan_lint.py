@@ -29,6 +29,9 @@ _NONEQUI_OK = {
     # crossJoins (corpus × √N-cell table, probes × cells), the m·ks-row
     # codebook broadcast, and the 1-row adaptive-seed stats broadcast
     "q_llm_ivfpq_topk",
+    # serving twin: probe-side broadcast-centroid crossJoin against the
+    # persisted index (plus the build's bounded shapes on first call)
+    "q_llm_ivfpq_serve",
     # crossJoin of a broadcast 1-ROW aggregate (corpus total folded
     # in-plan) — a BNLJ whose build side is a single row is bounded
     "q_llm_domain_mix",
@@ -111,6 +114,8 @@ _PYTHON_OK = {
     "q_multimodal_dedup",  # blob generation is the same mapInPandas encoder
     "q_multimodal_frames",
     "q_multimodal_resize",
+    "q_multimodal_near_dup",  # gradient encode + resize + dHash mapInPandas
+    "q_llm_ivfpq_serve",  # Arrow bucket/assignment UDFs (the ivfpq family)
     "q_stream_stateful_counter",
     "q_error_swallow",
     "q_error_dead_letter",  # same tolerant mapInPandas router, DLQ side
