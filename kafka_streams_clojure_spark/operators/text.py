@@ -220,3 +220,115 @@ def repetition_stats(
             F.col("top_cnt").cast("double") / F.col("total_bg").cast("double")
         ).alias("top_bigram_frac"),
     )
+
+
+def bpe_merges(
+    words: DataFrame,
+    rounds: int = 6,
+    word_col: str = "w",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): starting from a
+    frequency-weighted vocabulary (``word, freq``) split into
+    characters, run ``rounds`` merge iterations — each round counts
+    adjacent symbol pairs across the vocabulary (weighted by word
+    frequency), picks the most frequent pair (ties broken
+    lexicographically on (lhs, rhs) — integer counts + ASCII compare,
+    so the winner is deterministic in any engine), and merges its
+    GREEDY-LEFTMOST non-overlapping occurrences in every word (for a
+    run like ``xxx`` with winner (x,x), only the first pair merges —
+    the run-parity window below). Returns the trained merge table
+    ``(round, lhs, rhs, pair_count)``.
+
+    Exactly DuckDB-oracle-able despite being iterative: every round is
+    integer counts + string compares, so the oracle unrolls the same
+    rounds as CTE levels (the q_graph_pagerank discipline).
+
+    Scale shape: the expensive corpus-sized step (tokenize + word
+    count) happens BEFORE this operator, once; training then iterates
+    on the VOCABULARY table (symbols-per-word rows ≈ Σ|word| over
+    distinct words — millions of rows at web scale, independent of
+    corpus size), one word-keyed window + one map-side-combined pair
+    aggregate + one 1-row broadcast winner per round, lineage truncated
+    per round (localCheckpoint, the kcore discipline)."""
+    wo = Window.partitionBy("w").orderBy("pos")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    # char split via sequence+substring (NOT F.split(w, "(?!^)"), whose
+    # zero-width match emits a trailing EMPTY symbol per word)
+    t = words.select(
+        F.col(word_col).alias("w"),
+        F.col(freq_col).alias("freq"),
+        F.explode(F.sequence(F.lit(1), F.length(word_col))).alias("pos"),
+    ).select(
+        "w", "freq", "pos", F.expr("substring(w, pos, 1)").alias("sym")
+    )
+    out: list[DataFrame] = []
+    for rnd in range(1, rounds + 1):
+        pairs = t.withColumn("nsym", F.lead("sym").over(wo))
+        win = (
+            pairs.filter(F.col("nsym").isNotNull())
+            .groupBy("sym", "nsym")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "sym", "nsym")
+            .limit(1)
+            .select(
+                F.col("sym").alias("lhs"),
+                F.col("nsym").alias("rhs"),
+                F.col("pair_count").cast("bigint").alias("pair_count"),
+            )
+            # 1 row; consumed by the output union AND the merge pass —
+            # and without eager materialization every later round would
+            # re-execute this round's whole chain
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            win.select(F.lit(rnd).alias("round"), "lhs", "rhs", "pair_count")
+        )
+        step = (
+            pairs.crossJoin(F.broadcast(win.select("lhs", "rhs")))
+            .withColumn(
+                "is_cand",
+                (F.col("sym") == F.col("lhs"))
+                & F.col("nsym").isNotNull()
+                & (F.col("nsym") == F.col("rhs")),
+            )
+            # greedy-leftmost: consecutive candidates (only possible for
+            # lhs == rhs runs) group by (pos − running candidate count),
+            # constant within a run, strictly increasing across runs;
+            # odd rank within the run merges, even is consumed by its
+            # left neighbor
+            .withColumn(
+                "grp", F.col("pos") - F.sum(F.col("is_cand").cast("long")).over(wcum)
+            )
+            .withColumn(
+                "do_merge",
+                F.col("is_cand")
+                & (
+                    F.row_number().over(
+                        Window.partitionBy("w", "is_cand", "grp").orderBy("pos")
+                    )
+                    % 2
+                    == 1
+                ),
+            )
+            .withColumn(
+                "consumed",
+                F.coalesce(F.lag("do_merge").over(wo), F.lit(False)),
+            )
+        )
+        t = (
+            step.filter(~F.col("consumed"))
+            .select(
+                "w",
+                "freq",
+                F.row_number().over(wo).alias("pos"),
+                F.when(F.col("do_merge"), F.concat("sym", "nsym"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -4634,6 +4634,106 @@ def q_llm_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE training rounds for q_llm_bpe_merges — enough for later rounds
+#: to build on earlier rounds' merged symbols (cascading merges), small
+#: enough that the unrolled oracle stays readable.
+_BPE_ROUNDS = 6
+
+
+def _bpe_merges_sql(rounds: int) -> str:
+    """Unrolled BPE-training oracle (the q_graph_pagerank discipline):
+    each round = pair-count + deterministic winner (count DESC, then
+    lexicographic) + greedy-leftmost merge, as CTE levels. Mirrors
+    operators/text.bpe_merges exactly — all-integer counts, ASCII
+    string compares, run-parity windows."""
+    sql = """
+    WITH wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    t0 AS (
+      SELECT w, freq, i AS pos, substr(w, CAST(i AS INT), 1) AS sym
+      FROM wf, unnest(range(1, len(w) + 1)) AS r(i)
+    )"""
+    for k in range(1, rounds + 1):
+        p = k - 1
+        sql += f""",
+    pair{k} AS (
+      SELECT w, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym
+      FROM t{p}
+    ),
+    win{k} AS (
+      SELECT sym AS lhs, nsym AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM pair{k} WHERE nsym IS NOT NULL GROUP BY sym, nsym
+      ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    ),
+    cand{k} AS (
+      SELECT p.w, p.freq, p.pos, p.sym, p.nsym,
+             (p.sym = x.lhs AND p.nsym IS NOT NULL AND p.nsym = x.rhs)
+               AS is_cand
+      FROM pair{k} p, win{k} x
+    ),
+    mk{k} AS (
+      SELECT *, is_cand AND (ROW_NUMBER() OVER (
+               PARTITION BY w, is_cand, grp ORDER BY pos) % 2 = 1) AS do_merge
+      FROM (SELECT *, pos - SUM(CASE WHEN is_cand THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY w ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS grp
+            FROM cand{k})
+    ),
+    t{k} AS (
+      SELECT w, freq,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+             CASE WHEN do_merge THEN sym || nsym ELSE sym END AS sym
+      FROM (SELECT *, coalesce(lag(do_merge)
+                        OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed
+            FROM mk{k})
+      WHERE NOT consumed
+    )"""
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS round, lhs, rhs, pair_count FROM win{k}"
+        for k in range(1, rounds + 1)
+    )
+    return sql + "\n    " + finals
+
+
+@query("q_llm_bpe_merges", oracle=_bpe_merges_sql(_BPE_ROUNDS))
+def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE TRAINING (r8 verdict #4) — the tokenizer-training step
+    a real training-data pipeline runs on the corpus, extending
+    `q_llm_bpe_pretokens` (which only counts) into the actual
+    fixed-iteration merge loop: lowercase [a-z]+ words are counted once
+    (the only corpus-sized pass), split into characters, and 6 merge
+    rounds each pick the frequency-weighted most-common adjacent symbol
+    pair (integer counts, lexicographic (lhs, rhs) tie-break) and merge
+    its greedy-leftmost occurrences across the vocabulary. Returns the
+    merge table — the artifact a tokenizer ships.
+
+    Oracle-exact despite iteration: every round is integer arithmetic +
+    ASCII compares, unrolled as CTE levels (the q_graph_pagerank
+    discipline). Scale: training iterates on the VOCABULARY (Σ|word|
+    rows over distinct words — corpus-size-independent), one word-keyed
+    window + one map-side pair aggregate + a 1-row broadcast winner per
+    round; see operators/text.bpe_merges."""
+    from kafka_streams_clojure_spark.operators.text import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return bpe_merges(words, rounds=_BPE_ROUNDS)
+
+
 #: Winnowing's own hot-fingerprint cut. A near-dup CLUSTER of c docs
 #: puts its shared fingerprints at doc-freq ~c, so the cap must sit
 #: ABOVE the expected dup-cluster size and BELOW boilerplate freq —

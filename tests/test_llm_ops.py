@@ -1303,3 +1303,34 @@ def test_multimodal_near_dup_planted_resize(spark, sf_dir):
     doc_ids = [int(r.doc_id) for r in docs.select("doc_id").collect()]
     for d in doc_ids:
         assert pairs.get((d, d + 10_000_000)) == 0, d
+
+
+def test_bpe_merges_greedy_and_cascading(spark):
+    """BPE training semantics on a hand-computed vocabulary:
+    round 1 picks (a,b) at weighted count 5 over (a,a) at 4; round 2 is
+    a 2-2 tie broken lexicographically to (a,a); round 3 merges the
+    round-2 product with the round-1 product — cascading merges. The
+    second vocabulary pins GREEDY-LEFTMOST merging: 'aaaa' under winner
+    (a,a) becomes [aa, aa] (two non-overlapping merges) and 'aaa'
+    becomes [aa, a], so round 2 counts (aa,aa)=1 and (aa,a)=1 and the
+    lexicographic tie-break selects (aa, a) — an overlapping or
+    rightmost merger would produce different counts."""
+    from kafka_streams_clojure_spark.operators.text import bpe_merges
+
+    words = spark.createDataFrame([("aaab", 2), ("ab", 3)], "w string, freq long")
+    got = {
+        int(r["round"]): (r.lhs, r.rhs, int(r.pair_count))
+        for r in bpe_merges(words, rounds=3).collect()
+    }
+    assert got == {
+        1: ("a", "b", 5),
+        2: ("a", "a", 2),
+        3: ("aa", "ab", 2),
+    }
+
+    runs = spark.createDataFrame([("aaaa", 1), ("aaa", 1)], "w string, freq long")
+    got2 = {
+        int(r["round"]): (r.lhs, r.rhs, int(r.pair_count))
+        for r in bpe_merges(runs, rounds=2).collect()
+    }
+    assert got2 == {1: ("a", "a", 5), 2: ("aa", "a", 1)}

@@ -70,6 +70,9 @@ _NONEQUI_OK = {
     # crossJoins of the 1-row probe and of the persisted ≤20-row pool
     # with itself (the MMR pairwise-sim matrix — k_pool² bounded)
     "q_llm_mmr",
+    # crossJoin of the broadcast 1-ROW winning pair, once per unrolled
+    # BPE training round
+    "q_llm_bpe_merges",
     # crossJoin of the broadcast 1-row p95 threshold
     "q_events_bot_flags",
     # crossJoin of the broadcast 1-row timeline-midpoint
