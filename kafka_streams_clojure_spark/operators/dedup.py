@@ -887,3 +887,111 @@ def winnowing_fingerprints(
         .agg(F.min("__h").alias("fp"))
     )
     return fps_windowed.unionByName(fps_short).distinct()
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_run: int = 8,
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup REMOVAL (the Lee et al. 2022 ExactSubstr
+    shape, word-granular): positions lying inside duplicated k-word
+    shingle occurrences are marked covered, maximal covered runs of at
+    least ``min_run`` tokens are REMOVED, and each document's
+    survivors reassemble in order — span removal, not doc flagging
+    (the winnowing key's complement).
+
+    Semantics, deterministic by construction: a shingle occurrence
+    (doc, pos) is DUPLICATED iff its shingle occurs elsewhere in the
+    corpus (another doc or another position of the same doc) and the
+    occurrence is not the shingle's canonical first occurrence
+    (smallest (doc, pos)) — so the earliest copy of a shared run keeps
+    its text, later copies lose it (keep-first, matching the exact-
+    dedup family). Any inter-doc or intra-doc repeated run of ≥
+    ``max(min_run, k)`` tokens is guaranteed caught: all its shingles
+    are duplicated, so the non-canonical copies are fully covered.
+    Docs with < ``k`` tokens carry no shingles and pass through whole.
+
+    Returns ``(id_col, clean_text, n_removed, n_total)`` — every input
+    doc survives (a fully-duplicated doc returns ``clean_text = ''``),
+    the passage_dedup lineage contract.
+
+    Scale shape (100 TB): there is NO pair join anywhere — unlike the
+    fingerprint-pair families this is: shingle build (codegen
+    posexplode + window leads), ONE shuffle by shingle for the
+    duplicated-occurrence window (count + first-occurrence rank; a
+    boilerplate shingle costs its occurrence count linearly, never
+    count²), a coverage explode of ×k, and doc-keyed run/rebuild
+    windows on the pinned-repartition partitioning. Everything is
+    engine-portable integers/strings, so the whole removal is
+    DuckDB-oracle-exact (q_llm_substring_dedup).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = persist_if_uncached(
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), r"\s+")).alias("__n"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+        ).repartition(par, id_col)
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    occ = (
+        toks.withColumn(
+            "s",
+            F.concat_ws(
+                " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, k)]
+            ),
+        )
+        .filter(F.col("pos") + k <= F.col("__n"))
+        .select(id_col, "pos", "s")
+    )
+    ws = Window.partitionBy("s")
+    dup = (
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(ws))
+        .withColumn(
+            "__rk",
+            F.row_number().over(ws.orderBy(id_col, "pos")),
+        )
+        .filter((F.col("__cnt") > 1) & (F.col("__rk") > 1))
+        .select(id_col, "pos")
+    )
+    cov = (
+        dup.select(
+            id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p")
+        )
+        .distinct()
+    )
+    wr = Window.partitionBy(id_col).orderBy("p")
+    runs = cov.withColumn("__grp", F.col("p") - F.row_number().over(wr))
+    dropped = (
+        runs.withColumn(
+            "__len", F.count(F.lit(1)).over(Window.partitionBy(id_col, "__grp"))
+        )
+        .filter(F.col("__len") >= min_run)
+        .select(id_col, F.col("p").alias("pos"))
+    )
+    kept = toks.join(dropped, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    tot = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        tot.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n_total") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.col("__n_total").cast("bigint").alias("n_total"),
+        )
+    )

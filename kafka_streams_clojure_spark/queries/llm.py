@@ -4837,6 +4837,77 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_llm_substring_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, len(t) AS n, i - 1 AS pos, t[CAST(i AS INT)] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+2], ' ') AS s
+      FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY s) AS cnt,
+               row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rk
+        FROM occ)
+      WHERE cnt > 1 AND rk > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + u AS p FROM dup, unnest(range(3)) AS r(u)
+    ),
+    runs AS (
+      SELECT doc_id, p,
+             count(*) OVER (PARTITION BY doc_id, grp) AS runlen
+      FROM (SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+            FROM cov)
+    ),
+    dropped AS (SELECT doc_id, p FROM runs WHERE runlen >= 8),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok t LEFT JOIN dropped d ON d.doc_id = t.doc_id AND d.p = t.pos
+      WHERE d.p IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_total FROM tok GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(t.n_total AS BIGINT) AS n_total
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup REMOVAL (r8 verdict #6 — the Lee et al.
+    2022 ExactSubstr shape): duplicated runs of ≥ 8 tokens are REMOVED
+    from every occurrence except the corpus-first one, and each doc's
+    surviving tokens reassemble in order — the span-REMOVAL complement
+    of `q_llm_winnowing` (which flags doc pairs) built on
+    `q_llm_passage_dedup`'s in-order-rebuild machinery. Coverage comes
+    from duplicated positional 3-shingle occurrences (keep-first on
+    the shingle's smallest (doc, pos)), so any repeated run ≥ 8 tokens
+    — across docs or within one — is caught in full with NO pair join
+    anywhere: one shuffle by shingle, a ×3 coverage explode, doc-keyed
+    run windows (operators/dedup.substring_dedup for the 100 TB
+    anatomy). Span boundaries are deterministic integers, so the whole
+    removal is oracle-exact; planted shared-run invariants in
+    tests/test_llm_ops.py."""
+    from kafka_streams_clojure_spark.operators.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, k=3, min_run=8)
+
+
+@query(
     "q_llm_bitext_mining",
     oracle=f"""
     WITH e AS (

@@ -1334,3 +1334,36 @@ def test_bpe_merges_greedy_and_cascading(spark):
         for r in bpe_merges(runs, rounds=2).collect()
     }
     assert got2 == {1: ("a", "a", 5), 2: ("aa", "a", 1)}
+
+
+def test_substring_dedup_planted_runs(spark):
+    """ExactSubstr-removal invariants (r8 verdict #6) on hand-built
+    docs with globally-unique filler tokens: (a) a 12-token run shared
+    doc1→doc2 is removed IN FULL from doc2 (the later copy) and kept in
+    doc1 (keep-first); (b) a 5-token shared run (< min_run=8) survives
+    both docs; (c) an intra-doc repeat of a 10-token run loses its
+    second occurrence only."""
+    from kafka_streams_clojure_spark.operators.dedup import substring_dedup
+
+    run12 = " ".join(f"r{i}" for i in range(12))
+    run5 = " ".join(f"s{i}" for i in range(5))
+    run10 = " ".join(f"q{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a0 a1 a2 {run12} a3 a4"),
+            (2, f"b0 b1 {run12} b2 b3 b4"),
+            (3, f"c0 c1 {run5} c2"),
+            (4, f"d0 {run5} d1 d2"),
+            (5, f"e0 e1 {run10} e2 e3 {run10} e4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        int(r.doc_id): (r.clean_text, int(r.n_removed), int(r.n_total))
+        for r in substring_dedup(docs, k=3, min_run=8).collect()
+    }
+    assert out[1] == (f"a0 a1 a2 {run12} a3 a4", 0, 17)
+    assert out[2] == ("b0 b1 b2 b3 b4", 12, 17)
+    assert out[3] == (f"c0 c1 {run5} c2", 0, 8)
+    assert out[4] == (f"d0 {run5} d1 d2", 0, 8)
+    assert out[5] == (f"e0 e1 {run10} e2 e3 e4", 10, 25)
