@@ -19,6 +19,7 @@ from kafka_streams_clojure_spark.queries import query
 from kafka_streams_clojure_spark.queries._util import dsum, load_table, sql_dsum
 from kafka_streams_clojure_spark.sql import register_views
 from kafka_streams_clojure_spark.streaming import (
+    quiet_stop,
     run_available_now,
     scratch_dir,
     stream_table,
@@ -1257,8 +1258,9 @@ def q_stream_punctuate_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             _time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        # a timer-check batch is always in flight on a live trigger —
+        # quiet_stop suppresses the benign task-abort traces
+        quiet_stop(q, spark)
     emitted = spark.table(name).persist()
     emitted.count()  # pin the memory-sink snapshot before the query object goes away
     if emitted.count() < n_keys:

@@ -93,6 +93,50 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_event_time(stream, _EVENT_TIME_COLS.get(name, ()))
 
 
+#: JVM loggers that print benign-but-alarming stack traces when a LIVE
+#: trigger query is stopped mid-batch (the in-flight timer-check batch
+#: of a processing-time punctuate has its tasks interrupted: state-store
+#: commit aborts, memory-sink write aborts, task failures — all expected
+#: consequences of stop(), all rethrown as real exceptions if anything
+#: is actually wrong). Silenced ONLY inside quiet_stop's window.
+_NOISY_SHUTDOWN_LOGGERS = (
+    "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
+    "org.apache.spark.util.Utils",
+    "org.apache.spark.executor.Executor",
+    "org.apache.spark.scheduler.TaskSetManager",
+    "org.apache.spark.sql.execution.streaming.checkpointing.ChecksumCheckpointFileManager",
+    "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+    "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
+    "org.apache.spark.TaskContextImpl",
+)
+
+
+def quiet_stop(query, spark: SparkSession, timeout: int = 30) -> None:
+    """Stop a streaming query whose trigger may have a batch IN FLIGHT
+    (processing-time timers never settle — CLAUDE.md) without the
+    benign task-abort stack traces drowning the driver/sweep stderr
+    (r8 verdict hygiene item): the known shutdown-noise loggers are
+    set OFF for the stop window and restored to ERROR after the
+    interrupted tasks have died. Correctness signals are unaffected —
+    real failures surface as exceptions from ``stop``/
+    ``awaitTermination``/``query.exception()``, which this does not
+    touch (loud-fail convention)."""
+    import time as _time
+
+    jvm = spark.sparkContext._jvm
+    configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+    level = jvm.org.apache.logging.log4j.Level
+    for name in _NOISY_SHUTDOWN_LOGGERS:
+        configurator.setLevel(name, level.OFF)
+    try:
+        query.stop()
+        query.awaitTermination(timeout)
+        _time.sleep(0.5)  # let the interrupted tasks finish dying
+    finally:
+        for name in _NOISY_SHUTDOWN_LOGGERS:
+            configurator.setLevel(name, level.ERROR)
+
+
 def run_available_now(
     df: DataFrame,
     output_mode: str = "update",

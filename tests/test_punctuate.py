@@ -141,8 +141,9 @@ def test_wall_clock_punctuate(spark, tmp_path):
             rows = spark.table(name).collect()
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        from kafka_streams_clojure_spark.streaming import quiet_stop
+
+        quiet_stop(q, spark)
     got = {r.key: r for r in rows}
     assert "a" in got and got["a"].n == 2 and got["a"].total == 2.5
 
