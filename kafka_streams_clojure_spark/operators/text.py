@@ -227,7 +227,8 @@ def bpe_merges(
     rounds: int = 6,
     word_col: str = "w",
     freq_col: str = "freq",
-) -> DataFrame:
+    with_vocab: bool = False,
+):
     """BPE tokenizer TRAINING (Sennrich et al. 2016): starting from a
     frequency-weighted vocabulary (``word, freq``) split into
     characters, run ``rounds`` merge iterations — each round counts
@@ -238,7 +239,10 @@ def bpe_merges(
     GREEDY-LEFTMOST non-overlapping occurrences in every word (for a
     run like ``xxx`` with winner (x,x), only the first pair merges —
     the run-parity window below). Returns the trained merge table
-    ``(round, lhs, rhs, pair_count)``.
+    ``(round, lhs, rhs, pair_count)``; with ``with_vocab=True``,
+    returns ``(merges, vocab)`` where vocab is the post-merge
+    tokenization of every word (``w, freq, pos, sym``) — the encode
+    side of the tokenizer (tokens-per-word under the trained merges).
 
     Exactly DuckDB-oracle-able despite being iterative: every round is
     integer counts + string compares, so the oracle unrolls the same
@@ -331,4 +335,4 @@ def bpe_merges(
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
-    return res
+    return (res, t) if with_vocab else res

@@ -4640,12 +4640,15 @@ def q_llm_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_merges_sql(rounds: int) -> str:
+def _bpe_merges_sql(rounds: int, final: str | None = None) -> str:
     """Unrolled BPE-training oracle (the q_graph_pagerank discipline):
     each round = pair-count + deterministic winner (count DESC, then
     lexicographic) + greedy-leftmost merge, as CTE levels. Mirrors
     operators/text.bpe_merges exactly — all-integer counts, ASCII
-    string compares, run-parity windows."""
+    string compares, run-parity windows. ``final`` overrides the
+    trailing SELECT (default: the merge table) — the encode oracle
+    reads the last tokenization level ``t{rounds}`` instead, keeping
+    the two keys' training arithmetic literally one definition."""
     sql = """
     WITH wf AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -4694,11 +4697,12 @@ def _bpe_merges_sql(rounds: int) -> str:
             FROM mk{k})
       WHERE NOT consumed
     )"""
-    finals = "\n    UNION ALL ".join(
-        f"SELECT {k} AS round, lhs, rhs, pair_count FROM win{k}"
-        for k in range(1, rounds + 1)
-    )
-    return sql + "\n    " + finals
+    if final is None:
+        final = "\n    UNION ALL ".join(
+            f"SELECT {k} AS round, lhs, rhs, pair_count FROM win{k}"
+            for k in range(1, rounds + 1)
+        )
+    return sql + "\n    " + final
 
 
 @query("q_llm_bpe_merges", oracle=_bpe_merges_sql(_BPE_ROUNDS))
@@ -4732,6 +4736,77 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     return bpe_merges(words, rounds=_BPE_ROUNDS)
+
+
+_BPE_ENCODE_FINAL = f"""
+    ,
+    tpw AS (SELECT w, count(*) AS tpw FROM t{_BPE_ROUNDS} GROUP BY w),
+    docw AS (
+      SELECT doc_id, w, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    ),
+    agg AS (
+      SELECT doc_id, SUM(cnt) AS n_words, SUM(cnt * tpw) AS n_bpe
+      FROM docw JOIN tpw USING (w) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN a.n_words IS NOT NULL
+                THEN CAST(a.n_bpe AS DOUBLE) / a.n_words END AS bpe_per_word
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q_llm_bpe_encode", oracle=_bpe_merges_sql(_BPE_ROUNDS, _BPE_ENCODE_FINAL))
+def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the encode side of
+    `q_llm_bpe_merges` and the number a budget-accounting pipeline
+    actually bills by: every doc's token count under the TRAINED
+    tokenizer (not the whitespace proxy `q_llm_token_stats` counts, nor
+    the pre-token count `q_llm_bpe_pretokens` counts). Because BPE
+    merges are word-internal, encoding factors through the vocabulary:
+    the trained tokenization of each DISTINCT word (tokens-per-word
+    from the final merge level) joins per-doc word counts — the corpus
+    is never re-tokenized per occurrence (the 100 TB shape: encode cost
+    ∝ vocab + one doc-word aggregate). bpe_per_word is the realized
+    compression ratio, the quality signal tokenizer training monitors.
+
+    The oracle shares the training CTE chain with q_llm_bpe_merges
+    verbatim (one definition, different final SELECT) and reads the
+    final tokenization level — so training AND application are both
+    exact cross-engine."""
+    from kafka_streams_clojure_spark.operators.text import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    words = doc_words.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("freq"))
+    _, vocab = bpe_merges(words, rounds=_BPE_ROUNDS, with_vocab=True)
+    tpw = vocab.groupBy("w").agg(F.count(F.lit(1)).alias("tpw"))
+    agg = (
+        doc_words.join(tpw, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("tpw")).alias("n_bpe"),
+        )
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_bpe", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        F.when(
+            F.col("n_words").isNotNull(),
+            F.col("n_bpe").cast("double") / F.col("n_words"),
+        ).alias("bpe_per_word"),
+    )
 
 
 #: Winnowing's own hot-fingerprint cut. A near-dup CLUSTER of c docs

@@ -85,6 +85,7 @@ def main() -> None:
     events_mode = "--events" in sys.argv
     asof_mode = "--asof" in sys.argv
     r7_mode = "--r7" in sys.argv
+    r8_mode = "--r8" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_docs = int(args[0]) if args else 50_000
     if asof_mode:
@@ -92,6 +93,9 @@ def main() -> None:
         return
     if r7_mode:
         run_r7_rehearsal(int(args[0]) if args else 1)
+        return
+    if r8_mode:
+        run_r7_rehearsal(int(args[0]) if args else 1, keys=R8_KEYS)
         return
     if events_mode:
         if not os.path.exists(f"{OUT_DIR}/events.parquet"):
@@ -295,6 +299,16 @@ R7_KEYS = [
     "q_graph_kcore",             # 4-round peeling ∝ E
 ]
 
+#: r8-family rehearsal keys (r8 verdict #5): the Arrow-bucketed
+#: sign-LSH ANN, IVF-PQ (ADC candidate join), and the cross-family
+#: reconcile (two pair chains + a pair-table full-outer). Runs on the
+#: same generate_r7 fixtures.
+R8_KEYS = [
+    "q_llm_cosine_ann",
+    "q_llm_ivfpq_topk",
+    "q_llm_dedup_reconcile",
+]
+
 
 def generate_r7(d: str, mult: int) -> None:
     """sf0.1-shaped documents/embeddings/orders/lineitem scaled by
@@ -376,7 +390,7 @@ def generate_r7(d: str, mult: int) -> None:
     )
 
 
-def run_r7_rehearsal(mult: int) -> None:
+def run_r7_rehearsal(mult: int, keys: "list[str] | None" = None) -> None:
     d = f"/tmp/sf1_r7_x{mult}"
     if not os.path.exists(f"{d}/documents.parquet"):
         t0 = time.perf_counter()
@@ -403,7 +417,7 @@ def run_r7_rehearsal(mult: int) -> None:
     qs = queries()
     report = {}
     prev = {"n_stages": 0, "shuffle_read_b": 0, "shuffle_write_b": 0, "input_b": 0}
-    for k in R7_KEYS:
+    for k in keys or R7_KEYS:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[k](spark, d).write.format("noop").mode("overwrite").save()
