@@ -233,7 +233,19 @@ def lsh_cosine_pairs(
     (m+1)× wider probe side. Only ONE side of the pair join explodes
     (XOR distance is symmetric, so probing A's neighborhood against
     B's home bucket covers both orderings); the bucketed base table is
-    built once. The join stays a bucket equi-join — never all-pairs."""
+    built once. The join stays a bucket equi-join — never all-pairs.
+
+    Geometry must GROW with the corpus (measured, r9 rehearsal,
+    SCALE.md "r8-family rehearsal"): at fixed ``n_planes`` the random-
+    collision candidate floor is N²·T·2^-m, so bucket width has to
+    scale ∝ log2(N) at web scale (≈30 planes at 10^9 vectors), with
+    tables/probes re-tuned to hold recall — the SemDeDup cells-∝-√N
+    rule's LSH analog. The registered key pins the 6×8 geometry the
+    sf-scaled recall gates were measured against; note the rehearsal's
+    super-linear shuffle at a LOW (0.4) threshold is output-dominated —
+    the above-threshold pair population of the gaussian fixture itself
+    grows ∝ N² (measured: output 8.1× at 3× data vs shuffle 8.4×), not
+    an operator defect."""
     if multiprobe not in (0, 1):
         raise ValueError(f"multiprobe must be 0 or 1, got {multiprobe!r}")
     bks = _lsh_buckets_arrow(dim, n_planes, n_tables)(F.col(vec_col))
