@@ -30,6 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
         "contrastive.py",
         "streaming_cascade.py",
         "online_ingest.py",
+        "tokenizer_media.py",
     ],
 )
 def test_example_runs(script):
