@@ -289,12 +289,29 @@ def bpe_merges(
             win.select(F.lit(rnd).alias("round"), "lhs", "rhs", "pair_count")
         )
         step = (
-            pairs.crossJoin(F.broadcast(win.select("lhs", "rhs")))
+            # LEFT join on a constant key, not crossJoin: when a corpus
+            # runs out of pairs before `rounds` (all words fully merged
+            # or single-char), win is EMPTY and a crossJoin would wipe
+            # the vocabulary — the left join passes t through unchanged
+            # (is_cand coalesces to false) and later rounds emit no
+            # merges, matching the reference algorithm's early stop
+            pairs.withColumn("__k", F.lit(1))
+            .join(
+                F.broadcast(
+                    win.select("lhs", "rhs").withColumn("__k", F.lit(1))
+                ),
+                "__k",
+                "left",
+            )
+            .drop("__k")
             .withColumn(
                 "is_cand",
-                (F.col("sym") == F.col("lhs"))
-                & F.col("nsym").isNotNull()
-                & (F.col("nsym") == F.col("rhs")),
+                F.coalesce(
+                    (F.col("sym") == F.col("lhs"))
+                    & F.col("nsym").isNotNull()
+                    & (F.col("nsym") == F.col("rhs")),
+                    F.lit(False),
+                ),
             )
             # greedy-leftmost: consecutive candidates (only possible for
             # lhs == rhs runs) group by (pos − running candidate count),

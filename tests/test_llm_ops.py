@@ -1367,3 +1367,81 @@ def test_substring_dedup_planted_runs(spark):
     assert out[3] == (f"c0 c1 {run5} c2", 0, 8)
     assert out[4] == (f"d0 {run5} d1 d2", 0, 8)
     assert out[5] == (f"e0 e1 {run10} e2 e3 e4", 10, 25)
+
+
+def _ref_bpe(words, rounds):
+    """Independent pure-Python BPE trainer (dict-based, no Spark):
+    count desc + lexicographic (lhs, rhs) tie-break, greedy-leftmost
+    non-overlapping merge — the property-test reference for
+    operators/text.bpe_merges."""
+    toks = {w: list(w) for w, _ in words}
+    freqs = dict(words)
+    merges = []
+    for r in range(1, rounds + 1):
+        cnt: dict = {}
+        for w, syms in toks.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + freqs[w]
+        if not cnt:
+            break
+        (lhs, rhs), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, lhs, rhs, c))
+        for w, syms in toks.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            toks[w] = out
+    return merges, toks
+
+
+def test_bpe_merges_matches_reference_property(spark):
+    """Property test: the DataFrame BPE trainer must agree with an
+    independent pure-Python implementation on adversarial small vocabs
+    — repeated-symbol runs (greedy-leftmost), ties (lexicographic),
+    merge products re-merging, words exhausting early, and the
+    degenerate all-single-char corpus where a round has NO pairs left
+    (the empty-winner left-join path). Vocab AND merge-table equality,
+    deterministic seeds."""
+    import random
+
+    from kafka_streams_clojure_spark.operators.text import bpe_merges
+
+    rng = random.Random(7)
+    cases = [
+        [("a", 3), ("b", 2)],                      # no pairs at all
+        [("aaaa", 1), ("aa", 5)],                  # pure runs
+        [("ab", 1), ("ba", 1), ("aa", 1)],         # 3-way tie
+        [("abab", 2), ("baba", 2)],                # merge products re-merge
+    ]
+    for _ in range(6):
+        n = rng.randint(2, 8)
+        seen = set()
+        vocab = []
+        for _ in range(n):
+            w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            if w not in seen:
+                seen.add(w)
+                vocab.append((w, rng.randint(1, 5)))
+        cases.append(vocab)
+    for vocab in cases:
+        rounds = 4
+        want_merges, want_toks = _ref_bpe(vocab, rounds)
+        df = spark.createDataFrame(vocab, "w string, freq long")
+        merges, t = bpe_merges(df, rounds=rounds, with_vocab=True)
+        got_merges = sorted(
+            (int(r["round"]), r.lhs, r.rhs, int(r.pair_count))
+            for r in merges.collect()
+        )
+        assert got_merges == want_merges, (vocab, got_merges, want_merges)
+        got_toks: dict = {}
+        for r in t.orderBy("w", "pos").collect():
+            got_toks.setdefault(r.w, []).append(r.sym)
+        assert got_toks == want_toks, (vocab, got_toks, want_toks)
