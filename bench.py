@@ -143,6 +143,11 @@ EXTRAS = [
     "q_llm_knn_label_agreement",  # 5-NN label accuracy eval
     "q_llm_filter_funnel",     # curation-loss attribution funnel
     "q_events_rolling_dau",    # exact trailing-7d distinct
+    # round-9 additions
+    "q_llm_substring_dedup",   # ExactSubstr span removal (no pair join)
+    "q_llm_bpe_merges",        # BPE merge training (vocab-iteration)
+    "q_llm_bpe_encode",        # trained-tokenizer token accounting
+    "q_multimodal_near_dup",   # dHash + Hamming-band media near-dup
 ]
 
 

@@ -895,6 +895,7 @@ def substring_dedup(
     text_col: str = "text",
     k: int = 3,
     min_run: int = 8,
+    hash_key: bool = False,
 ) -> DataFrame:
     """EXACT-SUBSTRING dedup REMOVAL (the Lee et al. 2022 ExactSubstr
     shape, word-granular): positions lying inside duplicated k-word
@@ -926,7 +927,12 @@ def substring_dedup(
     count²), a coverage explode of ×k, and doc-keyed run/rebuild
     windows on the pinned-repartition partitioning. Everything is
     engine-portable integers/strings, so the whole removal is
-    DuckDB-oracle-exact (q_llm_substring_dedup).
+    DuckDB-oracle-exact (q_llm_substring_dedup). ``hash_key=True`` is
+    the production wire shape (the passage_dedup precedent): the
+    occurrence shuffle keys on ``xxhash64(shingle)`` — 8 bytes/row
+    instead of the raw k-word string, the dominant exchange width cut;
+    a 64-bit collision conflating two shingles is ~2^-64/pair
+    (rows-only key, equivalence-tested against the string twin).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = persist_if_uncached(
@@ -947,6 +953,8 @@ def substring_dedup(
         .filter(F.col("pos") + k <= F.col("__n"))
         .select(id_col, "pos", "s")
     )
+    if hash_key:
+        occ = occ.select(id_col, "pos", F.xxhash64("s").alias("s"))
     ws = Window.partitionBy("s")
     dup = (
         occ.withColumn("__cnt", F.count(F.lit(1)).over(ws))

@@ -4982,6 +4982,24 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(docs, k=3, min_run=8)
 
 
+@query("q_llm_substring_dedup_hashed")
+def q_llm_substring_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION exchange shape of q_llm_substring_dedup (the
+    q_llm_passage_dedup_hashed precedent): identical removal semantics,
+    but the duplicated-occurrence window — the one corpus-sized shuffle
+    — keys on ``xxhash64(shingle)``, 8 bytes/row on the wire instead of
+    the raw 3-word string (the dominant width cut at 100 TB). Rows-only
+    BY DESIGN: DuckDB cannot reproduce Spark's xxhash64; the gate is
+    tests/test_llm_ops.py::test_substring_dedup_hashed_matches_string
+    pinning output EQUALITY to the oracle-gated string twin — a 64-bit
+    collision conflating two shingles is ~2^-64/pair and would surface
+    there first."""
+    from kafka_streams_clojure_spark.operators.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, k=3, min_run=8, hash_key=True)
+
+
 @query(
     "q_llm_bitext_mining",
     oracle=f"""

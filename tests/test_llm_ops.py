@@ -1445,3 +1445,21 @@ def test_bpe_merges_matches_reference_property(spark):
         for r in t.orderBy("w", "pos").collect():
             got_toks.setdefault(r.w, []).append(r.sym)
         assert got_toks == want_toks, (vocab, got_toks, want_toks)
+
+
+def test_substring_dedup_hashed_matches_string(spark, sf_dir):
+    """The xxhash64-keyed occurrence shuffle (8 bytes/row wire shape)
+    must produce output IDENTICAL to the oracle-gated string-keyed twin
+    on the fixtures — the passage_dedup_hashed equivalence discipline."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    want = {
+        int(r.doc_id): (r.clean_text, int(r.n_removed), int(r.n_total))
+        for r in qs["q_llm_substring_dedup"](spark, sf_dir).collect()
+    }
+    got = {
+        int(r.doc_id): (r.clean_text, int(r.n_removed), int(r.n_total))
+        for r in qs["q_llm_substring_dedup_hashed"](spark, sf_dir).collect()
+    }
+    assert got == want
