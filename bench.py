@@ -148,6 +148,11 @@ EXTRAS = [
     "q_llm_bpe_merges",        # BPE merge training (vocab-iteration)
     "q_llm_bpe_encode",        # trained-tokenizer token accounting
     "q_multimodal_near_dup",   # dHash + Hamming-band media near-dup
+    "q_llm_isotropy",          # Gram-sum isotropy (one pass, no pairs)
+    "q_llm_dedup_threshold_curve",  # one pair build × 8 cuts
+    "q_llm_ccnet_buckets",     # perplexity-stand-in terciles
+    "q_llm_gopher_rules",      # per-rule pass/fail tuning table
+    "q_zorder_skipping",       # OPTIMIZE-ZORDER decision audit
 ]
 
 

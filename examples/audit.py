@@ -14,6 +14,10 @@ first-class oracle-gated key (COVERAGE.md):
   token-budget forecast  -> q_llm_bpe_pretokens (BPE-ish vs whitespace)
   split census           -> q_llm_eval_split (90/5/5 leakage view)
   privacy posture        -> q_llm_k_anonymity + q_llm_l_diversity
+  quality-rule tuning    -> q_llm_gopher_rules (per-rule pass/fail)
+  perplexity terciles    -> q_llm_ccnet_buckets (head/middle/tail)
+  dedup knob setting     -> q_llm_dedup_threshold_curve (cut sweep)
+  embedding collapse     -> q_llm_isotropy (Gram-sum, no pair join)
 
 Everything is lazy DataFrame composition; each report is one Catalyst
 plan. The audit reads the corpus a handful of times and shuffles only
@@ -86,6 +90,32 @@ def main(sf_dir: str, stop: bool = True) -> None:
     )
     print(f"k-anonymity groups under k=5: {under_k}; "
           f"l-diversity groups under l=3: {under_l}")
+
+    # 8. Quality-rule tuning table: which Gopher rule would eat how
+    #    much of THIS corpus (read before committing thresholds).
+    print("— Gopher rule report —")
+    qs["q_llm_gopher_rules"](spark, sf_dir).orderBy("rule").show(
+        truncate=False
+    )
+
+    # 9. CCNet head/middle/tail terciles of the perplexity stand-in —
+    #    the keep-head+middle decision table.
+    print("— CCNet quality buckets —")
+    qs["q_llm_ccnet_buckets"](spark, sf_dir).orderBy("bucket").show(
+        truncate=False
+    )
+
+    # 10. Dedup threshold sweep: one pair-table build, every cut — a
+    #     cliff between adjacent cuts marks the corpus's near-dup band.
+    print("— Jaccard threshold-sensitivity curve —")
+    qs["q_llm_dedup_threshold_curve"](spark, sf_dir).orderBy("t10").show(
+        truncate=False
+    )
+
+    # 11. Embedding-space collapse check: mean pairwise similarity in
+    #     ONE corpus pass via the Gram-sum identity (never N² pairs).
+    print("— embedding isotropy —")
+    qs["q_llm_isotropy"](spark, sf_dir).show(truncate=False)
 
     if stop:
         spark.stop()

@@ -6,6 +6,7 @@ Run:  python examples/scale_toolkit.py [sf_dir]
 Covers (each an oracle-checked query key, COVERAGE.md):
 
   Z-order (Morton) layout key       -> q_zorder_curve
+  Z-order data-skipping audit       -> q_zorder_skipping
   integer-exact PageRank            -> q_graph_pagerank
   fixed-grid linear interpolation   -> q_events_resample
   stream-stream AS-OF w/ state      -> q_stream_asof_join
@@ -33,6 +34,13 @@ def main(sf_dir: str) -> None:
 
     print("1. Z-order key — files sorted by it bound BOTH dims' min/max:")
     run(spark, "q_zorder_curve", sf_dir).orderBy("zkey").show(5)
+
+    # Should you actually re-cluster? The decision table: per-file
+    # min/max spans + files scanned by a second-dimension probe,
+    # Morton layout vs single-column sort.
+    run(spark, "q_zorder_skipping", sf_dir).orderBy("scheme").show(
+        truncate=False
+    )
 
     print("2. Who matters in the co-purchase graph? (integer PageRank):")
     run(spark, "q_graph_pagerank", sf_dir).orderBy(F.desc("rank")).show(

@@ -5444,3 +5444,379 @@ def q_llm_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in batches[1:]:
         out = out.unionByName(b)
     return out
+
+
+@query(
+    "q_llm_isotropy",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim,
+             unnest(embedding) AS c
+      FROM embeddings
+    ),
+    cd AS (SELECT vec_id, dim, CAST(c AS DOUBLE) AS v FROM comp),
+    g AS (SELECT max(abs(v)) AS gmax FROM cd),
+    q AS (SELECT vec_id, dim,
+                 CAST(floor(v / gmax * 127.0e0) AS BIGINT) AS qv
+          FROM cd, g),
+    dims AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY dim),
+    gram AS (SELECT CAST(sum(s * s) AS BIGINT) AS sum_s2 FROM dims),
+    tot AS (SELECT CAST(sum(qv * qv) AS BIGINT) AS ssq,
+                   count(DISTINCT vec_id) AS n_vecs
+            FROM q)
+    SELECT n_vecs,
+           CAST(sum_s2 - ssq AS DOUBLE)
+             / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))
+             AS mean_pair_dot_q,
+           CAST(ssq AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_sq_norm_q,
+           (CAST(sum_s2 - ssq AS DOUBLE)
+             / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)))
+             / (CAST(ssq AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+             AS isotropy_ratio
+    FROM tot, gram
+    """,
+)
+def q_llm_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space ISOTROPY estimate (Ethayarajh 2019's anisotropy
+    health check: is the embedding model collapsing toward a dominant
+    direction?) computed WITHOUT a pair join via the Gram-sum identity
+
+        sum_{i != j} <v_i, v_j>  =  || sum_i v_i ||^2  -  sum_i ||v_i||^2
+
+    so the mean pairwise dot product of N vectors is ONE corpus pass
+    (a per-dimension sum + a global sum of squares), never N^2 pairs —
+    at 100 TB this is the difference between running the monitor daily
+    and not running it at all. `isotropy_ratio` = mean pairwise dot /
+    mean squared norm: ~0 for an isotropic cloud, -> 1 as the space
+    collapses onto one direction.
+
+    Float discipline (CLAUDE.md double-sum rule): summing raw f32
+    components in double is partial-agg-order dependent, so components
+    are first quantized to integers — qv = floor(v / gmax * 127) with
+    gmax the corpus max |component| (broadcast 1-row). `a / b * c` over
+    identical doubles is IEEE-deterministic and floor of the same
+    double is the same integer on both engines, so every downstream
+    sum is EXACT int64 arithmetic until the final divisions
+    (int64 holds to N ~ 7.5e8 vectors; beyond that widen the dim sums
+    to DECIMAL(38,0) — the q_events_burstiness precedent). Shuffle:
+    one (dim)-keyed agg of 64 rows + two 1-row aggregates; the
+    monitor's answer is quantized-dot units, which cancel in the
+    ratio up to quantization error."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "c")
+    ).select("vec_id", "dim", F.col("c").cast("double").alias("v"))
+    g = comp.agg(F.max(F.abs(F.col("v"))).alias("gmax"))
+    q = persist_if_uncached(
+        comp.crossJoin(F.broadcast(g)).select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("v") / F.col("gmax") * F.lit(127.0))
+            .cast("bigint")
+            .alias("qv"),
+        )
+    )
+    dims = q.groupBy("dim").agg(F.sum("qv").alias("s"))
+    gram = dims.agg(F.sum(F.col("s") * F.col("s")).alias("sum_s2"))
+    tot = q.agg(
+        F.sum(F.col("qv") * F.col("qv")).alias("ssq"),
+        F.countDistinct("vec_id").alias("n_vecs"),
+    )
+    mean_pair = (F.col("sum_s2") - F.col("ssq")).cast("double") / (
+        F.col("n_vecs").cast("double") * (F.col("n_vecs") - 1).cast("double")
+    )
+    mean_sq = F.col("ssq").cast("double") / F.col("n_vecs").cast("double")
+    return tot.crossJoin(F.broadcast(gram)).select(
+        "n_vecs",
+        mean_pair.alias("mean_pair_dot_q"),
+        mean_sq.alias("mean_sq_norm_q"),
+        (mean_pair / mean_sq).alias("isotropy_ratio"),
+    )
+
+
+@query(
+    "q_llm_dedup_threshold_curve",
+    oracle=f"""
+    WITH {_JACCARD_CAPPED_CTES},
+    jall AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter)
+               AS jaccard
+      FROM inter_c
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    t AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9]) AS t10)
+    SELECT t10,
+           count(*) AS n_pairs,
+           count(DISTINCT id_b) AS n_docs_flagged
+    FROM jall JOIN t ON jaccard >= CAST(t10 AS DOUBLE) / 10.0e0
+    GROUP BY t10
+    """,
+)
+def q_llm_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD-SENSITIVITY curve: for each Jaccard cut t in
+    {0.2 .. 0.9}, how many capped-shingle pairs qualify and how many
+    docs would the greedy keep-first rule flag (a doc is flagged iff it
+    is the GREATER id of >= 1 qualifying pair — the upper bound the
+    transitive-closure clusters key refines). This is the knob-setting
+    audit an operator runs BEFORE committing a threshold to a 100 TB
+    dedup pass: a cliff between adjacent cuts means the corpus has a
+    near-dup band the threshold is slicing through.
+
+    Cost: the candidate pair table is built ONCE (the same
+    stop-shingle-capped shared-shingle equi-join as
+    q_llm_ngram_jaccard_capped — never docs²) and each pair fans out
+    to the 8-row broadcast threshold table; the whole curve costs one
+    near-dup run + an 8x pair-table scan, not 8 runs. Threshold
+    compares are engine-exact: both engines compute jaccard as the
+    identical int/int double division and t/10 as the identical
+    int->double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, k=4, threshold=0.0, max_doc_freq=_STOP_SHINGLE_CAP
+    )
+    t = spark.range(2, 10).select(F.col("id").cast("int").alias("t10"))
+    thr = F.col("t10").cast("double") / F.lit(10.0)
+    return (
+        pairs.join(F.broadcast(t), F.col("jaccard") >= thr)
+        .groupBy("t10")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_flagged"),
+        )
+    )
+
+
+@query(
+    "q_llm_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKL}) AS w FROM documents
+    ),
+    wf AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM tok GROUP BY w),
+    c AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(CAST(sum(wf.n_w) AS DOUBLE) / count(*) AS DOUBLE)
+               AS commonness
+      FROM tok t JOIN wf ON wf.w = t.w
+      GROUP BY t.doc_id
+    ),
+    nn AS (SELECT count(*) AS n_docs FROM c),
+    r AS (SELECT doc_id, n_tokens, commonness,
+                 row_number() OVER (ORDER BY commonness DESC, doc_id) - 1
+                   AS rnk
+          FROM c),
+    b AS (SELECT CASE ((rnk * 3) // n_docs)
+                   WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+                 END AS bucket,
+                 n_tokens, commonness
+          FROM r, nn)
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(commonness) AS min_score,
+           max(commonness) AS max_score
+    FROM b GROUP BY bucket
+    """,
+)
+def q_llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style QUALITY BUCKETS (Wenzek et al. 2020: split the crawl
+    into head/middle/tail by LM perplexity, train on head+middle,
+    audit tail): docs ranked by the division-only perplexity stand-in
+    (q_llm_commonness — high commonness = fluent common-token text,
+    the low-perplexity analog) and cut into exact TERCILES by global
+    rank, reporting each bucket's doc count, token mass and score
+    range — the table a curation run reads before deciding which
+    buckets to keep.
+
+    Exactness: scores are one int/int double division (identical both
+    engines); bucket boundaries are integer rank arithmetic
+    (rank*3 div N) over the doc_id-tiebroken total order, so
+    membership is engine-exact even where scores tie. Plan: the
+    vocabulary-sized frequency join (q_llm_commonness's shape), then
+    ranks from the parallel global_index idiom — range partition +
+    broadcast prefix counts, no single-task sort — and the corpus
+    count rides as a broadcast 1-row side."""
+    from kafka_streams_clojure_spark.operators.order import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    wf = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("n_w"))
+    c = (
+        tok.join(wf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.sum("n_w").cast("double") / F.count("*"))
+            .cast("double")
+            .alias("commonness"),
+        )
+    )
+    nn = c.agg(F.count("*").alias("n_docs"))
+    r = global_index(
+        c, [F.col("commonness").desc(), F.col("doc_id")], idx_col="rnk"
+    )
+    tercile = F.expr("(rnk * 3) div n_docs")
+    b = r.crossJoin(F.broadcast(nn)).select(
+        F.when(tercile == 0, "head")
+        .when(tercile == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_tokens",
+        "commonness",
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("commonness").alias("min_score"),
+        F.max("commonness").alias("max_score"),
+    )
+
+
+@query(
+    "q_llm_gopher_rules",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOK} AS t, {_TOKL} AS tl FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_tok,
+             len(list_distinct(tl)) AS n_distinct,
+             length(regexp_replace(array_to_string(t, ''), '\\s', '', 'g'))
+               AS n_chars,
+             len(list_filter(t, w -> regexp_matches(w, '^[a-zA-Z]+$')))
+               AS n_alpha,
+             len(list_filter(tl,
+                 w -> list_contains(['the','and','of','to','in','is','that',
+                                     'for','with','as','a','an','it','on',
+                                     'be','are','was'], w))) AS n_stop
+      FROM d
+    ),
+    flags AS (
+      SELECT doc_id,
+             (n_tok >= 20 AND n_tok <= 1000)                  AS r_word_count,
+             (3 * n_tok <= n_chars AND n_chars <= 10 * n_tok) AS r_mean_word_len,
+             (n_stop >= 2)                                    AS r_stopwords,
+             (10 * (n_tok - n_distinct) <= 3 * n_tok)         AS r_dup_tokens,
+             (5 * n_alpha >= 4 * n_tok)                       AS r_alpha_frac
+      FROM m
+    )
+    SELECT 'word_count' AS rule,
+           CAST(count(*) FILTER (WHERE r_word_count) AS BIGINT) AS n_pass,
+           CAST(count(*) FILTER (WHERE NOT r_word_count) AS BIGINT) AS n_fail
+    FROM flags
+    UNION ALL
+    SELECT 'mean_word_len',
+           CAST(count(*) FILTER (WHERE r_mean_word_len) AS BIGINT),
+           CAST(count(*) FILTER (WHERE NOT r_mean_word_len) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 'stopwords',
+           CAST(count(*) FILTER (WHERE r_stopwords) AS BIGINT),
+           CAST(count(*) FILTER (WHERE NOT r_stopwords) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 'dup_tokens',
+           CAST(count(*) FILTER (WHERE r_dup_tokens) AS BIGINT),
+           CAST(count(*) FILTER (WHERE NOT r_dup_tokens) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 'all_rules',
+           CAST(count(*) FILTER (WHERE r_word_count AND r_mean_word_len
+                 AND r_stopwords AND r_dup_tokens AND r_alpha_frac)
+                AS BIGINT),
+           CAST(count(*) FILTER (WHERE NOT (r_word_count AND r_mean_word_len
+                 AND r_stopwords AND r_dup_tokens AND r_alpha_frac))
+                AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 'alpha_frac',
+           CAST(count(*) FILTER (WHERE r_alpha_frac) AS BIGINT),
+           CAST(count(*) FILTER (WHERE NOT r_alpha_frac) AS BIGINT)
+    FROM flags
+    """,
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER RULE REPORT (Rae et al. 2021 §A1.1 quality heuristics,
+    thresholds adapted to the fixture's length range): per-rule
+    pass/fail document counts for word count bounds, mean word length
+    in [3,10], >= 2 stopwords, duplicate-token ratio <= 0.3 and
+    alphabetic-token fraction >= 0.8, plus the all-rules conjunction —
+    the tuning table an operator reads per corpus slice BEFORE
+    committing thresholds (beside q_llm_quality_score's per-doc
+    composite and q_llm_repetition's Gopher repetition signals).
+
+    Every rule is an INTEGER comparison (ratio thresholds
+    cross-multiplied: chars/tok in [3,10] becomes 3·tok <= chars <=
+    10·tok) so pass/fail is engine-exact with no float anywhere.
+    Plan: ONE corpus scan computes all five flags map-side (array
+    higher-order counts, no explode/shuffle), one aggregate row,
+    6-row stack unpivot — the q_llm_filter_funnel discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), r"\s+")
+    tl = F.split(F.lower("text"), r"\s+")
+    stop = F.array(*[F.lit(w) for w in TX.STOPWORDS_EN])
+    m = docs.select(
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(tl)).alias("n_distinct"),
+        F.length(F.regexp_replace(F.array_join(t, ""), r"\s", "")).alias(
+            "n_chars"
+        ),
+        F.size(
+            F.filter(t, lambda w: w.rlike("^[a-zA-Z]+$"))
+        ).alias("n_alpha"),
+        F.size(F.filter(tl, lambda w: F.array_contains(stop, w))).alias(
+            "n_stop"
+        ),
+    )
+    flags = m.select(
+        ((F.col("n_tok") >= 20) & (F.col("n_tok") <= 1000)).alias("r_wc"),
+        (
+            (3 * F.col("n_tok") <= F.col("n_chars"))
+            & (F.col("n_chars") <= 10 * F.col("n_tok"))
+        ).alias("r_mwl"),
+        (F.col("n_stop") >= 2).alias("r_sw"),
+        (
+            10 * (F.col("n_tok") - F.col("n_distinct")) <= 3 * F.col("n_tok")
+        ).alias("r_dup"),
+        (5 * F.col("n_alpha") >= 4 * F.col("n_tok")).alias("r_alpha"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    allr = (
+        F.col("r_wc")
+        & F.col("r_mwl")
+        & F.col("r_sw")
+        & F.col("r_dup")
+        & F.col("r_alpha")
+    )
+    agg = flags.agg(
+        cnt(F.col("r_wc")).alias("p_wc"),
+        cnt(~F.col("r_wc")).alias("f_wc"),
+        cnt(F.col("r_mwl")).alias("p_mwl"),
+        cnt(~F.col("r_mwl")).alias("f_mwl"),
+        cnt(F.col("r_sw")).alias("p_sw"),
+        cnt(~F.col("r_sw")).alias("f_sw"),
+        cnt(F.col("r_dup")).alias("p_dup"),
+        cnt(~F.col("r_dup")).alias("f_dup"),
+        cnt(F.col("r_alpha")).alias("p_alpha"),
+        cnt(~F.col("r_alpha")).alias("f_alpha"),
+        cnt(allr).alias("p_all"),
+        cnt(~allr).alias("f_all"),
+    )
+    return agg.selectExpr(
+        "stack(6, "
+        "'word_count', p_wc, f_wc, "
+        "'mean_word_len', p_mwl, f_mwl, "
+        "'stopwords', p_sw, f_sw, "
+        "'dup_tokens', p_dup, f_dup, "
+        "'alpha_frac', p_alpha, f_alpha, "
+        "'all_rules', p_all, f_all) AS (rule, n_pass, n_fail)"
+    )

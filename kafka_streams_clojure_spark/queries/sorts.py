@@ -204,3 +204,121 @@ def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     z = morton2(F.col("user_id"), F.floor(F.col("value")).cast("long"))
     return ev.select("event_id", z.alias("zkey"))
+
+
+_ZS_PROBE_LO, _ZS_PROBE_HI = 64, 79  # a 1/16 slice of the y rank space
+
+
+@query(
+    "q_zorder_skipping",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, value FROM events),
+    nn AS (SELECT count(*) AS n_rows FROM e),
+    r AS (SELECT event_id,
+                 row_number() OVER (ORDER BY user_id, event_id) - 1 AS rx,
+                 row_number() OVER (ORDER BY value, event_id) - 1 AS ry
+          FROM e),
+    b AS (SELECT event_id, rx,
+                 (rx * 256) // n_rows AS bx,
+                 (ry * 256) // n_rows AS by
+          FROM r, nn),
+    z AS (SELECT event_id, rx, bx, by,
+                 {morton2_sql('bx', 'by')} AS zval
+          FROM b),
+    f AS (SELECT bx, by,
+                 (row_number() OVER (ORDER BY zval, event_id) - 1) // 100
+                   AS fid_z,
+                 rx // 100 AS fid_lin
+          FROM z),
+    fz AS (SELECT fid_z,
+                  max(bx) - min(bx) AS span_x,
+                  max(by) - min(by) AS span_y,
+                  CASE WHEN min(by) <= {_ZS_PROBE_HI}
+                        AND max(by) >= {_ZS_PROBE_LO} THEN 1 ELSE 0 END AS hit
+           FROM f GROUP BY fid_z),
+    fl AS (SELECT fid_lin,
+                  max(bx) - min(bx) AS span_x,
+                  max(by) - min(by) AS span_y,
+                  CASE WHEN min(by) <= {_ZS_PROBE_HI}
+                        AND max(by) >= {_ZS_PROBE_LO} THEN 1 ELSE 0 END AS hit
+           FROM f GROUP BY fid_lin)
+    SELECT 'zorder' AS scheme, count(*) AS n_files,
+           CAST(sum(span_x) AS BIGINT) AS sum_span_x,
+           CAST(sum(span_y) AS BIGINT) AS sum_span_y,
+           CAST(sum(hit) AS BIGINT) AS files_scanned
+    FROM fz
+    UNION ALL
+    SELECT 'linear' AS scheme, count(*) AS n_files,
+           CAST(sum(span_x) AS BIGINT) AS sum_span_x,
+           CAST(sum(span_y) AS BIGINT) AS sum_span_y,
+           CAST(sum(hit) AS BIGINT) AS files_scanned
+    FROM fl
+    """,
+)
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-SKIPPING effectiveness of the Z-order layout, measured —
+    the audit behind Delta/Iceberg `OPTIMIZE ZORDER BY`: lay the table
+    out in 100-row "files" two ways (Morton order over the two rank-
+    bucketed dimensions vs a plain single-column sort), compute each
+    file's min/max box — exactly the parquet footer stats a reader
+    prunes on — and report, per scheme, the summed per-file spans on
+    BOTH dimensions plus how many files a 1/16-slice predicate on the
+    SECOND dimension has to scan. Z-order bounds both spans, so the
+    y-probe prunes most files; the linear sort leaves span_y unbounded
+    and the same probe scans everything — the number that justifies
+    re-clustering a 100 TB table.
+
+    Plan: ranks and file ids come from the parallel `global_index`
+    idiom (range partition + broadcast prefix counts — a total sort
+    with NO single-task window, i.e. exactly what writing sorted files
+    does); the corpus count rides as a broadcast 1-row side; bucketing
+    to 256 cells is exact integer `div`, the Morton ladder is the
+    shared shift/mask text of q_zorder_curve. Everything stays int64,
+    so both engines agree bit-for-bit."""
+    from kafka_streams_clojure_spark.operators.order import global_index
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    nn = ev.agg(F.count("*").alias("n_rows"))
+    r = global_index(
+        global_index(ev, ["user_id", "event_id"], idx_col="rx"),
+        ["value", "event_id"],
+        idx_col="ry",
+    )
+    b = r.crossJoin(F.broadcast(nn)).select(
+        "event_id",
+        "rx",
+        F.expr("(rx * 256) div n_rows").alias("bx"),
+        F.expr("(ry * 256) div n_rows").alias("by"),
+    )
+    z = b.withColumn("zval", morton2(F.col("bx"), F.col("by")))
+    f = global_index(z, ["zval", "event_id"], idx_col="rz").select(
+        "bx",
+        "by",
+        F.expr("rz div 100").alias("fid_z"),
+        F.expr("rx div 100").alias("fid_lin"),
+    )
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    f = persist_if_uncached(f)
+
+    def summarize(fid_col: str, scheme: str) -> DataFrame:
+        hit = F.when(
+            (F.min("by") <= _ZS_PROBE_HI) & (F.max("by") >= _ZS_PROBE_LO), 1
+        ).otherwise(0)
+        files = f.groupBy(fid_col).agg(
+            (F.max("bx") - F.min("bx")).alias("span_x"),
+            (F.max("by") - F.min("by")).alias("span_y"),
+            hit.alias("hit"),
+        )
+        return files.agg(
+            F.count("*").alias("n_files"),
+            F.sum("span_x").cast("bigint").alias("sum_span_x"),
+            F.sum("span_y").cast("bigint").alias("sum_span_y"),
+            F.sum("hit").cast("bigint").alias("files_scanned"),
+        ).select(F.lit(scheme).alias("scheme"), "*")
+
+    return summarize("fid_z", "zorder").unionByName(
+        summarize("fid_lin", "linear")
+    )

@@ -1463,3 +1463,53 @@ def test_substring_dedup_hashed_matches_string(spark, sf_dir):
         for r in qs["q_llm_substring_dedup_hashed"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_isotropy_gram_identity_matches_pair_join(spark, sf_dir):
+    """q_llm_isotropy's one-pass Gram-sum identity equals the brute
+    N² pair mean computed directly on the quantized vectors (the
+    definition it replaces), and the gaussian fixture is near-isotropic
+    (ratio ≈ 0, far from collapse)."""
+    import math
+
+    from kafka_streams_clojure_spark.queries.llm import q_llm_isotropy
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    row = q_llm_isotropy(spark, sf_dir).collect()[0]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = [r.embedding for r in emb.select("embedding").collect()]
+    gmax = max(abs(float(c)) for v in vecs for c in v)
+    q = [[math.floor(float(c) / gmax * 127.0) for c in v] for v in vecs]
+    n = len(q)
+    sums = [sum(col) for col in zip(*q)]
+    ssq = sum(c * c for v in q for c in v)
+    brute_pair = (sum(s * s for s in sums) - ssq) / (n * (n - 1))
+    assert row.n_vecs == n
+    assert row.mean_pair_dot_q == pytest.approx(brute_pair, rel=1e-12)
+    assert row.mean_sq_norm_q == pytest.approx(ssq / n, rel=1e-12)
+    # gaussian cloud: mean pairwise similarity is a rounding error of
+    # the mean norm — nowhere near directional collapse
+    assert abs(row.isotropy_ratio) < 0.05
+
+
+def test_dedup_threshold_curve_is_monotone(spark, sf_dir):
+    """Raising the Jaccard cut can only shrink the pair set and the
+    flagged-doc set; the 0.5 point must agree with the registered
+    capped-Jaccard key it slices."""
+    from kafka_streams_clojure_spark.queries.llm import (
+        q_llm_dedup_threshold_curve,
+        q_llm_ngram_jaccard_capped,
+    )
+
+    curve = {
+        r.t10: (r.n_pairs, r.n_docs_flagged)
+        for r in q_llm_dedup_threshold_curve(spark, sf_dir).collect()
+    }
+    ts = sorted(curve)
+    for lo, hi in zip(ts, ts[1:]):
+        assert curve[lo][0] >= curve[hi][0]
+        assert curve[lo][1] >= curve[hi][1]
+    at_05 = q_llm_ngram_jaccard_capped(spark, sf_dir)
+    assert curve[5][0] == at_05.count()
+    assert curve[5][1] == at_05.select("id_b").distinct().count()

@@ -95,6 +95,20 @@ _NONEQUI_OK = {
     # candidate join itself stays the md5-bucket EQUI-join —
     # test_plan_shape pins it)
     "q_llm_triplets_scaled",
+    # crossJoins of TWO broadcast 1-row aggregates (the gmax quantizer
+    # scale and the sum-of-squares / gram totals) — the Gram-sum
+    # identity's whole point is that there is no pair join
+    "q_llm_isotropy",
+    # BNLJ of the pair table against the broadcast 8-row threshold
+    # list (a range predicate by definition); the pair table itself is
+    # the capped shared-shingle EQUI-join
+    "q_llm_dedup_threshold_curve",
+    # crossJoin of the broadcast 1-row corpus count (the rank-bucket
+    # denominator); ranks/file-ids are the parallel global_index idiom
+    "q_zorder_skipping",
+    # crossJoin of the broadcast 1-row doc count (the tercile-boundary
+    # denominator); ranks are the parallel global_index idiom
+    "q_llm_ccnet_buckets",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and

@@ -137,3 +137,23 @@ def test_ranked_prefix_sum_matches_window(spark, sf_dir):
             ).collect()
         }
         assert got == exp, f"divergence at num_partitions={n_parts}"
+
+
+def test_zorder_skipping_prunes_second_dimension(spark, sf_dir):
+    """The claim q_zorder_skipping exists to measure: under the Morton
+    layout a probe on the SECOND dimension scans strictly fewer files
+    than under the single-column (first-dimension) sort, and the
+    summed per-file y-spans are strictly smaller — the parquet
+    min/max-stat pruning win that justifies re-clustering."""
+    from kafka_streams_clojure_spark.queries.sorts import q_zorder_skipping
+
+    rows = {r.scheme: r for r in q_zorder_skipping(spark, sf_dir).collect()}
+    assert set(rows) == {"zorder", "linear"}
+    z, lin = rows["zorder"], rows["linear"]
+    assert z.n_files == lin.n_files  # same table, same file size
+    # the linear layout sorts by x only: y is unclustered, the y-probe
+    # scans (almost) everything; z-order bounds both dimensions
+    assert z.files_scanned < lin.files_scanned
+    assert z.sum_span_y < lin.sum_span_y
+    # the price: x-spans widen vs a perfect x-sort, but stay bounded
+    assert z.sum_span_x >= lin.sum_span_x
