@@ -10,6 +10,9 @@ this surface is what runs CONTINUOUSLY as new crawls arrive:
   NEAR-dup at ingest       -> q_stream_near_dup_ingest (banded MinHash
                               vs a standing index that grows with each
                               accepted batch)
+  QUOTA at ingest          -> q_stream_quota_ingest (per-source token
+                              budget at the stream position; standing
+                              totals store; oracle-gated)
   SEMANTIC dedup at ingest -> q_stream_semdedup_ingest (embedding
                               cosine vs a standing k-means cell index
                               — catches paraphrases/re-encodes the
@@ -57,6 +60,13 @@ def main(sf_dir: str, stop: bool = True) -> None:
     #    probe shape) — the pass that catches paraphrases.
     n_sem = qs["q_stream_semdedup_ingest"](spark, sf_dir).count()
     print(f"semantic ingest accepted:    {n_sem} vectors")
+
+    #    ...and the BUDGET member: per-source token quotas enforced at
+    #    the stream position (prefix semantics — batch-split invariant,
+    #    hence fully oracle-gated), standing totals in a persistent
+    #    store exactly like the dedup indexes above.
+    n_quota = qs["q_stream_quota_ingest"](spark, sf_dir).count()
+    print(f"quota ingest admitted:       {n_quota} docs")
 
     # 3. Enrichment: each purchase sees the user's latest click state.
     #    The bucketed form computes the IDENTICAL rows with the window

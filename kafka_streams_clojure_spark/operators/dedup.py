@@ -1003,3 +1003,51 @@ def substring_dedup(
             F.col("__n_total").cast("bigint").alias("n_total"),
         )
     )
+
+
+def quota_admit_delta(
+    delta: DataFrame,
+    totals: DataFrame,
+    quota: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-source token-budget ADMISSION for one ingest delta — the
+    budget member of the ingest-delta family (beside
+    :func:`near_dup_ingest_delta` and similarity.semdedup_ingest_delta),
+    the batch core of the `q_stream_quota_ingest` key.
+
+    ``totals`` is the standing store: one ``(source, total)`` row per
+    source = the stream position already consumed. A delta doc is
+    admitted iff its PREFIX POSITION — standing total + the within-delta
+    per-source running sum in (source, id) order — stays <= ``quota``.
+    Returns ``(admitted, new_totals)`` where ``new_totals`` advances
+    every source by the delta's FULL token mass, admitted or not.
+
+    Prefix (not admit-if-fits) semantics are deliberate: admission then
+    depends only on each doc's cumulative position in the (source, id)
+    order, NOT on how the stream was batched — any batch split yields
+    the same admitted set as one batch, which is what makes the
+    streaming key oracle-able (one window prefix sum in DuckDB) and the
+    store merge-safe. Scale: one source-keyed window over the DELTA
+    only; ``totals`` is dimension-sized (#sources) and broadcasts."""
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    cum = delta.withColumn("__cum", F.sum(tokens_col).over(w))
+    admitted = (
+        cum.join(F.broadcast(totals), source_col, "left")
+        .fillna(0, subset=["total"])
+        .filter(F.col("total") + F.col("__cum") <= quota)
+        .select(id_col, source_col, tokens_col)
+    )
+    delta_tot = delta.groupBy(source_col).agg(
+        F.sum(tokens_col).alias("__delta_tok")
+    )
+    new_totals = totals.join(delta_tot, source_col, "full").select(
+        source_col,
+        (
+            F.coalesce(F.col("total"), F.lit(0))
+            + F.coalesce(F.col("__delta_tok"), F.lit(0))
+        ).cast("bigint").alias("total"),
+    )
+    return admitted, new_totals

@@ -1355,3 +1355,86 @@ def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return spark.read.parquet(out_root)
+
+
+@query(
+    "q_stream_quota_ingest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+    """,
+)
+def q_stream_quota_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUOTA-at-ingest: per-source token-budget admission with STANDING
+    state across micro-batches — the online form of `q_llm_source_quota`
+    / `q_llm_budget_select`, and the fourth member of the ingest family
+    (exact-fp, banded-MinHash, semantic-cell, now budget). Each batch:
+    per-doc token counts, within-batch per-source prefix sums
+    (doc_id-ordered), offset by the source's standing stream position
+    from a persistent totals store; a doc is ADMITTED iff its cumulative
+    stream position <= the 800-token quota (chosen to BIND on every fixture SF — ~half the corpus is cut at sf0.01, so the oracle actually exercises the boundary). The store then advances by
+    the batch's FULL token mass (admitted or not).
+
+    That last choice is what makes this oracle-able: admission depends
+    only on each doc's PREFIX POSITION in the (source, doc_id) order —
+    not on how the stream was batched — so any batch split yields the
+    same admitted set as one batch (the incremental-agg mergeable-state
+    argument), and DuckDB predicts it with one window prefix sum. The
+    admit-if-it-fits knapsack variant would be batch-dependent and
+    unverifiable. Cross-batch behavior is pinned by the planted test in
+    tests/test_incremental_passage_dedup.py (two explicit deltas: the
+    second batch's admissions see the first batch's totals).
+
+    Scale shape: per batch one source-keyed window over the DELTA only
+    plus a broadcast join against the totals store (rows = #sources —
+    dimension-sized at any corpus scale); the store update is a
+    full-outer merge of two source-keyed aggregates, materialized
+    (localCheckpoint) before the overwrite so the write never races its
+    own input (the r8 advice discipline)."""
+    quota = 800
+    tot_root = scratch_dir("kscs_quota_tot_")
+    out_root = scratch_dir("kscs_quota_out_")
+    # seed an EMPTY totals store with the right schema (first batch
+    # reads it like any other)
+    spark.createDataFrame([], "source string, total bigint").write.mode(
+        "overwrite"
+    ).parquet(tot_root)
+
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        from kafka_streams_clojure_spark.operators.dedup import quota_admit_delta
+
+        batch_df.persist()
+        totals = spark.read.parquet(tot_root)
+        admitted, new_totals = quota_admit_delta(batch_df, totals, quota)
+        # materialize the batch decision BEFORE mutating the store (the
+        # r8 advice discipline: the overwrite must never race the plan
+        # that reads the same dir)
+        admitted.localCheckpoint(eager=True).write.mode("append").parquet(
+            out_root
+        )
+        new_totals.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(tot_root)
+        batch_df.unpersist()
+
+    q = docs.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        quiet_stop(q, spark)
+    return spark.read.parquet(out_root)

@@ -294,3 +294,45 @@ def test_semdedup_ingest_max_cell_guard(spark):
     # disabling the guard (caller asserts boundedness) still works
     acc, _ = semdedup_ingest_delta(batch, index, cents, max_cell=None)
     assert acc.count() == 0  # batch rows are exact copies of the index
+
+
+def test_quota_admit_cross_batch_contract(spark):
+    """quota_admit_delta (q_stream_quota_ingest's batch core): (a)
+    within one delta, admission is the per-source prefix cut; (b) the
+    CROSS-BATCH contract — batch 2's admissions are offset by batch 1's
+    standing totals; (c) batch-split invariance — two batches admit
+    exactly what one combined batch admits, the property that makes the
+    streaming key oracle-able; (d) totals advance by FULL batch mass,
+    so a rejected doc still consumes stream position."""
+    from kafka_streams_clojure_spark.operators.dedup import quota_admit_delta
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, source string, n_tokens bigint"
+        )
+
+    empty = spark.createDataFrame([], "source string, total bigint")
+    quota = 100
+
+    batch1 = mk([(1, "s", 40), (2, "s", 40), (3, "s", 40), (4, "t", 90)])
+    acc1, tot1 = quota_admit_delta(batch1, empty, quota)
+    assert {r.doc_id for r in acc1.collect()} == {1, 2, 4}  # 3: cum 120 > 100
+    totals1 = {r.source: r.total for r in tot1.collect()}
+    assert totals1 == {"s": 120, "t": 90}  # FULL mass, incl. rejected doc 3
+
+    # batch 2: source s is exhausted (120 > 100 already); source t has
+    # 10 tokens left — a 10-token doc fits exactly, an 11-token doc not
+    batch2 = mk([(5, "s", 1), (6, "t", 10), (7, "t", 1), (8, "u", 50)])
+    acc2, tot2 = quota_admit_delta(batch2, tot1, quota)
+    assert {r.doc_id for r in acc2.collect()} == {6, 8}
+    totals2 = {r.source: r.total for r in tot2.collect()}
+    assert totals2 == {"s": 121, "t": 101, "u": 50}
+
+    # batch-split invariance: one combined batch = the two-batch union
+    both = mk(
+        [(1, "s", 40), (2, "s", 40), (3, "s", 40), (4, "t", 90),
+         (5, "s", 1), (6, "t", 10), (7, "t", 1), (8, "u", 50)]
+    )
+    acc_all, tot_all = quota_admit_delta(both, empty, quota)
+    assert {r.doc_id for r in acc_all.collect()} == {1, 2, 4, 6, 8}
+    assert {r.source: r.total for r in tot_all.collect()} == totals2
