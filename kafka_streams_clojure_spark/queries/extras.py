@@ -424,3 +424,87 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__s").cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "q_cdc_merge",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    chg AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+             c_nationkey,
+             c_acctbal + 100.0e0 AS new_bal
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    j AS (
+      SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+             b.c_custkey IS NOT NULL AS in_base,
+             c.op,
+             b.c_nationkey AS b_nat, c.c_nationkey AS c_nat,
+             b.c_acctbal, c.new_bal
+      FROM base b FULL JOIN chg c ON b.c_custkey = c.c_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN op IS NULL THEN b_nat ELSE c_nat END AS c_nationkey,
+           CASE WHEN op IS NULL THEN c_acctbal ELSE new_bal END AS acctbal,
+           CASE WHEN op IS NULL THEN 'kept'
+                WHEN in_base THEN 'updated'
+                ELSE 'inserted' END AS action
+    FROM j
+    WHERE op IS NULL OR op = 'U'
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO (the Delta/Iceberg upsert statement Spark
+    users run to apply a CDC batch to a dimension): base = the standing
+    table, changes = a keyed batch with op codes — WHEN MATCHED AND
+    op='U' THEN UPDATE, WHEN MATCHED AND op='D' THEN DELETE, WHEN NOT
+    MATCHED AND op='U' THEN INSERT, delete-of-absent is a no-op, and
+    untouched base rows pass through tagged 'kept'. Completes the CDC
+    triad: q_ktable_latest (compaction) and q_ktable_history /
+    q_stream_scd2 (history) show the changelog views; this key applies
+    one.
+
+    Expressed as ONE full-outer equi-join + null-safe routing (an
+    explicit in-base flag, not a value-column null test — the CLAUDE.md
+    first-match-routing rule), so Catalyst plans it like any keyed
+    join: one shuffle on the merge key, broadcast if the CDC batch is
+    dimension-sized, AQE skew-split if a hot key dominates. The fixture
+    derives both sides deterministically from `customer` (every-2nd key
+    changes, every-9th-of-those deletes), so the merged table is
+    exact-oracle-checkable including the double balance update
+    (identical scalar addition, never aggregated)."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        F.col("c_nationkey").alias("b_nat"),
+        "c_acctbal",
+        F.lit(True).alias("in_base"),
+    )
+    chg = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 9 == 0, "D").otherwise("U").alias("op"),
+        F.col("c_nationkey").alias("c_nat"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("new_bal"),
+    )
+    j = base.join(chg, "c_custkey", "full")
+    return (
+        j.filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "c_custkey",
+            F.when(F.col("op").isNull(), F.col("b_nat"))
+            .otherwise(F.col("c_nat"))
+            .alias("c_nationkey"),
+            F.when(F.col("op").isNull(), F.col("c_acctbal"))
+            .otherwise(F.col("new_bal"))
+            .alias("acctbal"),
+            F.when(F.col("op").isNull(), "kept")
+            .when(F.col("in_base").eqNullSafe(F.lit(True)), "updated")
+            .otherwise("inserted")
+            .alias("action"),
+        )
+    )
