@@ -14,6 +14,8 @@ this sequence:
                             the vocabulary — corpus-size-independent)
   token accounting       -> q_llm_bpe_encode (per-doc counts under the
                             TRAINED tokenizer, not a whitespace proxy)
+  audio near-dup         -> q_multimodal_audio_near_dup (eHash over
+                            decoded samples; decimated transcodes)
   media near-dup         -> q_multimodal_near_dup (dHash + exact
                             Hamming-band blocking: catches resized
                             re-encodes whose md5 differs)
@@ -67,6 +69,12 @@ def main(sf_dir: str, stop: bool = True) -> None:
     pairs = qs["q_multimodal_near_dup"](spark, sf_dir)
     print(f"  pairs found: {pairs.count()} (includes every planted resize twin)")
     pairs.orderBy("id_a", "id_b").show(5)
+
+    #    ...and the AUDIO member: 2x-decimated WAV transcodes caught by
+    #    the eHash through the SAME Hamming-band blocking operator.
+    apairs = qs["q_multimodal_audio_near_dup"](spark, sf_dir)
+    print(f"  audio pairs found: {apairs.count()} "
+          "(includes every planted transcode twin)")
 
     # 5. ANN serving: train the IVF-PQ index ONCE, persist it, then
     #    answer probe batches against the standing store.

@@ -667,3 +667,137 @@ def phash_near_dup_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+#: eHash geometry: 65 grid points -> 64 difference bits in four 16-bit
+#: bands (the dHash band layout, so phash_near_dup_pairs blocks it
+#: unchanged). Segment length MUST stay even so a 2x decimation keeps
+#: every grid point (position (k*n)//65 = k*SEG_LEN -> k*SEG_LEN/2).
+EHASH_POINTS = 65
+EHASH_SEG_LEN = 4
+
+
+def stepped_wav_blobs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", rate: int = 8000
+) -> DataFrame:
+    """Deterministically render each doc as a STEPPED-tone mono PCM WAV
+    (the perceptual-hash fixture twin of :func:`text_to_wav_blobs`,
+    whose byte-for-byte samples are white noise — perceptual hashes are
+    meaningless on noise): 65 constant-level segments of 4 samples,
+    level_k = md5(text || '#k') folded into [32, 224), sample =
+    (level−128)·256. Levels are computed SPARK-SIDE (JVM md5/conv, the
+    gradient_bmp_blobs discipline) so DuckDB can recompute every grid
+    sample — and hence the full eHash — from the text alone; only the
+    260-sample writer loop is Python, Arrow-batched."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lv = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(txt, F.lit(f"#{k}"))), 1, 4),
+                    16,
+                    10,
+                ).cast("int")
+                % 192
+                + 32
+            )
+            for k in range(EHASH_POINTS)
+        ]
+    )
+    slim = df.select(F.col(id_col).alias("__id"), lv.alias("__lv"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, levels in zip(pdf["__id"], pdf["__lv"]):
+                samples: list[int] = []
+                for l in levels:
+                    samples.extend([(int(l) - 128) * 256] * EHASH_SEG_LEN)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+                ids.append(i)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return slim.mapInPandas(encode, schema="doc_id long, blob binary")
+
+
+def decimate_wavs(
+    df: DataFrame, binary_col: str, factor: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep every ``factor``-th sample and RE-ENCODE as a real WAV —
+    the audio resample/transcode duplicate class (bytes, duration and
+    md5 all change; perceptual content doesn't). The audio twin of
+    :func:`resize_images`; Arrow-batched decode→stride→re-encode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                with wave.open(io.BytesIO(bytes(blob))) as w:
+                    n = w.getnframes()
+                    rate = w.getframerate()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                kept = samples[::factor]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+                ids.append(i)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
+    return slim.mapInPandas(run, schema="doc_id long, blob binary")
+
+
+def ehash_wav(blob: bytes) -> tuple[int, int, int, int]:
+    """64-bit eHash (the dHash idea on audio): grid-sample 65 amplitude
+    points at positions (k·n)//65, bit k = 1 iff point_k > point_{k+1},
+    packed as four 16-bit bands (band j = bits 16j..16j+15). Integer
+    comparisons only — no float ties; any blob whose kept samples are a
+    stride of another's (re-encode, integer decimation) hashes
+    identically when the grid positions survive the stride."""
+    with wave.open(io.BytesIO(bytes(blob))) as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+    samples = struct.unpack(f"<{n}h", raw)
+    pts = [samples[(k * n) // EHASH_POINTS] for k in range(EHASH_POINTS)]
+    hs = [0, 0, 0, 0]
+    for k in range(EHASH_POINTS - 1):
+        if pts[k] > pts[k + 1]:
+            hs[k // 16] |= 1 << (k % 16)
+    return hs[0], hs[1], hs[2], hs[3]
+
+
+def ehash_wavs(
+    df: DataFrame, binary_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch eHash over a binary audio column — the audio twin of
+    :func:`dhash_images`: (vid, h0..h3), 5 longs/row, the id-width
+    table the Hamming banding join keys on (blobs never move past
+    this point)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {"vid": [], "h0": [], "h1": [], "h2": [], "h3": []}
+            for i, blob in zip(pdf["__id"], pdf["__blob"]):
+                h0, h1, h2, h3 = ehash_wav(blob)
+                out["vid"].append(i)
+                out["h0"].append(h0)
+                out["h1"].append(h1)
+                out["h2"].append(h2)
+                out["h3"].append(h3)
+            yield pd.DataFrame(out, dtype="int64")
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
+    return slim.mapInPandas(
+        run, schema="vid long, h0 long, h1 long, h2 long, h3 long"
+    )

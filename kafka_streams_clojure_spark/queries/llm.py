@@ -5820,3 +5820,83 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'alpha_frac', p_alpha, f_alpha, "
         "'all_rules', p_all, f_all) AS (rule, n_pass, n_fail)"
     )
+
+
+@query(
+    "q_multimodal_audio_near_dup",
+    oracle="""
+    WITH ks AS (SELECT unnest(range(65)) AS k),
+    lv AS (
+      SELECT d.doc_id, ks.k,
+             CAST(('0x' || substr(md5(coalesce(d.text, '') || '#' || ks.k),
+                                  1, 4)) AS BIGINT) % 192 + 32 AS lv
+      FROM documents d, ks
+    ),
+    bits AS (
+      SELECT l.doc_id, l.k, CASE WHEN l.lv > r.lv THEN 1 ELSE 0 END AS bit
+      FROM lv l JOIN lv r ON r.doc_id = l.doc_id AND r.k = l.k + 1
+      WHERE l.k < 64
+    ),
+    hashes AS (
+      SELECT doc_id, k // 16 AS band,
+             SUM(bit * (CAST(1 AS BIGINT) << (k % 16))) AS hb
+      FROM bits GROUP BY doc_id, k // 16
+    ),
+    -- stride-aligned grid: the 2x-decimated re-encode samples the SAME
+    -- segment starts, so its eHash equals the original's
+    vids AS (
+      SELECT doc_id + var * 10000000 AS vid, band, hb
+      FROM hashes, (SELECT unnest([0, 1]) AS var)
+    ),
+    cands AS (
+      SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+      FROM vids x JOIN vids y ON y.band = x.band AND y.hb = x.hb
+                             AND x.vid < y.vid
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(bit_count(xor(xa.hb, xb.hb))) AS BIGINT) AS hamming
+      FROM cands c
+      JOIN vids xa ON xa.vid = c.id_a
+      JOIN vids xb ON xb.vid = c.id_b AND xb.band = xa.band
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+    """,
+)
+def q_multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup via perceptual hashing — the audio member of the
+    media near-dup family beside `q_multimodal_near_dup`'s image dHash:
+    each doc renders as a deterministic STEPPED-tone WAV (65 md5-derived
+    constant levels × 4 samples — perceptual hashes are meaningless on
+    the raw-byte noise of text_to_wav_blobs), the corpus is originals ∪
+    their 2×-decimated RE-ENCODES (vid + 10M: a real transcode whose
+    bytes, frame count and md5 all differ), every blob is eHashed from
+    its DECODED samples (65 grid points → 64 difference bits in four
+    16-bit bands, operators/multimodal.ehash_wav), and pairs within
+    Hamming 2 surface through the SAME exact Hamming-band blocking
+    operator as images (phash_near_dup_pairs — pigeonhole, no recall
+    loss, never blobs²).
+
+    Exactly ORACLE-gated end-to-end: levels are an integer fold of
+    md5(text||'#k') and the even segment length makes every grid
+    position (k·n)//65 survive the 2× stride, so DuckDB recomputes both
+    variants' full 64-bit hashes, the banding join and the Hamming
+    filter from the text alone — codec, transcode, hash and blocking
+    all value-checked. Scale: hash table 5 longs/row, candidates
+    id-width, `max_bucket` loud-fail inherited."""
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        decimate_wavs,
+        ehash_wavs,
+        phash_near_dup_pairs,
+        stepped_wav_blobs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    orig = stepped_wav_blobs(docs)
+    transcoded = decimate_wavs(orig, "blob", factor=2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    corpus = orig.unionByName(transcoded)
+    hashes = ehash_wavs(corpus, "blob", id_col="doc_id")
+    return phash_near_dup_pairs(hashes, id_col="vid", max_hamming=2)

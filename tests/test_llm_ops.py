@@ -1513,3 +1513,48 @@ def test_dedup_threshold_curve_is_monotone(spark, sf_dir):
     at_05 = q_llm_ngram_jaccard_capped(spark, sf_dir)
     assert curve[5][0] == at_05.count()
     assert curve[5][1] == at_05.select("id_b").distinct().count()
+
+
+def test_multimodal_audio_near_dup_planted_transcode(spark, sf_dir):
+    """Audio perceptual-hash invariants (the eHash twin of the image
+    test above): (a) the even segment length makes every eHash grid
+    point survive a 2× stride, so each original/decimated WAV pair
+    hashes identically at the operator level (real codec both sides,
+    bytes differ); (b) the registered key surfaces every planted
+    (doc_id, doc_id+10M) transcode pair at hamming 0."""
+    import __spark_entry__ as entrymod
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        ehash_wav,
+        stepped_wav_blobs,
+    )
+    from kafka_streams_clojure_spark.queries._util import load_table
+    import io
+    import struct
+    import wave
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = stepped_wav_blobs(docs.limit(50)).collect()
+    assert len(blobs) == 50
+    for r in blobs:
+        orig = bytes(r.blob)
+        with wave.open(io.BytesIO(orig)) as w:
+            n = w.getnframes()
+            raw = w.readframes(n)
+        kept = struct.unpack(f"<{n}h", raw)[::2]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+        transcoded = buf.getvalue()
+        assert transcoded != orig  # bytes differ -> md5 dedup misses it
+        assert ehash_wav(transcoded) == ehash_wav(orig)
+
+    out = entrymod.queries()["q_multimodal_audio_near_dup"](
+        spark, sf_dir
+    ).collect()
+    pairs = {(int(r.id_a), int(r.id_b)): int(r.hamming) for r in out}
+    doc_ids = [int(r.doc_id) for r in docs.select("doc_id").collect()]
+    for d in doc_ids:
+        assert pairs.get((d, d + 10_000_000)) == 0, d

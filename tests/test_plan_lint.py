@@ -132,6 +132,7 @@ _PYTHON_OK = {
     "q_multimodal_frames",
     "q_multimodal_resize",
     "q_multimodal_near_dup",  # gradient encode + resize + dHash mapInPandas
+    "q_multimodal_audio_near_dup",  # stepped-WAV encode + decimate + eHash
     "q_llm_ivfpq_serve",  # Arrow bucket/assignment UDFs (the ivfpq family)
     "q_stream_stateful_counter",
     "q_error_swallow",
