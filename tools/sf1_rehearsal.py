@@ -97,6 +97,9 @@ def main() -> None:
     if r8_mode:
         run_r7_rehearsal(int(args[0]) if args else 1, keys=R8_KEYS)
         return
+    if "--r9" in sys.argv:
+        run_r7_rehearsal(int(args[0]) if args else 1, keys=R9_KEYS)
+        return
     if events_mode:
         if not os.path.exists(f"{OUT_DIR}/events.parquet"):
             t0 = time.perf_counter()
@@ -309,6 +312,21 @@ R8_KEYS = [
     "q_llm_dedup_reconcile",
 ]
 
+#: r9-session rehearsal keys (the audit/layout/ingest additions). Runs
+#: on the same generate_r7 fixtures, which now include a scaled
+#: `events` table for the z-order audit. q_cdc_merge is excluded
+#: (needs `customer`; it is one full-outer equi-join — the q_join_outer
+#: shape the r1-family already covers).
+R9_KEYS = [
+    "q_llm_isotropy",              # one-pass Gram-sum (no pair join)
+    "q_llm_dedup_threshold_curve", # one pair build × 8-row fan-out
+    "q_llm_ccnet_buckets",         # vocab join + global_index ranks
+    "q_llm_gopher_rules",          # one map-side scan, 1-row agg
+    "q_zorder_skipping",           # 3 range-partitioned total sorts
+    "q_stream_quota_ingest",       # delta window + broadcast totals
+    "q_multimodal_audio_near_dup", # encode+hash mapInPandas + banding
+]
+
 
 def generate_r7(d: str, mult: int) -> None:
     """sf0.1-shaped documents/embeddings/orders/lineitem scaled by
@@ -366,6 +384,36 @@ def generate_r7(d: str, mult: int) -> None:
         f"{d}/embeddings.parquet",
     )
 
+    # fixture-profile events (sf0.1 = 100k rows, 1.5k users, 30 days)
+    # for the z-order / quota / events-family keys
+    n_ev = 100_000 * mult
+    n_users = 1_500 * mult
+    types = ["signup", "click", "error", "view", "purchase"]
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    span_us = 30 * 86_400_000_000
+    ev_ts = sorted(rng.randrange(span_us) for _ in range(n_ev))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_ev), pa.int64()),
+                "ts": pa.array(
+                    [base_us + t for t in ev_ts], pa.timestamp("us")
+                ),
+                "user_id": pa.array(
+                    [rng.randrange(n_users) for _ in range(n_ev)], pa.int64()
+                ),
+                "event_type": pa.array(
+                    [types[rng.randrange(5)] for _ in range(n_ev)]
+                ),
+                "value": pa.array(
+                    [round(rng.uniform(0, 100), 4) for _ in range(n_ev)]
+                ),
+                "props": pa.array(['{"k":1}'] * n_ev),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+
     n_ord, n_li = 150_000 * mult, 600_000 * mult
     n_cust, n_supp = 15_000 * mult, 1_000 * mult
     pq.write_table(
@@ -392,7 +440,11 @@ def generate_r7(d: str, mult: int) -> None:
 
 def run_r7_rehearsal(mult: int, keys: "list[str] | None" = None) -> None:
     d = f"/tmp/sf1_r7_x{mult}"
-    if not os.path.exists(f"{d}/documents.parquet"):
+    # events.parquet was added to the r7 fixture set in round 9 — a dir
+    # generated by an earlier round is regenerated rather than half-used
+    if not os.path.exists(f"{d}/documents.parquet") or not os.path.exists(
+        f"{d}/events.parquet"
+    ):
         t0 = time.perf_counter()
         generate_r7(d, mult)
         print(f"generated x{mult} fixtures in {time.perf_counter()-t0:.1f}s")
