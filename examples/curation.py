@@ -75,6 +75,12 @@ def main(sf_dir: str, stop: bool = True) -> None:
     print("chunks (first 5):")
     qs["q_llm_chunks"](spark, sf_dir).orderBy("doc_id", "chunk_start").show(5)
 
+    # 4. Target-domain selection (DSIR shape): the raw-pool docs whose
+    #    token distribution most resembles the held-out target slice —
+    #    integer-exact importance ranking, no model needed.
+    print("DSIR top target-affine docs:")
+    qs["q_llm_dsir_select"](spark, sf_dir).show(5)
+
     if stop:
         spark.stop()
 

@@ -5900,3 +5900,87 @@ def q_multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = orig.unionByName(transcoded)
     hashes = ehash_wavs(corpus, "blob", id_col="doc_id")
     return phash_near_dup_pairs(hashes, id_col="vid", max_hamming=2)
+
+
+@query(
+    "q_llm_dsir_select",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_BUCKET} AS bucket, {_TOKL} AS tl FROM documents
+    ),
+    tok AS (SELECT doc_id, bucket, unnest(tl) AS w FROM b),
+    tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS tcnt
+      FROM tok WHERE bucket < 5 GROUP BY w
+    ),
+    rf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS rcnt
+      FROM tok WHERE bucket >= 5 GROUP BY w
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(sum((1000 * coalesce(tf.tcnt, 0)) // rf.rcnt) AS BIGINT)
+               AS affinity,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok t
+      JOIN rf ON rf.w = t.w
+      LEFT JOIN tf ON tf.w = t.w
+      WHERE t.bucket >= 5
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, affinity, n_tokens
+    FROM scored ORDER BY affinity DESC, doc_id LIMIT 20
+    """,
+)
+def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each RAW-pool
+    document by how much its token distribution looks like the TARGET
+    domain (here the md5-bucket<5 slice — the same deterministic split
+    q_llm_decontaminate/eval_split use), then keep the top of the
+    ranking. The classic weight is Σ log(p_target/p_raw); logs are
+    libm-banned on oracle paths (CLAUDE.md), so the score is the
+    INTEGERIZED ratio sum Σ (1000·tcnt(w)) // rcnt(w) over the doc's
+    token positions — per-word importance quantized to thousandths by
+    integer division, which both engines compute bit-identically (no
+    float anywhere, so the whole ranking is exact; doc_id tiebreak
+    pins the emitted top-20).
+
+    Plan shape: one explode → two word-keyed frequency aggregates
+    (target + raw) → word-keyed join back → doc-keyed rollup →
+    TakeOrderedAndProject for the top-20. At 100 TB both frequency
+    tables are vocabulary-sized (Zipf — far smaller than the corpus,
+    broadcastable after a min-count cut) and the score join is the
+    inverted-index shape q_llm_commonness already scales; DSIR's
+    hashed-ngram variant replaces the word key with a hash-bucket key,
+    exactly the xxhash64 wire discipline of the *_hashed twins."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        _bucket().alias("bucket"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    )
+    tf = (
+        b.filter(F.col("bucket") < 5)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("tcnt"))
+    )
+    rf = (
+        b.filter(F.col("bucket") >= 5)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("rcnt"))
+    )
+    scored = (
+        b.filter(F.col("bucket") >= 5)
+        .join(rf, "w")
+        .join(tf, "w", "left")
+        .fillna(0, subset=["tcnt"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("(1000 * tcnt) div rcnt"))
+            .cast("bigint")
+            .alias("affinity"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return scored.orderBy(F.desc("affinity"), "doc_id").limit(20)
