@@ -5984,3 +5984,55 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("affinity"), "doc_id").limit(20)
+
+
+@query("q_llm_dsir_select_hashed")  # xxhash64 bucket key — rows-only
+def q_llm_dsir_select_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION wire shape of q_llm_dsir_select — and the form
+    the DSIR paper itself specifies (hashed n-gram features): the two
+    frequency tables and the score join key on
+    ``xxhash64(token) % 2^20`` instead of the raw token string, so at
+    web scale every exchange past the tokenize is 8 bytes/row (the
+    passage_dedup_hashed / substring_dedup_hashed wire discipline) and
+    the feature space is fixed-width regardless of vocabulary growth.
+    Collisions fold rare tokens into shared buckets — the paper's
+    intended approximation; on the fixture vocabulary the 2^20 space is
+    collision-free, so the rows-only gate
+    (tests/test_llm_ops.py::test_dsir_hashed_matches_word_twin) first
+    PROVES no collision occurred and then requires bit-identical
+    output to the oracle-gated word twin. Rows-only: xxhash64 is
+    engine-specific."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        _bucket().alias("bucket"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("__w"),
+    ).select(
+        "doc_id",
+        "bucket",
+        (F.xxhash64("__w") % F.lit(1 << 20)).alias("w"),
+    )
+    tf = (
+        b.filter(F.col("bucket") < 5)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("tcnt"))
+    )
+    rf = (
+        b.filter(F.col("bucket") >= 5)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("rcnt"))
+    )
+    scored = (
+        b.filter(F.col("bucket") >= 5)
+        .join(rf, "w")
+        .join(tf, "w", "left")
+        .fillna(0, subset=["tcnt"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("(1000 * tcnt) div rcnt"))
+            .cast("bigint")
+            .alias("affinity"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return scored.orderBy(F.desc("affinity"), "doc_id").limit(20)

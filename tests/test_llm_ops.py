@@ -1558,3 +1558,36 @@ def test_multimodal_audio_near_dup_planted_transcode(spark, sf_dir):
     doc_ids = [int(r.doc_id) for r in docs.select("doc_id").collect()]
     for d in doc_ids:
         assert pairs.get((d, d + 10_000_000)) == 0, d
+
+
+def test_dsir_hashed_matches_word_twin(spark, sf_dir):
+    """The rows-only gate for q_llm_dsir_select_hashed: (a) prove the
+    fixture vocabulary is collision-free under xxhash64 % 2^20 (if this
+    ever fails the fixture grew past the bucket space — widen it);
+    (b) then the hashed wire path must emit EXACTLY the word-keyed
+    (oracle-gated) twin's top-20."""
+    import __spark_entry__ as entrymod
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).distinct()
+    n_words = toks.count()
+    n_buckets = (
+        toks.select((F.xxhash64("w") % F.lit(1 << 20)).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert n_words == n_buckets, "hash collision on fixture vocabulary"
+
+    q = entrymod.queries()
+    a = [
+        (r.doc_id, r.affinity, r.n_tokens)
+        for r in q["q_llm_dsir_select"](spark, sf_dir).collect()
+    ]
+    b = [
+        (r.doc_id, r.affinity, r.n_tokens)
+        for r in q["q_llm_dsir_select_hashed"](spark, sf_dir).collect()
+    ]
+    assert a == b and len(a) == 20
