@@ -113,9 +113,13 @@ def main(sf_dir: str, stop: bool = True) -> None:
     )
 
     # 11. Embedding-space collapse check: mean pairwise similarity in
-    #     ONE corpus pass via the Gram-sum identity (never N² pairs).
+    #     ONE corpus pass via the Gram-sum identity (never N² pairs) —
+    #     and the DIRECTION side: how much energy the single top
+    #     direction carries (integer power iteration).
     print("— embedding isotropy —")
     qs["q_llm_isotropy"](spark, sf_dir).show(truncate=False)
+    print("— dominant-direction share —")
+    qs["q_llm_top_direction"](spark, sf_dir).show(truncate=False)
 
     if stop:
         spark.stop()

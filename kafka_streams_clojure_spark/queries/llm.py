@@ -6036,3 +6036,126 @@ def q_llm_dsir_select_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("affinity"), "doc_id").limit(20)
+
+
+@query(
+    "q_llm_top_direction",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim,
+             unnest(embedding) AS c
+      FROM embeddings
+    ),
+    cd AS (SELECT vec_id, dim, CAST(c AS DOUBLE) AS v FROM comp),
+    g AS (SELECT max(abs(v)) AS gmax FROM cd),
+    q AS (SELECT vec_id, dim,
+                 CAST(floor(v / gmax * 127.0e0) AS BIGINT) AS qv
+          FROM cd, g),
+    si AS (SELECT vec_id, CAST(sum(qv) AS BIGINT) AS s
+           FROM q GROUP BY vec_id),
+    v1 AS (SELECT dim, CAST(sum(q.qv * si.s) AS BIGINT) AS v1
+           FROM q JOIN si USING (vec_id) GROUP BY dim),
+    w AS (SELECT dim, v1 // 4096 AS w FROM v1),
+    ti AS (SELECT vec_id, CAST(sum(q.qv * w.w) AS BIGINT) AS t
+           FROM q JOIN w USING (dim) GROUP BY vec_id),
+    v2 AS (SELECT dim, CAST(sum(q.qv * ti.t) AS BIGINT) AS v2
+           FROM q JOIN ti USING (vec_id) GROUP BY dim),
+    ray AS (SELECT sum(CAST(w.w AS HUGEINT) * v2.v2) AS num,
+                   CAST(sum(w.w * w.w) AS BIGINT) AS den
+            FROM w JOIN v2 USING (dim)),
+    tr AS (SELECT CAST(sum(qv * qv) AS BIGINT) AS trace,
+                  count(DISTINCT vec_id) AS n FROM q)
+    SELECT n AS n_vecs,
+           CASE WHEN den > 0
+             THEN CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE)
+           END AS lambda1_rayleigh,
+           CASE WHEN den > 0
+             THEN CAST((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                       / CAST(trace AS DOUBLE) AS DOUBLE)
+           END AS top_dir_share
+    FROM ray, tr
+    """,
+)
+def q_llm_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMINANT-DIRECTION energy of the embedding space by
+    deterministic POWER ITERATION — the directional complement of
+    `q_llm_isotropy` (which measures collapse magnitude, this locates
+    how much variance the single top direction carries): 1.5 integer
+    power-iteration rounds of C = Σ q qᵀ from the all-ones seed
+    (v1 = Σ qᵢ(qᵢ·1), rescale by an exact `div 4096`, v2 = Σ qᵢ(qᵢ·w)),
+    then the Rayleigh quotient wᵀv2/wᵀw — a lower bound on λ₁ that the
+    iteration sharpens — and its share of trace(C) = Σ‖q‖². Share →
+    1/dims for an isotropic cloud, → 1 as the space collapses onto one
+    direction (the mean-subtraction-free anisotropy diagnostic of
+    Ethayarajh 2019 / Mu & Viswanath 2018's dominant common direction).
+
+    Exactness: the q_llm_isotropy floor-quantization makes every
+    iterate an exact integer; the one magnitude that exceeds int64
+    (wᵀv2 ≈ 5e23) widens to DECIMAL(38,0)/HUGEINT products — the
+    q_events_burstiness discipline — and converts to double ONCE; the
+    rescale is integer `div`, deterministic on both engines, and the
+    den>0 ratio guard is CASE'd identically. (Standard power-iteration
+    caveat: a seed exactly orthogonal to the top eigenvector would
+    stall — measure-zero, and deterministic on a fixed corpus.)
+
+    Plan: FIVE passes over the quantized exploded table (persisted),
+    each a key-width aggregate — per-vec dots are vec-keyed aggs, the
+    64-row direction iterates ride as broadcasts. No N² anywhere; at
+    100 TB this is the same shuffle family as the label-centroid key,
+    ×2 rounds."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "c")
+    ).select("vec_id", "dim", F.col("c").cast("double").alias("v"))
+    g = comp.agg(F.max(F.abs(F.col("v"))).alias("gmax"))
+    q = persist_if_uncached(
+        comp.crossJoin(F.broadcast(g)).select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("v") / F.col("gmax") * F.lit(127.0))
+            .cast("bigint")
+            .alias("qv"),
+        )
+    )
+    si = q.groupBy("vec_id").agg(F.sum("qv").cast("bigint").alias("s"))
+    v1 = (
+        q.join(si, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("qv") * F.col("s")).cast("bigint").alias("v1"))
+    )
+    w = v1.select("dim", F.expr("v1 div 4096").alias("w"))
+    ti = (
+        q.join(F.broadcast(w), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qv") * F.col("w")).cast("bigint").alias("t"))
+    )
+    v2 = (
+        q.join(ti, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("qv") * F.col("t")).cast("bigint").alias("v2"))
+    )
+    ray = (
+        w.join(v2, "dim")
+        .agg(
+            F.sum(
+                F.col("w").cast("decimal(19,0)")
+                * F.col("v2").cast("decimal(19,0)")
+            ).alias("num"),
+            F.sum(F.col("w") * F.col("w")).cast("bigint").alias("den"),
+        )
+    )
+    tr = q.agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("trace"),
+        F.countDistinct("vec_id").alias("n_vecs"),
+    )
+    lam = F.col("num").cast("double") / F.col("den").cast("double")
+    return ray.crossJoin(F.broadcast(tr)).select(
+        "n_vecs",
+        F.when(F.col("den") > 0, lam).alias("lambda1_rayleigh"),
+        F.when(F.col("den") > 0, lam / F.col("trace").cast("double")).alias(
+            "top_dir_share"
+        ),
+    )

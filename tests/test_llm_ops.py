@@ -1591,3 +1591,52 @@ def test_dsir_hashed_matches_word_twin(spark, sf_dir):
         for r in q["q_llm_dsir_select_hashed"](spark, sf_dir).collect()
     ]
     assert a == b and len(a) == 20
+
+
+def test_top_direction_matches_reference_and_bounds(spark, sf_dir):
+    """q_llm_top_direction invariants: (a) the Spark plan reproduces an
+    independent Python run of the SAME integer algorithm bit-for-bit;
+    (b) the Rayleigh quotient is a valid lower bound on numpy's true
+    top eigenvalue of C = QᵀQ and positive; (c) the share sits in
+    (0, 1] and, on the near-isotropic gaussian fixture, well below the
+    collapse regime."""
+    import math
+
+    import numpy as np
+
+    from kafka_streams_clojure_spark.queries.llm import q_llm_top_direction
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    row = q_llm_top_direction(spark, sf_dir).collect()[0]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = [r.embedding for r in emb.select("embedding").collect()]
+    gmax = max(abs(float(c)) for v in vecs for c in v)
+    Q = np.array(
+        [[math.floor(float(c) / gmax * 127.0) for c in v] for v in vecs],
+        dtype=object,  # exact integer arithmetic, no int64 overflow
+    )
+    s = Q.sum(axis=1)
+    v1 = (Q * s[:, None]).sum(axis=0)
+    # both engines' integer division TRUNCATES toward zero (Spark `div`,
+    # DuckDB `//`) — Python's // floors, so mirror the truncation
+    w = np.array(
+        [int(x) // 4096 if x >= 0 else -((-int(x)) // 4096) for x in v1],
+        dtype=object,
+    )
+    t = (Q * w[None, :]).sum(axis=1)
+    v2 = (Q * t[:, None]).sum(axis=0)
+    num = int((w * v2).sum())
+    den = int((w * w).sum())
+    trace = int((Q * Q).sum())
+    assert den > 0
+    lam_ref = float(num) / float(den)
+    assert row.lambda1_rayleigh == pytest.approx(lam_ref, rel=1e-12)
+    assert row.top_dir_share == pytest.approx(lam_ref / trace, rel=1e-12)
+
+    # numpy float eig as the mathematical bound (C is PSD)
+    C = np.array(Q.tolist(), dtype=float)
+    lam_true = float(np.linalg.eigvalsh(C.T @ C).max())
+    assert 0 < row.lambda1_rayleigh <= lam_true * (1 + 1e-9)
+    assert 0 < row.top_dir_share <= 1
+    assert row.top_dir_share < 0.5  # gaussian fixture: no collapse

@@ -109,6 +109,10 @@ _NONEQUI_OK = {
     # crossJoin of the broadcast 1-row doc count (the tercile-boundary
     # denominator); ranks are the parallel global_index idiom
     "q_llm_ccnet_buckets",
+    # crossJoins of TWO broadcast 1-row aggregates (the gmax quantizer
+    # scale and the Rayleigh/trace totals) — the power-iteration rounds
+    # themselves are vec-/dim-keyed equi aggregates
+    "q_llm_top_direction",
 }
 
 #: keys allowed an unpartitioned (single-task-sort) window — EMPTY and
