@@ -5576,8 +5576,12 @@ def q_llm_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical int/int double division and t/10 as the identical
     int->double division."""
     docs = load_table(spark, sf_dir, "documents")
+    # pre-filter at the curve's LOWEST cut (0.2 = t10=2/10.0, the same
+    # double both sides): sub-0.2 pairs can't match any threshold row,
+    # so dropping them before the 8-row fan-out is output-identical and
+    # skips fanning out the long sub-threshold tail
     pairs = ngram_jaccard_pairs(
-        docs, k=4, threshold=0.0, max_doc_freq=_STOP_SHINGLE_CAP
+        docs, k=4, threshold=0.2, max_doc_freq=_STOP_SHINGLE_CAP
     )
     t = spark.range(2, 10).select(F.col("id").cast("int").alias("t10"))
     thr = F.col("t10").cast("double") / F.lit(10.0)
