@@ -68,6 +68,12 @@ def main(sf_dir: str, stop: bool = True) -> None:
     n_quota = qs["q_stream_quota_ingest"](spark, sf_dir).count()
     print(f"quota ingest admitted:       {n_quota} docs")
 
+    #    ...and the COMPOSED pipeline: dedup-vs-index -> keep-first ->
+    #    quota, chained in ONE foreachBatch with two standing stores —
+    #    still fully oracle-gated (every stage batch-split invariant).
+    n_pipe = qs["q_stream_ingest_pipeline"](spark, sf_dir).count()
+    print(f"composed ingest pipeline:    {n_pipe} docs admitted")
+
     # 3. Enrichment: each purchase sees the user's latest click state.
     #    The bucketed form computes the IDENTICAL rows with the window
     #    split by (user, day) — the shape that survives one user being

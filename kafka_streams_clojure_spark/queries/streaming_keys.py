@@ -1438,3 +1438,111 @@ def q_stream_quota_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         quiet_stop(q, spark)
     return spark.read.parquet(out_root)
+
+
+@query(
+    "q_stream_ingest_pipeline",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    hist AS (
+      SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fp
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    fresh AS (
+      SELECT doc_id, source, n_tokens
+      FROM (SELECT f.*,
+                   min(doc_id) OVER (PARTITION BY fp) AS first_id
+            FROM f WHERE fp NOT IN (SELECT fp FROM hist))
+      WHERE doc_id = first_id
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM fresh
+    )
+    SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+    """,
+)
+def q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED ingest pipeline — the shape a reference user would
+    actually deploy, chaining the ingest family's members in ONE
+    foreachBatch with TWO standing stores: (1) exact dedup against a
+    persistent fingerprint index (seeded with the historical corpus,
+    every-3rd-doc as in q_stream_dedup_ingest; each batch's survivors
+    APPEND their fps, so a later batch's re-crawl of an earlier
+    acceptance is dropped), (2) within-batch keep-first per fingerprint,
+    then (3) per-source token-quota admission at the DEDUPED stream
+    position (operators/dedup.quota_admit_delta against the persistent
+    totals store — the budget counts unique content only).
+
+    All three stages are deterministic and batch-split invariant
+    (first-occurrence-wins dedup + prefix-position quota), so the whole
+    cross-batch-stateful composition carries an exact DuckDB oracle —
+    the streaming analog of q_llm_refresh_curation's composed batch
+    plan. Scale: per batch one fp anti-join against an id-width index
+    (16 B/doc), one within-delta window, one broadcast totals join; the
+    stores grow by fingerprint/source rows, never text."""
+    from kafka_streams_clojure_spark.operators.dedup import quota_admit_delta
+    from kafka_streams_clojure_spark.operators.text import fingerprint
+    from pyspark.sql import Window
+
+    quota = 800
+    idx_root = scratch_dir("kscs_pipe_idx_")
+    tot_root = scratch_dir("kscs_pipe_tot_")
+    out_root = scratch_dir("kscs_pipe_out_")
+    hist = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    hist.write.mode("overwrite").parquet(idx_root)
+    spark.createDataFrame([], "source string, total bigint").write.mode(
+        "overwrite"
+    ).parquet(tot_root)
+
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        index = spark.read.parquet(idx_root)
+        totals = spark.read.parquet(tot_root)
+        # stage 1+2: anti-join vs the standing fp index, keep-first
+        # within the batch (stream-order winner per fingerprint)
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        fresh = (
+            batch_df.join(F.broadcast(index), "fp", "left_anti")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # stage 3: quota admission at the deduped stream position
+        admitted, new_totals = quota_admit_delta(
+            fresh.select("doc_id", "source", "n_tokens"), totals, quota
+        )
+        # materialize every decision BEFORE mutating either store
+        admitted = admitted.localCheckpoint(eager=True)
+        fresh_fps = fresh.select("fp").localCheckpoint(eager=True)
+        new_totals = new_totals.localCheckpoint(eager=True)
+        admitted.write.mode("append").parquet(out_root)
+        fresh_fps.write.mode("append").parquet(idx_root)
+        new_totals.write.mode("overwrite").parquet(tot_root)
+        batch_df.unpersist()
+
+    q = docs.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        quiet_stop(q, spark)
+    return spark.read.parquet(out_root)
