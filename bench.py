@@ -153,6 +153,12 @@ EXTRAS = [
     "q_llm_ccnet_buckets",     # perplexity-stand-in terciles
     "q_llm_gopher_rules",      # per-rule pass/fail tuning table
     "q_zorder_skipping",       # OPTIMIZE-ZORDER decision audit
+    "q_llm_dsir_select",       # integerized importance ranking
+    "q_llm_top_direction",     # integer power-iteration Rayleigh
+    "q_multimodal_audio_near_dup",  # eHash audio transcode dups
+    "q_stream_quota_ingest",   # standing-store budget admission
+    "q_stream_ingest_pipeline",  # composed dedup->quota ingest
+    "q_cdc_merge",             # MERGE INTO upsert/delete apply
 ]
 
 

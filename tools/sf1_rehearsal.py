@@ -325,6 +325,9 @@ R9_KEYS = [
     "q_zorder_skipping",           # 3 range-partitioned total sorts
     "q_stream_quota_ingest",       # delta window + broadcast totals
     "q_multimodal_audio_near_dup", # encode+hash mapInPandas + banding
+    "q_llm_dsir_select",           # vocab-sized freq join + top-k
+    "q_llm_top_direction",         # 5 key-width aggregate passes
+    "q_stream_ingest_pipeline",    # composed 2-store foreachBatch
 ]
 
 
