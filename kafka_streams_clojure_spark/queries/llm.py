@@ -6163,3 +6163,56 @@ def q_llm_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_dir_share"
         ),
     )
+
+
+_COS_EXPR = """list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
+
+
+@query(
+    "q_llm_semdedup_threshold_curve",
+    oracle=f"""
+    WITH ep AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_EXPR} AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS_EXPR} >= 0.25e0
+    ),
+    t AS (SELECT unnest([25, 30, 35, 40, 45]) AS t100)
+    SELECT t100,
+           count(*) AS n_pairs,
+           count(DISTINCT id_b) AS n_vecs_flagged
+    FROM ep JOIN t ON cos_sim >= CAST(t100 AS DOUBLE) / 100.0e0
+    GROUP BY t100
+    """,
+)
+def q_llm_semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-side threshold-sensitivity curve — the cosine twin
+    of `q_llm_dedup_threshold_curve` (cuts 0.25..0.45 matched to the
+    fixture's near-orthogonal cosine range; a real corpus sweeps
+    0.90..0.99 around SemDeDup's 0.95): for each cut, qualifying pairs
+    and greedily-flagged vectors from ONE build of the exact
+    label-blocked cosine pair table (the q_llm_embedding_near_dup
+    chain) fanned out to the broadcast 5-row threshold list. Together
+    the two curves are the knob-setting audit for a MIXED dedup run —
+    where the shingle cliff and the cosine cliff sit relative to each
+    other decides which pass to tighten (the q_llm_dedup_reconcile
+    question, answered before committing a 100 TB pass). Threshold
+    compares are engine-exact: the cosine fold is the already-matched
+    left-to-right arithmetic and t/100 is the identical int→double
+    division; the 0.25 pre-filter equals the lowest cut, so the
+    fan-out sees only curve-relevant pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_near_dups(emb, block_col="label", threshold=0.25)
+    t = spark.range(25, 50, 5).select(F.col("id").cast("int").alias("t100"))
+    thr = F.col("t100").cast("double") / F.lit(100.0)
+    return (
+        pairs.join(F.broadcast(t), F.col("cos_sim") >= thr)
+        .groupBy("t100")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_vecs_flagged"),
+        )
+    )

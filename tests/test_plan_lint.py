@@ -103,6 +103,9 @@ _NONEQUI_OK = {
     # list (a range predicate by definition); the pair table itself is
     # the capped shared-shingle EQUI-join
     "q_llm_dedup_threshold_curve",
+    # same shape, cosine side: 5-row broadcast threshold fan-out over
+    # the label-blocked exact pair table
+    "q_llm_semdedup_threshold_curve",
     # crossJoin of the broadcast 1-row corpus count (the rank-bucket
     # denominator); ranks/file-ids are the parallel global_index idiom
     "q_zorder_skipping",
