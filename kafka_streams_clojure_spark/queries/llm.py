@@ -6216,3 +6216,100 @@ def q_llm_semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFram
             F.countDistinct("id_b").alias("n_vecs_flagged"),
         )
     )
+
+
+@query(
+    "q_llm_record_linkage",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             substring(lower(text), 1, 30) AS sk,
+             substring(text, 1, 60)        AS prefix,
+             lang, source,
+             n_chars // 100 AS band
+      FROM documents
+      WHERE strlen(text) = length(text)  -- ASCII guard (byte vs char levenshtein)
+    ),
+    idxed AS (
+      SELECT doc_id, prefix, lang, source, band,
+             row_number() OVER (ORDER BY sk, doc_id) - 1 AS idx
+      FROM base
+    ),
+    scored AS (
+      SELECT CASE WHEN lower(a.lang) = lower(b.lang) THEN 2 ELSE 0 END
+           + CASE WHEN a.source = b.source THEN 1 ELSE 0 END
+           + CASE WHEN a.band = b.band THEN 1 ELSE 0 END
+           + CASE WHEN levenshtein(a.prefix, b.prefix) <= 5 THEN 3 ELSE 0 END
+               AS score,
+             CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+      FROM idxed a JOIN idxed b
+        ON b.idx > a.idx AND b.idx <= a.idx + 4
+    )
+    SELECT CASE WHEN score >= 5 THEN 'match'
+                WHEN score >= 3 THEN 'possible'
+                ELSE 'non_match' END AS link_class,
+           count(*) AS n_pairs,
+           CAST(sum(edit_dist) AS BIGINT) AS total_edit_dist,
+           CAST(min(score) AS INT) AS min_score,
+           CAST(max(score) AS INT) AS max_score
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def q_llm_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD-LINKAGE classification (the Fellegi–Sunter decision rule
+    with integer agreement weights — the log-likelihood weights of the
+    1969 model quantized to points, keeping the oracle float-free):
+    sorted-neighborhood candidates (the q_llm_sorted_neighborhood
+    global-order blocking, exactly 4·n pairs) are scored per field —
+    language +2, source +1, length band +1, prefix-Levenshtein ≤ 5
+    +3 — and banded into match / possible / non-match, the triage a
+    human-review queue consumes. Reports per-class pair counts, summed
+    edit distance and the score range.
+
+    Everything after the (already parallel) global order is integer
+    comparisons, so the whole classification is engine-exact; the
+    ASCII guard mirrors q_llm_edit_distance (Spark counts chars,
+    DuckDB bytes). At 100 TB the candidate set stays window·n by
+    construction — the cost profile of a sort, not a join."""
+    from kafka_streams_clojure_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select(
+            "doc_id",
+            F.substring(F.lower(F.col("text")), 1, 30).alias("__sk"),
+            F.substring(F.col("text"), 1, 60).alias("__prefix"),
+            "lang",
+            "source",
+            F.expr("n_chars div 100").alias("band"),
+        )
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs,
+        sort_cols=("__sk",),
+        window=5,
+        carry=("__prefix", "lang", "source", "band"),
+    )
+    lev = F.levenshtein(F.col("__prefix_a"), F.col("__prefix_b"))
+    score = (
+        F.when(F.lower("lang_a") == F.lower("lang_b"), 2).otherwise(0)
+        + F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0)
+        + F.when(F.col("band_a") == F.col("band_b"), 1).otherwise(0)
+        + F.when(lev <= 5, 3).otherwise(0)
+    )
+    scored = pairs.select(
+        score.alias("score"), lev.cast("int").alias("edit_dist")
+    )
+    klass = (
+        F.when(F.col("score") >= 5, "match")
+        .when(F.col("score") >= 3, "possible")
+        .otherwise("non_match")
+    )
+    return scored.groupBy(klass.alias("link_class")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("edit_dist").cast("bigint").alias("total_edit_dist"),
+        F.min("score").cast("int").alias("min_score"),
+        F.max("score").cast("int").alias("max_score"),
+    )
