@@ -433,3 +433,100 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(
         errors, purchases, left_ts="l_ts", right_ts="r_ts", band="1 MINUTE"
     ).select("error_id", "purchase_id")
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS pid,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS x,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+                  AS BIGINT) % 1000000 AS y
+      FROM customer
+    ),
+    c AS (SELECT pid, x, y, x // 10000 AS cx, y // 10000 AS cy FROM p),
+    a AS (
+      SELECT c.pid, c.x, c.y,
+             c.cx + o1.dx AS probe_cx, c.cy + o2.dy AS probe_cy
+      FROM c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) o1
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) o2
+    )
+    SELECT a.pid AS id_a, b.pid AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM a JOIN c b ON b.cx = a.probe_cx AND b.cy = a.probe_cy
+                   AND a.pid < b.pid
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 100000000
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL radius join via grid-cell blocking — the canonical
+    geospatial join shape on Spark (no native spatial index): entities
+    get deterministic integer coordinates in a 1000×1000 km plane
+    (md5-derived, the engine-portable `_bucket` idiom), one side
+    explodes to its 3×3 neighborhood of 10 km grid cells, candidates
+    come from the (cell_x, cell_y) EQUI-join, and the exact integer
+    squared-distance filter keeps pairs within the 10 km radius.
+    Pigeonhole-exact: radius = cell size, so any qualifying pair
+    differs by at most one cell per axis — zero recall loss, never
+    points²; each pair matches through exactly ONE offset (the cell
+    delta), so no dedup pass. All arithmetic is int64, hence
+    engine-exact (a geodetic deployment computes equirectangular
+    µ-degree deltas the same way; haversine's trig is libm-banned on
+    oracle paths). Cost: 9·n probe rows against an n-row build — the
+    sort-join profile that replaces the quadratic cross join; skewed
+    hot cells would take the `max_bucket` loud-fail guard the
+    perceptual-hash family uses."""
+    cust = load_table(spark, sf_dir, "customer")
+    hx = F.md5(F.col("c_custkey").cast("string"))
+
+    def chunk(pos: int) -> "F.Column":
+        return F.conv(F.substring(hx, pos, 8), 16, 10).cast("bigint")
+
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (chunk(1) % 1_000_000).alias("x"),
+        (chunk(9) % 1_000_000).alias("y"),
+    ).select(
+        "pid",
+        "x",
+        "y",
+        F.expr("x div 10000").alias("cx"),
+        F.expr("y div 10000").alias("cy"),
+    )
+    offs = F.array(*[F.lit(v) for v in (-1, 0, 1)])
+    a = (
+        pts.withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            F.col("pid").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("probe_cx"),
+            (F.col("cy") + F.col("dy")).alias("probe_cy"),
+        )
+    )
+    b = pts.select(
+        F.col("pid").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(
+            b,
+            (F.col("probe_cx") == F.col("cx"))
+            & (F.col("probe_cy") == F.col("cy"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dist_sq <= 100_000_000)
+        .select("id_a", "id_b", dist_sq.cast("bigint").alias("dist_sq"))
+    )
