@@ -508,3 +508,61 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@query(
+    "q_incremental_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta-join identity that
+    completes `q_incremental_agg`'s mergeable-state story for the other
+    stateful operator a materialized view needs:
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+
+    The standing view A⋈B (orders with orderkey%7≠0 × customers with
+    custkey%5≠0) is materialized ONCE (persisted — the stored view a
+    refresh job reads, not recomputes), the three Δ-terms each touch a
+    delta on at least one side, and the maintained view = the 4-way
+    union. The key aggregates the maintained view per market segment
+    with the decimal-sum discipline; the oracle aggregates the PLAIN
+    full join — equality proves the identity end-to-end.
+
+    Scale: the whole point — refresh cost is |ΔA|·|B|-join work (with
+    B's join side pruned by the delta's key set at a real deployment)
+    plus two delta-sized terms, never a recompute of A⋈B; all four
+    terms are plain equi-joins, so broadcast/AQE handling is
+    inherited. Partial-agg order independence comes free because the
+    final aggregate uses dsum."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a = orders.filter(F.col("o_orderkey") % 7 != 0)
+    da = orders.filter(F.col("o_orderkey") % 7 == 0)
+    b = cust.filter(F.col("c_custkey") % 5 != 0)
+    db = cust.filter(F.col("c_custkey") % 5 == 0)
+
+    on = F.col("o_custkey") == F.col("c_custkey")
+    view = persist_if_uncached(a.join(b, on))  # the STORED view
+    increment = (
+        da.join(b, on)
+        .unionByName(a.join(db, on))
+        .unionByName(da.join(db, on))
+    )
+    maintained = view.unionByName(increment)
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
