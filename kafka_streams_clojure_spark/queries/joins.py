@@ -530,3 +530,97 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist_sq <= 100_000_000)
         .select("id_a", "id_b", dist_sq.cast("bigint").alias("dist_sq"))
     )
+
+
+@query(
+    "q_geo_density_cores",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS pid,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS x,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+                  AS BIGINT) % 1000000 AS y
+      FROM customer
+    ),
+    c AS (SELECT pid, x, y, x // 10000 AS cx, y // 10000 AS cy FROM p),
+    a AS (
+      SELECT c.pid, c.x, c.y,
+             c.cx + o1.dx AS probe_cx, c.cy + o2.dy AS probe_cy
+      FROM c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) o1
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) o2
+    ),
+    neigh AS (
+      SELECT a.pid, count(*) AS n_neighbors
+      FROM a JOIN c b ON b.cx = a.probe_cx AND b.cy = a.probe_cy
+                     AND b.pid <> a.pid
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= 100000000
+      GROUP BY a.pid
+    )
+    SELECT pid, CAST(n_neighbors AS BIGINT) AS n_neighbors
+    FROM neigh WHERE n_neighbors >= 3
+    """,
+)
+def q_geo_density_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN CORE-POINT detection over the grid-blocked spatial join
+    (`q_join_spatial_grid`'s chain, asymmetric b.pid <> a.pid so the
+    neighbor count is per-point): points with >= minPts=3 neighbors
+    within the 10 km radius are density cores — the first (and
+    distributable) stage of DBSCAN; full cluster expansion is the
+    min-label closure the dedup_clusters operator already provides
+    over core-core edges. Same pigeonhole-exact blocking and int64
+    arithmetic, so the core set is engine-exact; cost 9·n probe rows,
+    never points²."""
+    cust = load_table(spark, sf_dir, "customer")
+    hx = F.md5(F.col("c_custkey").cast("string"))
+
+    def chunk(pos: int) -> "F.Column":
+        return F.conv(F.substring(hx, pos, 8), 16, 10).cast("bigint")
+
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (chunk(1) % 1_000_000).alias("x"),
+        (chunk(9) % 1_000_000).alias("y"),
+    ).select(
+        "pid",
+        "x",
+        "y",
+        F.expr("x div 10000").alias("cx"),
+        F.expr("y div 10000").alias("cy"),
+    )
+    offs = F.array(*[F.lit(v) for v in (-1, 0, 1)])
+    a = (
+        pts.withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            F.col("pid").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("probe_cx"),
+            (F.col("cy") + F.col("dy")).alias("probe_cy"),
+        )
+    )
+    b = pts.select(
+        F.col("pid").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(
+            b,
+            (F.col("probe_cx") == F.col("cx"))
+            & (F.col("probe_cy") == F.col("cy"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .filter(dist_sq <= 100_000_000)
+        .groupBy(F.col("id_a").alias("pid"))
+        .agg(F.count("*").cast("bigint").alias("n_neighbors"))
+        .filter(F.col("n_neighbors") >= 3)
+    )
