@@ -4381,3 +4381,128 @@ def q_orders_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("discount_cost"),
     )
+
+
+#: CUPED readout expressions — ONE shared SQL text through both engines
+#: (the q_events_ab_test discipline): theta and every adjusted mean are
+#: pure double trees over exact int64 moments, so the readout is
+#: bit-identical. Degenerate var(x)=0 CASE'd to NULL on both sides.
+_CUPED_THETA = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_CUPED_FINAL = f"""
+CAST(sya AS DOUBLE) / na AS mean_y_a,
+CAST(syb AS DOUBLE) / nb AS mean_y_b,
+CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na AS diff_raw,
+CASE WHEN n * sxx - sx * sx > 0 THEN {_CUPED_THETA} END AS theta,
+CASE WHEN n * sxx - sx * sx > 0 THEN
+  (CAST(syb AS DOUBLE) / nb
+     - {_CUPED_THETA}
+       * (CAST(sxb AS DOUBLE) / nb - CAST(sx AS DOUBLE) / n))
+  - (CAST(sya AS DOUBLE) / na
+     - {_CUPED_THETA}
+       * (CAST(sxa AS DOUBLE) / na - CAST(sx AS DOUBLE) / n))
+END AS diff_cuped
+"""
+
+#: epoch-µs midpoint of the 30-day fixture window (2024-01-16 UTC) —
+#: an integer literal on both engines, immune to session timezones.
+_CUPED_CUT_US = 1_705_363_200_000_000
+
+
+@query(
+    "q_events_ab_cuped",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS variant,
+             CAST(count(*) FILTER (WHERE epoch_us(ts) < {_CUPED_CUT_US})
+                  AS BIGINT) AS x,
+             CAST(count(*) FILTER (WHERE epoch_us(ts) >= {_CUPED_CUT_US}
+                                     AND event_type = 'purchase')
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(count(*) AS BIGINT)      AS n,
+        CAST(sum(x) AS BIGINT)        AS sx,
+        CAST(sum(x * x) AS BIGINT)    AS sxx,
+        CAST(sum(x * y) AS BIGINT)    AS sxy,
+        CAST(sum(y) AS BIGINT)        AS sy,
+        CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS na,
+        CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS nb,
+        CAST(sum(x) FILTER (WHERE variant = 0) AS BIGINT)   AS sxa,
+        CAST(sum(x) FILTER (WHERE variant = 1) AS BIGINT)   AS sxb,
+        CAST(sum(y) FILTER (WHERE variant = 0) AS BIGINT)   AS sya,
+        CAST(sum(y) FILTER (WHERE variant = 1) AS BIGINT)   AS syb
+      FROM u
+    )
+    SELECT na, nb, {_CUPED_FINAL}
+    FROM s
+    """,
+)
+def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    the industry-standard A/B sensitivity boost): the treatment effect
+    on post-period purchases is adjusted by each user's PRE-period
+    activity — adjusted metric y − θ(x − x̄) with θ = cov(x,y)/var(x) —
+    removing the between-user variance the pre-period already
+    explains. Pre/post split at the fixture window's midpoint as an
+    integer epoch-µs literal (timezone-immune), variant = the md5
+    split shared with q_events_ab_test.
+
+    Exactness: x and y are per-user integer COUNTS, so every moment
+    (Σx, Σx², Σxy, per-variant sums) is an exact int64; θ and the
+    adjusted means are ONE shared double-expression string evaluated
+    by both engines over those exact integers (the q_events_ab_test
+    discipline), with the var(x)=0 degenerate CASE'd identically.
+    Scale: one user-keyed aggregate then a 1-row eleven-counter fold —
+    map-side after the per-user shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.unix_micros("ts") < F.lit(_CUPED_CUT_US)
+    post_purchase = (F.unix_micros("ts") >= F.lit(_CUPED_CUT_US)) & (
+        F.col("event_type") == "purchase"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias("x"),
+        F.sum(F.when(post_purchase, 1).otherwise(0)).cast("bigint").alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("variant"),
+        "x",
+        "y",
+    )
+    s = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count(F.when(F.col("variant") == 0, 1)).cast("bigint").alias("na"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")))
+        .cast("bigint")
+        .alias("sxa"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")))
+        .cast("bigint")
+        .alias("sxb"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")))
+        .cast("bigint")
+        .alias("sya"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")))
+        .cast("bigint")
+        .alias("syb"),
+    )
+    exprs = [e.strip().rstrip(",") for e in _CUPED_FINAL.split(",\n")]
+    return s.selectExpr("na", "nb", *exprs)
