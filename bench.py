@@ -159,6 +159,12 @@ EXTRAS = [
     "q_stream_quota_ingest",   # standing-store budget admission
     "q_stream_ingest_pipeline",  # composed dedup->quota ingest
     "q_cdc_merge",             # MERGE INTO upsert/delete apply
+    "q_llm_semdedup_threshold_curve",  # cosine-side cut sweep
+    "q_llm_record_linkage",    # Fellegi-Sunter triage bands
+    "q_join_spatial_grid",     # grid-blocked radius join
+    "q_geo_density_cores",     # DBSCAN stage-1 core points
+    "q_incremental_join",      # delta-join view maintenance
+    "q_events_ab_cuped",       # variance-reduced experiment readout
 ]
 
 
