@@ -4506,3 +4506,102 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exprs = [e.strip().rstrip(",") for e in _CUPED_FINAL.split(",\n")]
     return s.selectExpr("na", "nb", *exprs)
+
+
+@query(
+    "q_events_did",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS variant,
+             CAST(count(*) FILTER (WHERE epoch_us(ts) < {_CUPED_CUT_US}
+                                     AND event_type = 'purchase')
+                  AS BIGINT) AS y_pre,
+             CAST(count(*) FILTER (WHERE epoch_us(ts) >= {_CUPED_CUT_US}
+                                     AND event_type = 'purchase')
+                  AS BIGINT) AS y_post
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS na,
+        CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS nb,
+        CAST(sum(y_pre)  FILTER (WHERE variant = 0) AS BIGINT) AS pre_a,
+        CAST(sum(y_post) FILTER (WHERE variant = 0) AS BIGINT) AS post_a,
+        CAST(sum(y_pre)  FILTER (WHERE variant = 1) AS BIGINT) AS pre_b,
+        CAST(sum(y_post) FILTER (WHERE variant = 1) AS BIGINT) AS post_b
+      FROM u
+    )
+    SELECT na, nb,
+           CAST(pre_a  AS DOUBLE) / na AS mean_pre_a,
+           CAST(post_a AS DOUBLE) / na AS mean_post_a,
+           CAST(pre_b  AS DOUBLE) / nb AS mean_pre_b,
+           CAST(post_b AS DOUBLE) / nb AS mean_post_b,
+           (CAST(post_b AS DOUBLE) / nb - CAST(pre_b AS DOUBLE) / nb)
+         - (CAST(post_a AS DOUBLE) / na - CAST(pre_a AS DOUBLE) / na)
+             AS did
+    FROM s
+    """,
+)
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimator — the quasi-experimental
+    readout for when assignment isn't randomized (feature rollouts,
+    market launches): the treated group's pre→post change minus the
+    control group's, which cancels any level difference between groups
+    and any common time trend. Shares the md5 group split and the
+    integer epoch-µs period cut with q_events_ab_test / q_events_ab_cuped
+    (one deterministic experiment-analysis family, three estimators).
+
+    Exactness: the four cells are exact int64 per-user purchase-count
+    sums; the estimator is a double tree over those integers, written
+    identically on both engines. Scale: one user-keyed aggregate, then
+    a 1-row six-counter fold."""
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    pre = is_p & (F.unix_micros("ts") < F.lit(_CUPED_CUT_US))
+    post = is_p & (F.unix_micros("ts") >= F.lit(_CUPED_CUT_US))
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias("y_pre"),
+        F.sum(F.when(post, 1).otherwise(0)).cast("bigint").alias("y_post"),
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("variant"),
+        "y_pre",
+        "y_post",
+    )
+    s = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("bigint").alias("na"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y_pre")))
+        .cast("bigint")
+        .alias("pre_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y_post")))
+        .cast("bigint")
+        .alias("post_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y_pre")))
+        .cast("bigint")
+        .alias("pre_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y_post")))
+        .cast("bigint")
+        .alias("post_b"),
+    )
+    mean = lambda c, n: F.col(c).cast("double") / F.col(n)  # noqa: E731
+    return s.select(
+        "na",
+        "nb",
+        mean("pre_a", "na").alias("mean_pre_a"),
+        mean("post_a", "na").alias("mean_post_a"),
+        mean("pre_b", "nb").alias("mean_pre_b"),
+        mean("post_b", "nb").alias("mean_post_b"),
+        (
+            (mean("post_b", "nb") - mean("pre_b", "nb"))
+            - (mean("post_a", "na") - mean("pre_a", "na"))
+        ).alias("did"),
+    )

@@ -6313,3 +6313,62 @@ def q_llm_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("int").alias("min_score"),
         F.max("score").cast("int").alias("max_score"),
     )
+
+
+@query(
+    "q_llm_dedup_savings",
+    oracle=f"""
+    WITH {_JACCARD_CAPPED_CTES},
+    flagged AS (SELECT DISTINCT id_b AS doc_id FROM jpairs_c),
+    t AS (SELECT doc_id, source,
+                 CAST(len({_TOK}) AS BIGINT) AS n_tokens
+          FROM documents)
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (WHERE f.doc_id IS NOT NULL) AS BIGINT)
+             AS docs_flagged,
+           CAST(coalesce(sum(t.n_tokens) FILTER (WHERE f.doc_id IS NOT NULL),
+                         0) AS BIGINT) AS tokens_flagged
+    FROM t LEFT JOIN flagged f USING (doc_id)
+    GROUP BY t.source
+    """,
+)
+def q_llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup SAVINGS report at the production cut — the compute-
+    budget line item the threshold-curve audit feeds: per source, how
+    many documents and how much TOKEN MASS the greedy keep-first rule
+    would remove at jaccard >= 0.5 over the capped pair graph (the
+    q_llm_ngram_jaccard_capped chain). The near-dup twin of
+    q_llm_dup_inflation's exact-dup accounting: together they price
+    both dedup passes in tokens — the unit training cost is billed in.
+    Integer counts and sums only; flagged docs are the distinct
+    greater-id pair members (the clusters key refines this to the
+    transitive closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, k=4, threshold=0.5, max_doc_freq=_STOP_SHINGLE_CAP
+    )
+    flagged = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        t.join(flagged.withColumn("__f", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("__f").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_flagged"),
+            F.coalesce(
+                F.sum(F.when(F.col("__f").isNotNull(), F.col("n_tokens"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tokens_flagged"),
+        )
+    )
