@@ -1051,3 +1051,37 @@ def quota_admit_delta(
         ).cast("bigint").alias("total"),
     )
     return admitted, new_totals
+
+
+def ingest_pipeline_delta(
+    delta: DataFrame,
+    fp_index: DataFrame,
+    totals: DataFrame,
+    quota: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One batch of the COMPOSED ingest pipeline (the
+    `q_stream_ingest_pipeline` core): exact dedup of ``delta``
+    (columns doc_id, source, fp, n_tokens) against the standing
+    ``fp_index`` (one ``fp`` column), within-delta keep-first per
+    fingerprint (stream-order winner), then :func:`quota_admit_delta`
+    against ``totals``. Returns ``(admitted, fresh_fps, new_totals)`` —
+    the sink rows plus BOTH store deltas (fresh fps append to the
+    index whether or not quota admitted them: a quota rejection must
+    not resurrect later duplicates).
+
+    Every stage is batch-split invariant given deltas arrive in doc_id
+    order (first-occurrence-wins dedup + prefix-position quota), which
+    is what lets the streaming key carry an exact DuckDB oracle; the
+    explicit two-delta contract lives in
+    tests/test_incremental_passage_dedup.py."""
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    fresh = (
+        delta.join(F.broadcast(fp_index), "fp", "left_anti")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    admitted, new_totals = quota_admit_delta(
+        fresh.select("doc_id", "source", "n_tokens"), totals, quota
+    )
+    return admitted, fresh.select("fp"), new_totals

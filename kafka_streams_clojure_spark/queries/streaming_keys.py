@@ -1488,9 +1488,7 @@ def q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan. Scale: per batch one fp anti-join against an id-width index
     (16 B/doc), one within-delta window, one broadcast totals join; the
     stores grow by fingerprint/source rows, never text."""
-    from kafka_streams_clojure_spark.operators.dedup import quota_admit_delta
     from kafka_streams_clojure_spark.operators.text import fingerprint
-    from pyspark.sql import Window
 
     quota = 800
     idx_root = scratch_dir("kscs_pipe_idx_")
@@ -1515,25 +1513,19 @@ def q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        from kafka_streams_clojure_spark.operators.dedup import (
+            ingest_pipeline_delta,
+        )
+
         batch_df.persist()
         index = spark.read.parquet(idx_root)
         totals = spark.read.parquet(tot_root)
-        # stage 1+2: anti-join vs the standing fp index, keep-first
-        # within the batch (stream-order winner per fingerprint)
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        fresh = (
-            batch_df.join(F.broadcast(index), "fp", "left_anti")
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        # stage 3: quota admission at the deduped stream position
-        admitted, new_totals = quota_admit_delta(
-            fresh.select("doc_id", "source", "n_tokens"), totals, quota
+        admitted, fresh_fps, new_totals = ingest_pipeline_delta(
+            batch_df, index, totals, quota
         )
         # materialize every decision BEFORE mutating either store
         admitted = admitted.localCheckpoint(eager=True)
-        fresh_fps = fresh.select("fp").localCheckpoint(eager=True)
+        fresh_fps = fresh_fps.localCheckpoint(eager=True)
         new_totals = new_totals.localCheckpoint(eager=True)
         admitted.write.mode("append").parquet(out_root)
         fresh_fps.write.mode("append").parquet(idx_root)

@@ -336,3 +336,75 @@ def test_quota_admit_cross_batch_contract(spark):
     acc_all, tot_all = quota_admit_delta(both, empty, quota)
     assert {r.doc_id for r in acc_all.collect()} == {1, 2, 4, 6, 8}
     assert {r.source: r.total for r in tot_all.collect()} == totals2
+
+
+def test_ingest_pipeline_cross_batch_contract(spark):
+    """ingest_pipeline_delta (q_stream_ingest_pipeline's batch core):
+    (a) dedup-vs-index, within-batch keep-first and quota compose in
+    one delta; (b) CROSS-BATCH — batch 2 dedups against batch 1's
+    accepted fps AND is offset by batch 1's totals; (c) a batch-1 doc
+    REJECTED by quota still blocks its batch-2 duplicate (fps append
+    regardless of admission); (d) batch-split invariance: the two-batch
+    run admits exactly what one combined batch admits."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        ingest_pipeline_delta,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, source string, fp string, n_tokens bigint"
+        )
+
+    empty_idx = spark.createDataFrame([], "fp string")
+    empty_tot = spark.createDataFrame([], "source string, total bigint")
+    quota = 100
+
+    # fp "h" is already in the historical index; docs 2/3 share fp "a"
+    # (keep-first); doc 4 eats most of source t's quota; doc 5 is over
+    # quota but its fp "z" must still be recorded
+    hist = spark.createDataFrame([("h",)], "fp string")
+    b1 = mk(
+        [
+            (1, "s", "h", 10),   # dropped: fp in historical index
+            (2, "s", "a", 60),   # admitted (cum 60)
+            (3, "s", "a", 5),    # dropped: keep-first within batch
+            (4, "s", "b", 39),   # admitted (cum 99)
+            (5, "s", "z", 50),   # fresh but over quota (cum 149)
+        ]
+    )
+    acc1, fps1, tot1 = ingest_pipeline_delta(b1, hist, empty_tot, quota)
+    assert {r.doc_id for r in acc1.collect()} == {2, 4}
+    assert {r.fp for r in fps1.collect()} == {"a", "b", "z"}
+    assert {r.source: r.total for r in tot1.collect()} == {"s": 149}
+
+    idx2 = hist.unionByName(fps1)
+    b2 = mk(
+        [
+            (6, "s", "z", 1),    # dup of batch-1's quota-REJECTED doc 5
+            (7, "s", "a", 1),    # dup of batch-1's acceptance
+            (8, "t", "c", 90),   # new source, fits
+            (9, "s", "n", 1),    # fresh, but source s is exhausted
+        ]
+    )
+    acc2, fps2, tot2 = ingest_pipeline_delta(b2, idx2, tot1, quota)
+    assert {r.doc_id for r in acc2.collect()} == {8}
+    assert {r.fp for r in fps2.collect()} == {"c", "n"}
+    assert {r.source: r.total for r in tot2.collect()} == {"s": 150, "t": 90}
+
+    # batch-split invariance: one combined delta = the two-batch union
+    both = mk(
+        [
+            (1, "s", "h", 10), (2, "s", "a", 60), (3, "s", "a", 5),
+            (4, "s", "b", 39), (5, "s", "z", 50), (6, "s", "z", 1),
+            (7, "s", "a", 1), (8, "t", "c", 90), (9, "s", "n", 1),
+        ]
+    )
+    acc_all, fps_all, tot_all = ingest_pipeline_delta(
+        both, hist, empty_tot, quota
+    )
+    assert {r.doc_id for r in acc_all.collect()} == {2, 4, 8}
+    assert {r.fp for r in fps_all.collect()} == {"a", "b", "z", "c", "n"}
+    assert {r.source: r.total for r in tot_all.collect()} == {
+        "s": 150,
+        "t": 90,
+    }
