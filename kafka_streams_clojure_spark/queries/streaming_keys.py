@@ -1538,3 +1538,94 @@ def q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         quiet_stop(q, spark)
     return spark.read.parquet(out_root)
+
+
+_SESS_GAP_US = 24 * 3600 * 10**6   # inactivity gap: 24 h
+_SESS_CAP_US = 96 * 3600 * 10**6   # max session duration: 96 h
+
+
+@query(
+    "q_agg_session_capped",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tu, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    scan(user_id, rn, tu, sess_start, sess_idx) AS (
+      SELECT user_id, rn, tu, tu, CAST(1 AS BIGINT) FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.tu,
+             CASE WHEN e.tu - s.tu > {_SESS_GAP_US}
+                    OR e.tu - s.sess_start > {_SESS_CAP_US}
+                  THEN e.tu ELSE s.sess_start END,
+             s.sess_idx + CASE WHEN e.tu - s.tu > {_SESS_GAP_US}
+                                 OR e.tu - s.sess_start > {_SESS_CAP_US}
+                               THEN 1 ELSE 0 END
+      FROM e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    )
+    SELECT user_id, sess_idx,
+           CAST(min(tu) AS BIGINT) AS start_us,
+           CAST(max(tu) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM scan GROUP BY user_id, sess_idx
+    """,
+)
+def q_agg_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPPED sessionization — inactivity gap AND max-session-duration
+    (the GA4/Amplitude session model: a 24 h gap starts a new session,
+    and a session is force-closed after 96 h even under continuous
+    activity). The duration cap makes the semantics genuinely
+    SEQUENTIAL — each break depends on the running session's START, so
+    no window/gaps-and-islands form exists (Spark's native
+    `session_window` and the q_agg_session_window/dynamic pair express
+    only the gap rule). Implemented as the custom-operator escape
+    hatch the survey prescribes: an Arrow-batched grouped-map
+    (`applyInPandas`) running the per-user linear scan; the oracle
+    computes the identical scan as a recursive CTE, so even this
+    sequential operator stays EXACT-oracle-gated (timestamps compared
+    as integer epoch-µs — the TZ-immune discipline).
+
+    Scale: state per task is one user's event list (the same per-key
+    bound every applyInPandasWithState key carries); shuffle is one
+    user-keyed exchange; recursion depth = max events/user only on the
+    ORACLE side. Session rows: (user, idx, start, end, n)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_id",
+    )
+
+    def sessionize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["tu", "event_id"])
+        out = []
+        start = prev = None
+        idx = 0
+        n = 0
+        uid = int(pdf["user_id"].iloc[0])
+        for tu in pdf["tu"]:
+            tu = int(tu)
+            if start is None:
+                idx, start, prev, n = 1, tu, tu, 1
+                continue
+            if tu - prev > _SESS_GAP_US or tu - start > _SESS_CAP_US:
+                out.append((uid, idx, start, prev, n))
+                idx += 1
+                start, n = tu, 1
+            else:
+                n += 1
+            prev = tu
+        if start is not None:
+            out.append((uid, idx, start, prev, n))
+        return pd.DataFrame(
+            out, columns=["user_id", "sess_idx", "start_us", "end_us", "n_events"]
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        sessionize,
+        schema="user_id bigint, sess_idx bigint, start_us bigint, "
+        "end_us bigint, n_events bigint",
+    )

@@ -142,6 +142,9 @@ _PYTHON_OK = {
     "q_multimodal_audio_near_dup",  # stepped-WAV encode + decimate + eHash
     "q_llm_ivfpq_serve",  # Arrow bucket/assignment UDFs (the ivfpq family)
     "q_stream_stateful_counter",
+    # capped sessionization: duration-cap semantics are sequential per
+    # user (no window form), grouped-map is the prescribed escape hatch
+    "q_agg_session_capped",
     "q_error_swallow",
     "q_error_dead_letter",  # same tolerant mapInPandas router, DLQ side
     # rows-only ANN hot loops: cosine_arrow (vectorized pandas_udf)
