@@ -31,6 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
         "streaming_cascade.py",
         "online_ingest.py",
         "tokenizer_media.py",
+        "experimentation.py",
     ],
 )
 def test_example_runs(script):
