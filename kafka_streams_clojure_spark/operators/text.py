@@ -228,6 +228,7 @@ def bpe_merges(
     word_col: str = "w",
     freq_col: str = "freq",
     with_vocab: bool = False,
+    with_level_stats: bool = False,
 ):
     """BPE tokenizer TRAINING (Sennrich et al. 2016): starting from a
     frequency-weighted vocabulary (``word, freq``) split into
@@ -266,7 +267,17 @@ def bpe_merges(
     ).select(
         "w", "freq", "pos", F.expr("substring(w, pos, 1)").alias("sym")
     )
+    def _level(rnd: int, lvl: DataFrame) -> DataFrame:
+        # per-level tokenizer stats: corpus token count (symbol rows
+        # weighted by word freq) + distinct symbols in use — the
+        # vocab-size vs compression tradeoff one row per merge round
+        return lvl.agg(
+            F.sum("freq").cast("bigint").alias("corpus_tokens"),
+            F.countDistinct("sym").cast("bigint").alias("vocab_used"),
+        ).select(F.lit(rnd).cast("int").alias("round"), "*")
+
     out: list[DataFrame] = []
+    levels: list[DataFrame] = [_level(0, t)] if with_level_stats else []
     for rnd in range(1, rounds + 1):
         pairs = t.withColumn("nsym", F.lead("sym").over(wo))
         win = (
@@ -349,7 +360,14 @@ def bpe_merges(
             )
             .localCheckpoint(eager=True)
         )
+        if with_level_stats:
+            levels.append(_level(rnd, t))
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
+    if with_level_stats:
+        stats = levels[0]
+        for df in levels[1:]:
+            stats = stats.unionByName(df)
+        return res, stats
     return (res, t) if with_vocab else res

@@ -6372,3 +6372,45 @@ def q_llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_flagged"),
         )
     )
+
+
+_BPE_CURVE_FINAL = "\n    UNION ALL\n".join(
+    f"""SELECT {k} AS round,
+           CAST(sum(freq) AS BIGINT) AS corpus_tokens,
+           CAST(count(DISTINCT sym) AS BIGINT) AS vocab_used
+    FROM t{k}"""
+    for k in range(_BPE_ROUNDS + 1)
+)
+
+
+@query(
+    "q_llm_bpe_curve",
+    oracle=_bpe_merges_sql(_BPE_ROUNDS, _BPE_CURVE_FINAL),
+)
+def q_llm_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer COMPRESSION CURVE: corpus token count and in-use
+    symbol count after each BPE merge round (0 = character level) —
+    the vocab-size-vs-sequence-length tradeoff table that sizes a
+    tokenizer (every merge adds one symbol and removes pair_count
+    tokens, so the curve's slope IS the merge table's counts; the flat
+    tail says when to stop training). Shares the training chain with
+    q_llm_bpe_merges/q_llm_bpe_encode VERBATIM — the oracle is the
+    same unrolled CTE text with a per-level stats SELECT, the engine
+    the same loop with per-level aggregates (`with_level_stats`), so
+    the three keys cannot drift. Integer token masses (symbol rows
+    weighted by word freq) keep it exact; per round the stats cost is
+    one aggregate over the vocabulary-sized level table."""
+    from kafka_streams_clojure_spark.operators.text import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    _, stats = bpe_merges(words, rounds=_BPE_ROUNDS, with_level_stats=True)
+    return stats
