@@ -165,6 +165,10 @@ EXTRAS = [
     "q_geo_density_cores",     # DBSCAN stage-1 core points
     "q_incremental_join",      # delta-join view maintenance
     "q_events_ab_cuped",       # variance-reduced experiment readout
+    "q_events_did",            # difference-in-differences readout
+    "q_llm_dedup_savings",     # token-mass savings at the 0.5 cut
+    "q_agg_session_capped",    # gap+cap sequential sessionization
+    "q_llm_bpe_curve",         # per-round tokenizer compression
 ]
 
 

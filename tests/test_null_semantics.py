@@ -608,3 +608,4 @@ def test_near_dup_ingest_null_text_accepted_without_bands(spark):
     accepted, bands = near_dup_ingest_delta(batch, index)
     assert {r.doc_id for r in accepted.collect()} == {10, 11}
     assert {r.doc_id for r in bands.collect()} == {11}
+

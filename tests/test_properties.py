@@ -256,3 +256,56 @@ def test_asof_bucketed_equals_plain_any_bucket_any_tz(spark, left, right, bucket
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert got == plain, (bucket, tz, sorted(got ^ plain)[:5])
+
+
+def test_session_capped_reduces_to_gap_rule_without_cap(spark, sf_dir):
+    """q_agg_session_capped sanity: the sequential scan is only needed
+    BECAUSE of the duration cap — with the cap effectively infinite it
+    must reproduce the plain gaps-and-islands sessionization exactly
+    (same session count, boundaries and sizes per user)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    import kafka_streams_clojure_spark.queries.streaming_keys as SK
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    old_cap = SK._SESS_CAP_US
+    SK._SESS_CAP_US = 10**18  # never fires
+    try:
+        got = {
+            (r.user_id, r.sess_idx): (r.start_us, r.end_us, r.n_events)
+            for r in SK.q_agg_session_capped(spark, sf_dir).collect()
+        }
+    finally:
+        SK._SESS_CAP_US = old_cap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tu"), "event_id"
+    )
+    wo = W.partitionBy("user_id").orderBy("tu", "event_id")
+    gi = (
+        ev.withColumn("prev", F.lag("tu").over(wo))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("tu") - F.col("prev") > SK._SESS_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_idx",
+            F.sum("brk").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess_idx")
+        .agg(
+            F.min("tu").alias("start_us"),
+            F.max("tu").alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    exp = {
+        (r.user_id, r.sess_idx): (r.start_us, r.end_us, r.n_events)
+        for r in gi.collect()
+    }
+    assert got == exp and len(got) > 0
