@@ -1629,3 +1629,65 @@ def q_agg_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id bigint, sess_idx bigint, start_us bigint, "
         "end_us bigint, n_events bigint",
     )
+
+
+@query(
+    "q_stream_session_capped",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tu, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    scan(user_id, rn, tu, sess_start, sess_idx) AS (
+      SELECT user_id, rn, tu, tu, CAST(1 AS BIGINT) FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.tu,
+             CASE WHEN e.tu - s.tu > {_SESS_GAP_US}
+                    OR e.tu - s.sess_start > {_SESS_CAP_US}
+                  THEN e.tu ELSE s.sess_start END,
+             s.sess_idx + CASE WHEN e.tu - s.tu > {_SESS_GAP_US}
+                                 OR e.tu - s.sess_start > {_SESS_CAP_US}
+                               THEN 1 ELSE 0 END
+      FROM e JOIN scan s ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    ),
+    sess AS (
+      SELECT user_id, sess_idx,
+             CAST(min(tu) AS BIGINT) AS start_us,
+             CAST(max(tu) AS BIGINT) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM scan GROUP BY user_id, sess_idx
+    ),
+    last AS (SELECT user_id, max(sess_idx) AS mx FROM sess GROUP BY user_id)
+    SELECT s.user_id, s.sess_idx, s.start_us, s.end_us, s.n_events
+    FROM sess s JOIN last l USING (user_id)
+    WHERE s.sess_idx < l.mx
+    """,
+)
+def q_stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of `q_agg_session_capped`: the sequential
+    gap+cap sessionizer as per-key ENGINE STATE
+    (`streaming/stateful.capped_sessionizer`) — state = the one open
+    session, each batch continues the scan and emits the sessions it
+    CLOSES, and the open session rides the state store across batches
+    (boundaries identical under any time-ordered batch split — the
+    same argument that oracle-gates the ingest family). Emission is
+    deterministic: exactly every session EXCEPT each user's final
+    still-open one, which the oracle predicts by dropping each user's
+    max session index from the batch recursive-CTE scan. The pair
+    completes the session matrix: native gap (batch+stream), dynamic
+    gap, and now capped — batch grouped-map AND streaming state."""
+    from kafka_streams_clojure_spark.streaming.stateful import (
+        capped_sessionizer,
+    )
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_id",
+    )
+    return run_available_now(
+        capped_sessionizer(ev, _SESS_GAP_US, _SESS_CAP_US),
+        output_mode="append",
+    )

@@ -426,3 +426,63 @@ def scd2_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def capped_sessionizer(
+    events: DataFrame,
+    gap_us: int,
+    cap_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "tu",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """STREAMING capped sessionization (inactivity gap + max duration —
+    the sequential GA4/Amplitude semantics of the batch
+    `q_agg_session_capped` key) as per-key engine state: the state is
+    ONE open session (index, start, last-seen, count); each batch
+    continues the linear scan over its (ts, id)-sorted rows and emits
+    every session it CLOSES — the open session rides the state store
+    to the next batch, so session boundaries are identical under any
+    time-ordered batch split. Constant state per key regardless of
+    stream length."""
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            idx, start, prev, n = state.get
+        else:
+            idx, start, prev, n = 0, -1, -1, 0
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values([ts_col, id_col])
+        uid = key[0]
+        out = []
+        for tu in rows[ts_col]:
+            tu = int(tu)
+            if n == 0:
+                idx, start, prev, n = idx + 1, tu, tu, 1
+                continue
+            if tu - prev > gap_us or tu - start > cap_us:
+                out.append((uid, idx, start, prev, n))
+                idx += 1
+                start, n = tu, 1
+            else:
+                n += 1
+            prev = tu
+        state.update((idx, start, prev, n))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "sess_idx", "start_us", "end_us", "n_events"],
+        )
+
+    key_type = dict(events.dtypes)[key_col]
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"user_id {key_type}, sess_idx long, start_us long, "
+            "end_us long, n_events long"
+        ),
+        stateStructType="idx long, start long, prev long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
