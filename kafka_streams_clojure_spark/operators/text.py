@@ -256,6 +256,13 @@ def bpe_merges(
     corpus size), one word-keyed window + one map-side-combined pair
     aggregate + one 1-row broadcast winner per round, lineage truncated
     per round (localCheckpoint, the kcore discipline)."""
+    if with_vocab and with_level_stats:
+        # the with_level_stats return path would silently drop the vocab
+        # (r9 advice) — no caller needs both; fail loudly instead
+        raise ValueError(
+            "bpe_merges: with_vocab and with_level_stats are mutually "
+            "exclusive — request one, or call twice"
+        )
     wo = Window.partitionBy("w").orderBy("pos")
     wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
     # char split via sequence+substring (NOT F.split(w, "(?!^)"), whose

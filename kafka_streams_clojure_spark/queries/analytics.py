@@ -4393,20 +4393,25 @@ _CUPED_THETA = (
     " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
 )
-_CUPED_FINAL = f"""
-CAST(sya AS DOUBLE) / na AS mean_y_a,
-CAST(syb AS DOUBLE) / nb AS mean_y_b,
-CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na AS diff_raw,
-CASE WHEN n * sxx - sx * sx > 0 THEN {_CUPED_THETA} END AS theta,
-CASE WHEN n * sxx - sx * sx > 0 THEN
+# kept as an explicit EXPRESSION LIST (r9 advice): the engine passes the
+# elements straight to selectExpr and the oracle joins them with ",\n" —
+# never parse the joined text back apart (a reflow of a multi-line CASE
+# would silently change a split-derived list).
+_CUPED_FINAL_EXPRS = [
+    "CAST(sya AS DOUBLE) / na AS mean_y_a",
+    "CAST(syb AS DOUBLE) / nb AS mean_y_b",
+    "CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na AS diff_raw",
+    f"CASE WHEN n * sxx - sx * sx > 0 THEN {_CUPED_THETA} END AS theta",
+    f"""CASE WHEN n * sxx - sx * sx > 0 THEN
   (CAST(syb AS DOUBLE) / nb
      - {_CUPED_THETA}
        * (CAST(sxb AS DOUBLE) / nb - CAST(sx AS DOUBLE) / n))
   - (CAST(sya AS DOUBLE) / na
      - {_CUPED_THETA}
        * (CAST(sxa AS DOUBLE) / na - CAST(sx AS DOUBLE) / n))
-END AS diff_cuped
-"""
+END AS diff_cuped""",
+]
+_CUPED_FINAL = ",\n".join(_CUPED_FINAL_EXPRS)
 
 #: epoch-µs midpoint of the 30-day fixture window (2024-01-16 UTC) —
 #: an integer literal on both engines, immune to session timezones.
@@ -4504,8 +4509,7 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("syb"),
     )
-    exprs = [e.strip().rstrip(",") for e in _CUPED_FINAL.split(",\n")]
-    return s.selectExpr("na", "nb", *exprs)
+    return s.selectExpr("na", "nb", *_CUPED_FINAL_EXPRS)
 
 
 @query(

@@ -5466,14 +5466,18 @@ def q_llm_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count(DISTINCT vec_id) AS n_vecs
             FROM q)
     SELECT n_vecs,
-           CAST(sum_s2 - ssq AS DOUBLE)
-             / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))
-             AS mean_pair_dot_q,
-           CAST(ssq AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_sq_norm_q,
-           (CAST(sum_s2 - ssq AS DOUBLE)
-             / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)))
-             / (CAST(ssq AS DOUBLE) / CAST(n_vecs AS DOUBLE))
-             AS isotropy_ratio
+           CASE WHEN n_vecs > 1 THEN
+             CAST(sum_s2 - ssq AS DOUBLE)
+               / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))
+           END AS mean_pair_dot_q,
+           CASE WHEN n_vecs > 0 THEN
+             CAST(ssq AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+           END AS mean_sq_norm_q,
+           CASE WHEN n_vecs > 1 AND ssq > 0 THEN
+             (CAST(sum_s2 - ssq AS DOUBLE)
+               / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)))
+               / (CAST(ssq AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+           END AS isotropy_ratio
     FROM tot, gram
     """,
 )
@@ -5525,15 +5529,24 @@ def q_llm_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qv") * F.col("qv")).alias("ssq"),
         F.countDistinct("vec_id").alias("n_vecs"),
     )
-    mean_pair = (F.col("sum_s2") - F.col("ssq")).cast("double") / (
+    # degenerate-fixture guards (r9 advice, the q_llm_top_direction den>0
+    # discipline): a 1-vector corpus zeroes the pair denominator (Spark /0
+    # -> NULL vs DuckDB inf) and an all-zero corpus zeroes mean_sq — CASE
+    # the n_vecs>1 and ssq>0 conditions identically on both engines.
+    raw_pair = (F.col("sum_s2") - F.col("ssq")).cast("double") / (
         F.col("n_vecs").cast("double") * (F.col("n_vecs") - 1).cast("double")
     )
-    mean_sq = F.col("ssq").cast("double") / F.col("n_vecs").cast("double")
+    raw_sq = F.col("ssq").cast("double") / F.col("n_vecs").cast("double")
+    mean_pair = F.when(F.col("n_vecs") > 1, raw_pair)
+    mean_sq = F.when(F.col("n_vecs") > 0, raw_sq)
+    ratio = F.when(
+        (F.col("n_vecs") > 1) & (F.col("ssq") > 0), raw_pair / raw_sq
+    )
     return tot.crossJoin(F.broadcast(gram)).select(
         "n_vecs",
         mean_pair.alias("mean_pair_dot_q"),
         mean_sq.alias("mean_sq_norm_q"),
-        (mean_pair / mean_sq).alias("isotropy_ratio"),
+        ratio.alias("isotropy_ratio"),
     )
 
 

@@ -1357,9 +1357,15 @@ def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_root)
 
 
+# One shared constant for the quota-ingest family, f-string-interpolated
+# into BOTH the oracle SQL and the engine bodies (the _SESS_GAP_US
+# discipline) so the two sides cannot silently drift (r9 advice).
+_QUOTA_TOKENS = 800  # binds on every fixture SF — ~half the corpus cut at sf0.01
+
+
 @query(
     "q_stream_quota_ingest",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, source,
              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
@@ -1370,7 +1376,7 @@ def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
       FROM t
     )
-    SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+    SELECT doc_id, source, n_tokens FROM c WHERE cum <= {_QUOTA_TOKENS}
     """,
 )
 def q_stream_quota_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1400,7 +1406,7 @@ def q_stream_quota_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer merge of two source-keyed aggregates, materialized
     (localCheckpoint) before the overwrite so the write never races its
     own input (the r8 advice discipline)."""
-    quota = 800
+    quota = _QUOTA_TOKENS
     tot_root = scratch_dir("kscs_quota_tot_")
     out_root = scratch_dir("kscs_quota_out_")
     # seed an EMPTY totals store with the right schema (first batch
@@ -1442,7 +1448,7 @@ def q_stream_quota_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_ingest_pipeline",
-    oracle="""
+    oracle=f"""
     WITH f AS (
       SELECT doc_id, source,
              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
@@ -1466,7 +1472,7 @@ def q_stream_quota_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
       FROM fresh
     )
-    SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+    SELECT doc_id, source, n_tokens FROM c WHERE cum <= {_QUOTA_TOKENS}
     """,
 )
 def q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1490,7 +1496,7 @@ def q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores grow by fingerprint/source rows, never text."""
     from kafka_streams_clojure_spark.operators.text import fingerprint
 
-    quota = 800
+    quota = _QUOTA_TOKENS
     idx_root = scratch_dir("kscs_pipe_idx_")
     tot_root = scratch_dir("kscs_pipe_tot_")
     out_root = scratch_dir("kscs_pipe_out_")
