@@ -444,34 +444,26 @@ def capped_sessionizer(
     every session it CLOSES — the open session rides the state store
     to the next batch, so session boundaries are identical under any
     time-ordered batch split. Constant state per key regardless of
-    stream length."""
+    stream length. The per-batch scan is the vectorized per-session
+    kernel (operators/sessionize.capped_scan), shared with the batch
+    twin so the two paths cannot drift."""
+    from kafka_streams_clojure_spark.operators.sessionize import capped_scan
 
     def update(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            idx, start, prev, n = state.get
+            st = tuple(int(v) for v in state.get)
         else:
-            idx, start, prev, n = 0, -1, -1, 0
+            st = (0, -1, -1, 0)
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values([ts_col, id_col])
         uid = key[0]
-        out = []
-        for tu in rows[ts_col]:
-            tu = int(tu)
-            if n == 0:
-                idx, start, prev, n = idx + 1, tu, tu, 1
-                continue
-            if tu - prev > gap_us or tu - start > cap_us:
-                out.append((uid, idx, start, prev, n))
-                idx += 1
-                start, n = tu, 1
-            else:
-                n += 1
-            prev = tu
-        state.update((idx, start, prev, n))
+        tu = rows[ts_col].to_numpy(dtype="int64")
+        closed, st = capped_scan(tu, gap_us, cap_us, st)
+        state.update(tuple(st))
         yield pd.DataFrame(
-            out,
+            [(uid, i, s, e, c) for (i, s, e, c) in closed],
             columns=["user_id", "sess_idx", "start_us", "end_us", "n_events"],
         )
 
