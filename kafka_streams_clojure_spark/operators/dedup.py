@@ -1005,6 +1005,148 @@ def substring_dedup(
     )
 
 
+#: content-defined chunking hash parameters — module-level so the engine
+#: plan and every oracle interpolate the SAME constants (the _QUOTA_TOKENS
+#: discipline). Window 8 chars, polynomial base 257, modulus 2^31 keeps
+#: every term and the 8-term sum exactly inside int64 on both engines
+#: (max codepoint 0x10FFFF * (2^31-1) * 8 ~ 1.9e16 << 2^63).
+CDC_WINDOW = 8
+CDC_BASE = 257
+CDC_MOD = 1 << 31
+CDC_DIVISOR = 32  # boundary when h % divisor == 0 -> mean chunk ~32 chars
+
+
+def cdc_hash_sql(text_expr: str, start_expr: str, w: int = CDC_WINDOW) -> str:
+    """The fixed-window rolling-hash as ONE shared SQL text evaluated by
+    both engines (the _CUPED_FINAL discipline): the hash of the w-gram
+    starting at 1-based ``start_expr`` inside ``text_expr`` is
+
+        ( sum_j ascii(text[start+j]) * BASE^j mod MOD ) % MOD
+
+    with the per-offset powers folded to integer literals. Everything
+    is exact int64 arithmetic; ``ascii``/``substr`` return identical
+    codepoints in Spark and DuckDB (probed: 'a'=97, '€'=8364)."""
+    pows = [pow(CDC_BASE, j, CDC_MOD) for j in range(w)]
+    # the BIGINT cast is load-bearing: Spark's ascii() is INT and the
+    # int*int product overflows 32 bits under ANSI before widening
+    terms = " + ".join(
+        f"CAST(ascii(substr({text_expr}, ({start_expr}) + {j}, 1)) AS BIGINT)"
+        f" * {pows[j]}"
+        for j in range(w)
+    )
+    return f"(({terms}) % {CDC_MOD})"
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the gear/Rabin rolling-hash family of
+    LBFS/FastCDC): split each document at positions where the rolling
+    hash of the trailing ``w``-char window satisfies ``h % divisor ==
+    0``. Because a boundary depends only on the LOCAL w chars before
+    it, inserting or deleting bytes re-aligns every boundary after the
+    edit — the duplication that position-fixed shingles miss (a 1-char
+    prefix insertion shifts every fixed shingle; it shifts NO cdc
+    boundary beyond the first window). This is the missing member of
+    the exact-substring family (r9 verdict #3).
+
+    Deliberately NO min/max chunk-size clamps: the clamped (FastCDC)
+    variant makes each boundary depend on the previous one — a
+    sequential chain per doc, and not SQL-expressible — while the pure
+    local rule keeps every boundary independently decidable, hence one
+    codegen pass AND DuckDB-oracle-exact (q_llm_cdc_chunks). Mean chunk
+    length is geometric with mean ``divisor`` chars; the document tail
+    always closes the final chunk.
+
+    Returns one row per chunk: ``(id_col, chunk_start, chunk_len,
+    chunk_hash)`` with ``chunk_hash = md5(chunk text)`` (reproducible
+    cross-engine) — chunk-level dedup joins key on it. Scale shape
+    (100 TB): per-char codegen hash (8 ascii+substr terms, no UDF, no
+    explode of text bytes onto the wire), one doc-keyed window for the
+    lag-ranges on PINNED partitioning (boundary rows ≈ len/divisor per
+    doc), one doc-keyed self-join to slice chunk text, and downstream
+    exchanges carry (id, start, len, 16 B hash) — never raw text."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col), F.col(text_col), F.length(text_col).alias("__len")
+    )
+    cand = base.filter(F.col("__len") >= w).select(
+        id_col,
+        text_col,
+        F.explode(F.sequence(F.lit(w), F.col("__len"))).alias("__i"),
+    )
+    h = F.expr(cdc_hash_sql(text_col, f"__i - {w - 1}", w))
+    bnd = cand.filter(h % divisor == 0).select(id_col, "__i")
+    sentinel = base.filter(F.col("__len") > 0).select(
+        id_col, F.col("__len").alias("__i")
+    )
+    bounds = bnd.union(sentinel).distinct().repartition(par, id_col)
+    wd = Window.partitionBy(id_col).orderBy("__i")
+    ranges = bounds.select(
+        F.col(id_col),
+        (F.coalesce(F.lag("__i").over(wd), F.lit(0)) + 1).alias("__cs"),
+        F.col("__i").alias("__ce"),
+    )
+    return ranges.join(base.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.col("__cs").cast("bigint").alias("chunk_start"),
+        (F.col("__ce") - F.col("__cs") + 1).cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.expr(f"substring({text_col}, __cs, __ce - __cs + 1)")
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Per-document CDC duplication report over `cdc_chunk_table`:
+    keep-first at chunk granularity (a chunk occurrence is DUPLICATED
+    iff its hash occurs elsewhere in the corpus and it is not the
+    canonical smallest-(doc, start) occurrence — the substring_dedup
+    rule at chunk level). Returns ``(id_col, n_chunks, n_dup_chunks,
+    dup_chars, total_chars, dup_char_frac)``; the frac is NULL for an
+    empty doc on BOTH engines (guarded CASE — the ratio-denominator
+    rule). One chunk-hash-keyed shuffle (16 B keys), one doc-keyed
+    aggregate: linear at any corpus size."""
+    chunks = cdc_chunk_table(df, id_col, text_col, w, divisor)
+    wh = Window.partitionBy("chunk_hash")
+    is_dup = (F.col("__cnt") > 1) & (F.col("__rk") > 1)
+    marked = chunks.withColumn("__cnt", F.count(F.lit(1)).over(wh)).withColumn(
+        "__rk", F.row_number().over(wh.orderBy(id_col, "chunk_start"))
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(is_dup, 1).otherwise(0)).cast("bigint").alias("n_dup_chunks"),
+        F.sum(F.when(is_dup, F.col("chunk_len")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_chars"),
+    )
+    tot = df.select(
+        F.col(id_col), F.length(text_col).cast("bigint").alias("total_chars")
+    )
+    return tot.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0)).cast("bigint").alias("n_dup_chunks"),
+        F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+        "total_chars",
+        F.when(
+            F.col("total_chars") > 0,
+            F.coalesce("dup_chars", F.lit(0)).cast("double")
+            / F.col("total_chars").cast("double"),
+        ).alias("dup_char_frac"),
+    )
+
+
 def quota_admit_delta(
     delta: DataFrame,
     totals: DataFrame,

@@ -1640,3 +1640,91 @@ def test_top_direction_matches_reference_and_bounds(spark, sf_dir):
     assert 0 < row.lambda1_rayleigh <= lam_true * (1 + 1e-9)
     assert 0 < row.top_dir_share <= 1
     assert row.top_dir_share < 0.5  # gaussian fixture: no collapse
+
+
+# --- content-defined chunking (q_llm_cdc_chunks) -------------------------
+
+
+def test_cdc_catches_shifted_duplicate(spark):
+    """THE invariant CDC exists for: a byte-INSERTION at the front of a
+    copied document shifts every position-fixed shingle (exact dedup and
+    fixed-window fingerprints see two unrelated docs) but realigns CDC
+    chunk boundaries within one hash window — so the shifted copy's
+    chunks mostly re-match the original's and keep-first flags them."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        cdc_chunk_table,
+        cdc_dedup_report,
+    )
+
+    # deterministic pseudo-text, long enough for ~15 chunks
+    base = " ".join(f"tok{i * 7 % 97}word{i * 13 % 89}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "xyz " + base),  # shifted duplicate: 4-char prefix insertion
+            (3, " ".join(f"other{i * 11 % 83}" for i in range(60))),
+        ],
+        "doc_id bigint, text string",
+    )
+    rep = {r["doc_id"]: r for r in cdc_dedup_report(docs).collect()}
+    # the shifted copy re-matches most of its chars (keep-first: doc 1
+    # is canonical, doc 2 carries the duplication)
+    assert rep[2]["dup_char_frac"] > 0.5, rep[2]
+    # the unrelated doc shares nothing
+    assert rep[3]["n_dup_chunks"] == 0
+    # chunk-level view: beyond the first boundary after the insertion,
+    # doc 2's chunk hashes are a subset re-match of doc 1's
+    ch = cdc_chunk_table(docs).collect()
+    h1 = {r["chunk_hash"] for r in ch if r["doc_id"] == 1}
+    c2 = [r for r in ch if r["doc_id"] == 2]
+    matched = sum(1 for r in c2 if r["chunk_hash"] in h1)
+    assert matched >= len(c2) - 2, (matched, len(c2))
+
+
+def test_cdc_chunks_partition_the_document(spark):
+    """Chunks tile each doc exactly: starts/lengths cover [1, len] with
+    no gaps or overlaps, and every doc with text yields >= 1 chunk."""
+    from kafka_streams_clojure_spark.operators.dedup import cdc_chunk_table
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "a" * 100), (3, "x y z " * 40), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rows = cdc_chunk_table(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc  # empty doc: no chunks
+    for did, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_start"])
+        assert chunks[0]["chunk_start"] == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert a["chunk_start"] + a["chunk_len"] == b["chunk_start"]
+        total = sum(c["chunk_len"] for c in chunks)
+        text = {1: "short", 2: "a" * 100, 3: "x y z " * 40}[did]
+        assert total == len(text)
+
+
+def test_cdc_boundaries_are_content_local(spark):
+    """Editing the TAIL of a doc must not move any boundary that closes
+    more than one window before the edit (locality = the whole point of
+    content-defined over fixed-size chunking)."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        CDC_WINDOW,
+        cdc_chunk_table,
+    )
+
+    base = " ".join(f"tok{i * 7 % 97}word{i * 13 % 89}" for i in range(60))
+    edited = base[:-20] + "Z" * 20
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id bigint, text string"
+    )
+    rows = cdc_chunk_table(docs).collect()
+    b1 = sorted(
+        r["chunk_start"] + r["chunk_len"] - 1 for r in rows if r["doc_id"] == 1
+    )
+    b2 = sorted(
+        r["chunk_start"] + r["chunk_len"] - 1 for r in rows if r["doc_id"] == 2
+    )
+    cut = len(base) - 20 - CDC_WINDOW
+    assert [b for b in b1 if b <= cut] == [b for b in b2 if b <= cut]
