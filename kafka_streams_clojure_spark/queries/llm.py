@@ -6521,3 +6521,103 @@ def q_llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at 16 B/row — no pair join, linear end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return cdc_dedup_report(docs)
+
+
+@query("q_llm_ann_probe_curve")  # iterative quantizer training — rows-only
+def q_llm_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN KNOB-SETTING CURVE (r9 verdict #4): the n_probe -> (recall,
+    cost) tradeoff table that sizes an IVF-PQ deployment — the
+    `q_llm_dedup_threshold_curve` discipline applied to serving. One
+    index build (`ivfpq_build`), one candidate scoring pass at the
+    largest setting, and the curve rows for n_probe ∈ {1,2,4,8} derive
+    by cell-rank filtering (`operators/similarity.ivfpq_probe_curve` —
+    equivalent to re-searching because a candidate's ADC distance is
+    n_probe-independent). Recall is measured against the EXACT
+    squared-L2 top-k over raw vectors (the metric ADC approximates);
+    candidate mass is the cost axis (how many code rows were scored).
+
+    Two recall columns, deliberately: ``cand_recall`` — the fraction
+    of exact-top-k pairs REACHABLE in the candidate set — is monotone
+    in n_probe by construction (candidate sets nest) and is the
+    invariant-gated column; ``recall_at_k`` — end-to-end after ADC
+    ranking — is the number a deployment actually gets but is NOT
+    guaranteed monotone (a new cell's optimistically-quantized
+    candidate can displace a true hit; measured 0.333→0.32 between
+    n_probe 1 and 2 on this fixture), so it carries only a floor gate.
+
+    Rows-only by design (nested iterative k-means training is not
+    SQL-expressible); gated by monotone cand_recall + monotone cost +
+    recall-floor invariants in tests/test_llm_ops.py. Output: one row
+    per n_probe — (n_probe, n_cand, avg_cand_per_probe, hits,
+    recall_at_k, cand_hits, cand_recall); recall denominator = k ×
+    #probes (every probe has a full exact top-k on this fixture)."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+    from kafka_streams_clojure_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_probe_curve,
+        sq_l2,
+    )
+
+    k = 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = persist_if_uncached(emb.filter(F.col("vec_id") < 15))
+    cents, books, codes = ivfpq_build(emb, m=8, ks=16)
+    topk, mass, cand = ivfpq_probe_curve(
+        cents, books, codes, probes, k=k, n_probes=(1, 2, 4, 8), m=8
+    )
+
+    # exact squared-L2 ground truth: 15 broadcast probes × corpus, one
+    # probe-keyed window — the brute-force baseline ADC approximates
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("__pv")
+    )
+    wx = Window.partitionBy("probe_id").orderBy(F.col("__d2"), F.col("vec_id"))
+    exact = (
+        emb.crossJoin(F.broadcast(p))
+        .select(
+            "probe_id",
+            "vec_id",
+            sq_l2(F.col("embedding"), F.col("__pv")).alias("__d2"),
+        )
+        .withColumn("__r", F.row_number().over(wx))
+        .filter(F.col("__r") <= k)
+        .select("probe_id", "vec_id")
+    )
+    n_probe_rows = probes.count()
+    exact = exact.localCheckpoint(eager=True)  # consumed by both joins
+    hits = (
+        topk.join(exact, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    # reachability: an exact-top-k pair is CATCHABLE at n_probe=np iff
+    # its candidate's home cell ranks <= np for that probe — min over
+    # the (unique) matching candidate row, then a broadcast np fan-out
+    reach = cand.join(exact, ["probe_id", "vec_id"], "left_semi")
+    nps = spark.createDataFrame([(1,), (2,), (4,), (8,)], "n_probe int")
+    cand_hits = (
+        reach.crossJoin(F.broadcast(nps))
+        .filter(F.col("cell_rank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cand_hits"))
+    )
+    denom = F.lit(float(k * n_probe_rows))
+    return (
+        mass.join(hits, "n_probe", "left")
+        .join(cand_hits, "n_probe", "left")
+        .select(
+            "n_probe",
+            "n_cand",
+            (
+                F.col("n_cand").cast("double") / F.lit(float(n_probe_rows))
+            ).alias("avg_cand_per_probe"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce("hits", F.lit(0)).cast("double") / denom).alias(
+                "recall_at_k"
+            ),
+            F.coalesce("cand_hits", F.lit(0)).cast("bigint").alias("cand_hits"),
+            (F.coalesce("cand_hits", F.lit(0)).cast("double") / denom).alias(
+                "cand_recall"
+            ),
+        )
+    )

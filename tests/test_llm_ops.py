@@ -1728,3 +1728,69 @@ def test_cdc_boundaries_are_content_local(spark):
     )
     cut = len(base) - 20 - CDC_WINDOW
     assert [b for b in b1 if b <= cut] == [b for b in b2 if b <= cut]
+
+
+# --- ANN n_probe/recall curve (q_llm_ann_probe_curve) --------------------
+
+
+def test_ann_probe_curve_invariants(spark, sf_dir):
+    """The knob-setting curve's contract: candidate mass strictly grows
+    with n_probe (cells nest), REACHABILITY recall (cand_recall) is
+    monotone non-decreasing (the candidate set at n_probe=a is a subset
+    of n_probe=b for a<b), hits never exceed reachable hits (ADC
+    ranking can only lose reachable true positives, never invent them),
+    and the widest setting reaches a usable floor even on this
+    near-orthogonal fixture. recall_at_k is deliberately NOT asserted
+    monotone — displacement by optimistically-quantized candidates is
+    real ANN behavior (measured 0.333->0.32 between n_probe 1 and 2)."""
+    from kafka_streams_clojure_spark.queries.llm import q_llm_ann_probe_curve
+
+    rows = sorted(
+        q_llm_ann_probe_curve(spark, sf_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    masses = [r["n_cand"] for r in rows]
+    assert masses == sorted(masses) and masses[0] < masses[-1]
+    cand_recalls = [r["cand_recall"] for r in rows]
+    assert cand_recalls == sorted(cand_recalls)
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["hits"] <= r["cand_hits"], (
+            "end-to-end hits exceeded reachable hits"
+        )
+    assert cand_recalls[-1] >= 0.5, cand_recalls
+    assert rows[-1]["recall_at_k"] >= 0.25, rows[-1]
+
+
+def test_ann_probe_curve_matches_direct_search(spark, sf_dir):
+    """Deriving the curve from ONE max-n_probe scoring pass must be
+    EXACTLY the result of running ivfpq_search at each n_probe — the
+    equivalence that justifies the single-pass design (a candidate's
+    ADC distance is n_probe-independent; only reachability changes)."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_probe_curve,
+        ivfpq_search,
+    )
+    from kafka_streams_clojure_spark.queries._util import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    cents, books, codes = ivfpq_build(emb, m=8, ks=16)
+    codes = codes.localCheckpoint(eager=True)
+    topk, _, _ = ivfpq_probe_curve(
+        cents, books, codes, probes, k=5, n_probes=(1, 4), m=8
+    )
+    curve = {
+        (r["n_probe"], r["probe_id"], r["vec_id"]) for r in topk.collect()
+    }
+    for np_ in (1, 4):
+        direct = {
+            (np_, r["probe_id"], r["vec_id"])
+            for r in ivfpq_search(
+                cents, books, codes, probes, k=5, n_probe=np_, m=8
+            ).collect()
+        }
+        got = {t for t in curve if t[0] == np_}
+        assert got == direct, f"n_probe={np_}"

@@ -32,6 +32,9 @@ _NONEQUI_OK = {
     # serving twin: probe-side broadcast-centroid crossJoin against the
     # persisted index (plus the build's bounded shapes on first call)
     "q_llm_ivfpq_serve",
+    # knob-setting curve: the ivfpq bounded shapes + a broadcast 15-row
+    # exact-baseline probe crossJoin + a broadcast 4-row n_probe fan-out
+    "q_llm_ann_probe_curve",
     # crossJoin of a broadcast 1-ROW aggregate (corpus total folded
     # in-plan) — a BNLJ whose build side is a single row is bounded
     "q_llm_domain_mix",
