@@ -378,3 +378,57 @@ def bpe_merges(
             stats = stats.unionByName(df)
         return res, stats
     return (res, t) if with_vocab else res
+
+
+def compress_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib COMPRESSION RATIO — the classic cheap
+    boilerplate/repetition screen (the C4/Gopher-era "compressible =
+    templated" heuristic, and CCNet's spiritual sibling to perplexity):
+    highly repetitive or low-entropy text compresses far below natural
+    prose (~0.4–0.7 for English), so a low ratio flags boilerplate and
+    a ratio near (or above) 1.0 flags high-entropy noise (random
+    strings compress to > 1.0 with header overhead).
+
+    zlib at a FIXED level is deterministic for a given input, so the
+    column is stable across runs/partitionings — but it is not
+    SQL-expressible, hence rows-only (planted high/low-entropy
+    invariants + a repetition-score cross-check in tests/test_llm_ops).
+
+    Scale shape: one `mapInPandas` pass (Arrow-batched, one Python call
+    per ~10k-row batch, zlib in C), no shuffle at all — the screen runs
+    at scan speed next to the token/quality columns. Returns
+    ``(id_col, raw_bytes, compressed_bytes, compress_ratio)``; empty
+    docs get ratio NULL (guarded, the /0 rule)."""
+    import zlib
+
+    import pandas as pd
+
+    def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            raw_n = [len(b) for b in raw]
+            comp_n = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": pd.Series(raw_n, dtype="int64"),
+                    "compressed_bytes": pd.Series(comp_n, dtype="int64"),
+                    "compress_ratio": [
+                        (c / n) if n > 0 else None
+                        for c, n in zip(comp_n, raw_n)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        score,
+        schema=(
+            f"{id_col} bigint, raw_bytes bigint, compressed_bytes bigint, "
+            "compress_ratio double"
+        ),
+    )

@@ -6621,3 +6621,23 @@ def q_llm_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("q_llm_compress_ratio")  # zlib is not SQL-expressible — rows-only
+def q_llm_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib COMPRESSION-RATIO quality signal (r9 verdict #6) — the
+    classic boilerplate/repetition screen beside `q_llm_repetition` and
+    `q_llm_gopher_rules`: templated/repetitive text compresses far
+    below natural prose, high-entropy noise compresses above it, so
+    the ratio is a one-column curation feature with no tokenizer and
+    no model. Deterministic (fixed zlib level → fixed bytes) but not
+    DuckDB-expressible → rows-only; gated by planted high/low-entropy
+    invariants plus a corpus-level CROSS-CHECK against the oracle-gated
+    repetition score (docs with high dup_token_ratio must compress
+    better than the corpus median) in tests/test_llm_ops.py.
+
+    Scale: one Arrow-batched `mapInPandas` scan (zlib in C, one Python
+    call per batch), NO shuffle — runs at scan speed
+    (operators/text.compress_ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.compress_ratio(docs)

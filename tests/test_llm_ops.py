@@ -1794,3 +1794,75 @@ def test_ann_probe_curve_matches_direct_search(spark, sf_dir):
         }
         got = {t for t in curve if t[0] == np_}
         assert got == direct, f"n_probe={np_}"
+
+
+# --- compression-ratio quality signal (q_llm_compress_ratio) --------------
+
+
+def test_compress_ratio_planted_entropy_extremes(spark):
+    """The signal's defining behavior: a highly repetitive doc
+    compresses to a tiny fraction, natural-ish prose lands mid-range,
+    and incompressible noise (deterministic pseudo-random base64-ish
+    chars) exceeds it — orders the three planted docs correctly."""
+    import base64
+    import hashlib
+
+    from kafka_streams_clojure_spark.operators.text import compress_ratio
+
+    # base64 of md5 digests: ~6 bits/char of deterministic pseudo-noise
+    noise = "".join(
+        base64.b64encode(hashlib.md5(f"chunk{i}".encode()).digest()).decode()
+        for i in range(60)
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors argue about maps and a parrot recites half-remembered "
+        "poetry from an old almanac found below deck "
+    ) * 6
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 200), (2, prose), (3, noise)],
+        "doc_id bigint, text string",
+    )
+    r = {x["doc_id"]: x for x in compress_ratio(docs).collect()}
+    assert r[1]["compress_ratio"] < 0.1, r[1]
+    assert r[1]["compress_ratio"] < r[2]["compress_ratio"] < r[3]["compress_ratio"]
+    assert r[3]["compress_ratio"] > 0.7, r[3]
+    for x in r.values():
+        assert x["raw_bytes"] > 0 and x["compressed_bytes"] > 0
+
+
+def test_compress_ratio_empty_and_null_and_determinism(spark):
+    """Empty docs get NULL ratio (guarded denominator); rerunning the
+    scan yields byte-identical results (fixed zlib level)."""
+    from kafka_streams_clojure_spark.operators.text import compress_ratio
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello world " * 30)], "doc_id bigint, text string"
+    )
+    a = {r["doc_id"]: r for r in compress_ratio(docs).collect()}
+    assert a[1]["compress_ratio"] is None and a[1]["raw_bytes"] == 0
+    b = {r["doc_id"]: r for r in compress_ratio(docs).collect()}
+    assert a == b
+
+
+def test_compress_ratio_crosschecks_repetition_score(spark, sf_dir, docs):
+    """Corpus-level consistency with the oracle-gated repetition
+    family: the quartile of docs with the HIGHEST dup_token_ratio must
+    have a lower mean compression ratio than the quartile with the
+    lowest — the two screens must agree on what 'repetitive' means."""
+    from kafka_streams_clojure_spark.operators.text import (
+        compress_ratio,
+        repetition_stats,
+    )
+
+    joined = (
+        compress_ratio(docs)
+        .join(repetition_stats(docs, bigrams=False), "doc_id")
+        .select("doc_id", "compress_ratio", "dup_token_ratio")
+        .collect()
+    )
+    rows = sorted(joined, key=lambda r: r["dup_token_ratio"])
+    q = len(rows) // 4
+    low_rep = [r["compress_ratio"] for r in rows[:q]]
+    high_rep = [r["compress_ratio"] for r in rows[-q:]]
+    assert sum(high_rep) / len(high_rep) < sum(low_rep) / len(low_rep)

@@ -144,6 +144,9 @@ _PYTHON_OK = {
     "q_multimodal_near_dup",  # gradient encode + resize + dHash mapInPandas
     "q_multimodal_audio_near_dup",  # stepped-WAV encode + decimate + eHash
     "q_llm_ivfpq_serve",  # Arrow bucket/assignment UDFs (the ivfpq family)
+    # zlib quality screen: compression is not expressible in Catalyst —
+    # one Arrow-batched mapInPandas scan, no shuffle, zlib in C
+    "q_llm_compress_ratio",
     "q_stream_stateful_counter",
     # capped sessionization: duration-cap semantics are sequential per
     # user (no window form), grouped-map is the prescribed escape hatch
