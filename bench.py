@@ -100,6 +100,20 @@ HEADLINE5 = [
 ]
 
 
+#: Sixth gated set (r9 verdict #1): the heaviest keys that were still
+#: sitting in ungated extras after the r9 additions landed — the capped
+#: pair-chain family's savings/threshold sweeps, the ExactSubstr span
+#: removal, and the capped sessionizer (vectorized in r10: 5.0 -> 0.7 s).
+#: Reference values: BENCH_NOTES.md "headline6 pinning".
+HEADLINE6 = [
+    "q_llm_dedup_savings",          # token-mass savings at the 0.5 cut
+    "q_agg_session_capped",         # gap+cap sessionization (mapInPandas)
+    "q_llm_dedup_threshold_curve",  # one pair build × 8 cuts
+    "q_llm_substring_dedup",        # ExactSubstr span removal (no pair join)
+    "q_llm_semdedup_threshold_curve",  # cosine-side cut sweep
+]
+
+
 #: Round-5 additions, timed AFTER the headline set and reported in a
 #: separate "extras" field so the baseline-comparable headline total is
 #: untouched. One run each (these are not regression-gated, just
@@ -144,12 +158,10 @@ EXTRAS = [
     "q_llm_filter_funnel",     # curation-loss attribution funnel
     "q_events_rolling_dau",    # exact trailing-7d distinct
     # round-9 additions
-    "q_llm_substring_dedup",   # ExactSubstr span removal (no pair join)
     "q_llm_bpe_merges",        # BPE merge training (vocab-iteration)
     "q_llm_bpe_encode",        # trained-tokenizer token accounting
     "q_multimodal_near_dup",   # dHash + Hamming-band media near-dup
     "q_llm_isotropy",          # Gram-sum isotropy (one pass, no pairs)
-    "q_llm_dedup_threshold_curve",  # one pair build × 8 cuts
     "q_llm_ccnet_buckets",     # perplexity-stand-in terciles
     "q_llm_gopher_rules",      # per-rule pass/fail tuning table
     "q_zorder_skipping",       # OPTIMIZE-ZORDER decision audit
@@ -159,16 +171,18 @@ EXTRAS = [
     "q_stream_quota_ingest",   # standing-store budget admission
     "q_stream_ingest_pipeline",  # composed dedup->quota ingest
     "q_cdc_merge",             # MERGE INTO upsert/delete apply
-    "q_llm_semdedup_threshold_curve",  # cosine-side cut sweep
     "q_llm_record_linkage",    # Fellegi-Sunter triage bands
     "q_join_spatial_grid",     # grid-blocked radius join
     "q_geo_density_cores",     # DBSCAN stage-1 core points
     "q_incremental_join",      # delta-join view maintenance
     "q_events_ab_cuped",       # variance-reduced experiment readout
     "q_events_did",            # difference-in-differences readout
-    "q_llm_dedup_savings",     # token-mass savings at the 0.5 cut
-    "q_agg_session_capped",    # gap+cap sequential sessionization
     "q_llm_bpe_curve",         # per-round tokenizer compression
+    # round-10 additions
+    "q_llm_cdc_chunks",        # content-defined chunking dedup report
+    "q_llm_ann_probe_curve",   # IVF-PQ n_probe knob-setting sweep
+    "q_llm_compress_ratio",    # zlib quality screen (mapInPandas scan)
+    "q_stream_cdc_ingest",     # chunk-novelty standing-store admission
 ]
 
 
@@ -193,6 +207,32 @@ def cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+def _run_gated(qs, spark, names, sf_dir) -> dict[str, float]:
+    """One gated set, the standing discipline: warm every key once at
+    the smallest SF (codegen/parquet/shuffle JIT), then per key
+    clearCache (operators that persist intermediates — jaccard/minhash
+    — must not accumulate blocks across keys; the persists themselves
+    are idempotent via persist_if_uncached, so run 2 legitimately
+    reuses run 1's warm intermediates) and take the MIN of two
+    noop-sink runs (damps one-off JIT/GC noise, measured 4-14 s
+    first-run variance on multi-stage shuffle plans)."""
+    for name in names:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timings: dict[str, float] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -204,107 +244,20 @@ def main() -> None:
 
     spark = get_spark("kscs-bench")
     qs = queries()
-    # Warm the JVM (codegen, parquet reader, shuffle paths) by running
-    # every headline query once at the smallest SF — measured numbers
-    # then reflect steady-state execution, not first-call JIT.
-    for name in HEADLINE:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # operators that persist intermediate sets (jaccard/minhash)
-        # would otherwise accumulate cached blocks across queries; the
-        # persists themselves are idempotent (persist_if_uncached), so
-        # run 2 legitimately reuses run 1's warm intermediates —
-        # steady-state operator throughput, same methodology as r01
-        spark.catalog.clearCache()
-        # min of two runs: reports steady-state throughput, damping
-        # one-off JIT/GC noise (first-run variance measured at 4-14s
-        # for multi-stage shuffle plans on this box)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
+    # gated sets 1-6, each pinned in BENCH_NOTES.md ("headline{N} pinning")
+    timings = _run_gated(qs, spark, HEADLINE, sf_dir)
     total = round(sum(timings.values()), 3)
-
-    # headline2: same discipline as HEADLINE (sf0.001 warm-up pass,
-    # clearCache between keys, min of two timed runs) — gated against
-    # the pinned values in BENCH_NOTES.md "headline2 pinning".
-    for name in HEADLINE2:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
-    timings2: dict[str, float] = {}
-    for name in HEADLINE2:
-        spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings2[name] = round(best, 3)
+    timings2 = _run_gated(qs, spark, HEADLINE2, sf_dir)
     total2 = round(sum(timings2.values()), 3)
-
-    # headline3: same discipline — gated against BENCH_NOTES.md
-    # "headline3 pinning" (the capped pair-join family).
-    for name in HEADLINE3:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
-    timings3: dict[str, float] = {}
-    for name in HEADLINE3:
-        spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings3[name] = round(best, 3)
+    timings3 = _run_gated(qs, spark, HEADLINE3, sf_dir)
     total3 = round(sum(timings3.values()), 3)
-
-    # headline4: same discipline — gated against BENCH_NOTES.md
-    # "headline4 pinning" (the embedding/ANN family).
-    for name in HEADLINE4:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
-    timings4: dict[str, float] = {}
-    for name in HEADLINE4:
-        spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings4[name] = round(best, 3)
+    timings4 = _run_gated(qs, spark, HEADLINE4, sf_dir)
     total4 = round(sum(timings4.values()), 3)
-
-    # headline5: same discipline — gated against BENCH_NOTES.md
-    # "headline5 pinning" (the two heaviest registry keys, r8 verdict #1).
-    for name in HEADLINE5:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
-    timings5: dict[str, float] = {}
-    for name in HEADLINE5:
-        spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings5[name] = round(best, 3)
+    timings5 = _run_gated(qs, spark, HEADLINE5, sf_dir)
     total5 = round(sum(timings5.values()), 3)
+    timings6 = _run_gated(qs, spark, HEADLINE6, sf_dir)
+    total6 = round(sum(timings6.values()), 3)
 
     extras: dict[str, float] = {}
     # Warm extras at the smallest SF too: the iterative keys
@@ -328,6 +281,17 @@ def main() -> None:
     # slow mid-flight; reporting both ends makes the drift visible so
     # the reader normalizes against the WORSE of the two.
     probe_end = cpu_probe()
+    # probe-normalized headline total (r9 verdict #1): the recurring
+    # contended-box confusion (r3, r7, r9's q_sql_tpch_q3) resolved IN
+    # the artifact — divide by the mean of the two probe ratios, never
+    # below 1.0 (an idle-faster box must not deflate the number; the
+    # pin was measured at ratio ~1.0). Read it against the r1 baseline
+    # 14.157 s directly.
+    mean_ratio = max(
+        1.0,
+        (probe / PROBE_REFERENCE_SEC + probe_end / PROBE_REFERENCE_SEC) / 2.0,
+    )
+    norm_total = round(total / mean_ratio, 3)
     # r7 lesson (VERDICT r7 "What's wrong" #2): the driver captures only
     # a ~2.2 KB stdout TAIL and parses the LAST JSON line. One big line
     # with 39 extras (>4 KB) got truncated mid-`queries` and BENCH_r07
@@ -353,6 +317,9 @@ def main() -> None:
         "queries4": timings4,
         "headline5_total_sec": total5,
         "queries5": timings5,
+        "headline6_total_sec": total6,
+        "queries6": timings6,
+        "probe_normalized_total": norm_total,
         "extras": extras,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
@@ -370,6 +337,8 @@ def main() -> None:
         "headline3_total_sec": total3,
         "headline4_total_sec": total4,
         "headline5_total_sec": total5,
+        "headline6_total_sec": total6,
+        "probe_normalized_total": norm_total,
     }
     line = json.dumps(compact)
     if len(line) > 2000:  # belt-and-braces: never outgrow the tail again

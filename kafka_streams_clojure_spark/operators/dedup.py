@@ -1037,6 +1037,45 @@ def cdc_hash_sql(text_expr: str, start_expr: str, w: int = CDC_WINDOW) -> str:
     return f"(({terms}) % {CDC_MOD})"
 
 
+def cdc_chunks_sql_ctes(table: str = "documents") -> str:
+    """The DuckDB CTE chain reproducing :func:`cdc_chunk_table` bit-for-
+    bit, ending in ``chunks(doc_id, cs, ce, chunk_len, chunk_hash)`` —
+    ONE shared text used by every CDC oracle (q_llm_cdc_chunks,
+    q_stream_cdc_ingest) so the engine and all oracles interpolate the
+    same hash constants and boundary rules."""
+    w, d = CDC_WINDOW, CDC_DIVISOR
+    return f"""base AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM {table}
+    ),
+    cand AS (
+      SELECT doc_id, text, i
+      FROM base, unnest(range({w}, len + 1)) AS r(i)
+      WHERE len >= {w}
+    ),
+    bnd AS (
+      SELECT doc_id, i FROM cand
+      WHERE {cdc_hash_sql('text', f'i - {w - 1}')} % {d} = 0
+    ),
+    bounds AS (
+      SELECT DISTINCT doc_id, i FROM (
+        SELECT doc_id, i FROM bnd
+        UNION ALL
+        SELECT doc_id, len AS i FROM base WHERE len > 0)
+    ),
+    ranges AS (
+      SELECT doc_id,
+             coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+               AS cs,
+             i AS ce
+      FROM bounds
+    ),
+    chunks AS (
+      SELECT r.doc_id, cs, ce, ce - cs + 1 AS chunk_len,
+             md5(substr(b.text, cs, ce - cs + 1)) AS chunk_hash
+      FROM ranges r JOIN base b USING (doc_id)
+    )"""
+
+
 def cdc_chunk_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1074,13 +1113,38 @@ def cdc_chunk_table(
     base = df.select(
         F.col(id_col), F.col(text_col), F.length(text_col).alias("__len")
     )
-    cand = base.filter(F.col("__len") >= w).select(
-        id_col,
-        text_col,
-        F.explode(F.sequence(F.lit(w), F.col("__len"))).alias("__i"),
+    # ENGINE form of the boundary hash: posexplode the char stream once
+    # and fold the w-gram with window lags (codegen). The textually
+    # obvious form — explode positions + substr(text, pos+j, 1) ×8 —
+    # computes the same integers but is O(pos) PER CALL on UTF8String
+    # (measured 12 s at sf0.1 vs 0.9 s for this form); the oracle keeps
+    # the substring text (cdc_hash_sql) because DuckDB only runs at
+    # oracle SFs. lag-based term j reads the char at offset j of the
+    # gram ENDING at this row: lag(code, w-1-j).
+    chars = (
+        base.filter(F.col("__len") >= w)
+        .select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), "")).alias("__p0", "__ch"),
+        )
+        .filter(F.length("__ch") == 1)  # split("") may emit a trailing ""
+        .select(
+            id_col,
+            (F.col("__p0") + 1).alias("__i"),
+            F.ascii("__ch").cast("bigint").alias("__c"),
+        )
+        .repartition(par, id_col)
     )
-    h = F.expr(cdc_hash_sql(text_col, f"__i - {w - 1}", w))
-    bnd = cand.filter(h % divisor == 0).select(id_col, "__i")
+    pows = [pow(CDC_BASE, j, CDC_MOD) for j in range(w)]
+    wch = Window.partitionBy(id_col).orderBy("__i")
+    h = F.col("__c") * F.lit(pows[w - 1])  # j = w-1: lag 0 = this char
+    for j in range(w - 1):
+        h = h + F.lag("__c", w - 1 - j).over(wch) * F.lit(pows[j])
+    bnd = (
+        chars.withColumn("__h", h % CDC_MOD)
+        .filter((F.col("__i") >= w) & (F.col("__h") % divisor == 0))
+        .select(id_col, "__i")
+    )
     sentinel = base.filter(F.col("__len") > 0).select(
         id_col, F.col("__len").alias("__i")
     )
@@ -1145,6 +1209,52 @@ def cdc_dedup_report(
             / F.col("total_chars").cast("double"),
         ).alias("dup_char_frac"),
     )
+
+
+def cdc_ingest_delta(
+    delta: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: Sequence[str] = ("source",),
+    w: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> tuple[DataFrame, DataFrame]:
+    """The batch core of `q_stream_cdc_ingest`: CDC-chunk one delta,
+    probe the standing chunk-hash ``store`` (one column: chunk_hash),
+    admit docs contributing >= 1 NOVEL chunk (not in store, and this
+    doc is the chunk's within-delta first occurrence by smallest id).
+    Returns ``(accepted, new_hashes)``: accepted = (id, *keep_cols,
+    n_chunks, n_novel); new_hashes = the batch's distinct novel hashes
+    — appending exactly these keeps the store equal to hist ∪ chunks
+    of every previous doc (every first occurrence of a non-store chunk
+    lives in an ACCEPTED doc, so novel hashes close the store), which
+    is what makes any time-ordered batch split admit identically.
+
+    Scale: one codegen chunk pass over the delta, one hash anti-join
+    against the id-width store, one within-delta window — never
+    delta × corpus text."""
+    chunks = cdc_chunk_table(delta, id_col, text_col, w, divisor)
+    # feeds novelty + totals + store append: one materialization, also
+    # cutting lineage so the store append never races its own input
+    chunks = chunks.localCheckpoint(eager=True)
+    wfirst = Window.partitionBy("chunk_hash")
+    novel = (
+        chunks.join(store, "chunk_hash", "left_anti")
+        .withColumn("__first", F.min(id_col).over(wfirst))
+        .filter(F.col(id_col) == F.col("__first"))
+    )
+    acc = novel.groupBy(id_col).agg(
+        F.countDistinct("chunk_hash").cast("bigint").alias("n_novel")
+    )
+    tot = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    accepted = (
+        delta.select(id_col, *keep_cols).join(tot, id_col).join(acc, id_col)
+    )
+    new_hashes = novel.select("chunk_hash").distinct()
+    return accepted, new_hashes
 
 
 def quota_admit_delta(

@@ -6432,43 +6432,12 @@ def q_llm_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- content-defined chunking dedup (r9 verdict #3) ---------------------
 
 from kafka_streams_clojure_spark.operators.dedup import (  # noqa: E402
-    CDC_DIVISOR,
-    CDC_WINDOW,
+    cdc_chunks_sql_ctes,
     cdc_dedup_report,
-    cdc_hash_sql,
 )
 
 _CDC_ORACLE = f"""
-    WITH base AS (
-      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
-    ),
-    cand AS (
-      SELECT doc_id, text, i
-      FROM base, unnest(range({CDC_WINDOW}, len + 1)) AS r(i)
-      WHERE len >= {CDC_WINDOW}
-    ),
-    bnd AS (
-      SELECT doc_id, i FROM cand
-      WHERE {cdc_hash_sql('text', f'i - {CDC_WINDOW - 1}')} % {CDC_DIVISOR} = 0
-    ),
-    bounds AS (
-      SELECT DISTINCT doc_id, i FROM (
-        SELECT doc_id, i FROM bnd
-        UNION ALL
-        SELECT doc_id, len AS i FROM base WHERE len > 0)
-    ),
-    ranges AS (
-      SELECT doc_id,
-             coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
-               AS cs,
-             i AS ce
-      FROM bounds
-    ),
-    chunks AS (
-      SELECT r.doc_id, cs, ce - cs + 1 AS chunk_len,
-             md5(substr(b.text, cs, ce - cs + 1)) AS chunk_hash
-      FROM ranges r JOIN base b USING (doc_id)
-    ),
+    WITH {cdc_chunks_sql_ctes()},
     marked AS (
       SELECT doc_id, chunk_len,
              count(*) OVER (PARTITION BY chunk_hash) AS cnt,

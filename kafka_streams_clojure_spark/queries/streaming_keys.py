@@ -1675,3 +1675,100 @@ def q_stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped_sessionizer(ev, _SESS_GAP_US, _SESS_CAP_US),
         output_mode="append",
     )
+
+
+def _cdc_ingest_oracle() -> str:
+    from kafka_streams_clojure_spark.operators.dedup import cdc_chunks_sql_ctes
+
+    return f"""
+    WITH {cdc_chunks_sql_ctes()},
+    hist AS (
+      SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 3 = 0
+    ),
+    novel AS (
+      SELECT doc_id, chunk_hash FROM (
+        SELECT doc_id, chunk_hash,
+               min(doc_id) OVER (PARTITION BY chunk_hash) AS first_doc
+        FROM chunks
+        WHERE chunk_hash NOT IN (SELECT chunk_hash FROM hist))
+      WHERE doc_id = first_doc
+    ),
+    acc AS (
+      SELECT doc_id, count(DISTINCT chunk_hash) AS n_novel
+      FROM novel GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source, t.n_chunks,
+           CAST(a.n_novel AS BIGINT) AS n_novel
+    FROM documents d JOIN tot t USING (doc_id) JOIN acc a USING (doc_id)
+    """
+
+
+@query("q_stream_cdc_ingest", oracle=_cdc_ingest_oracle())
+def q_stream_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level dedup at ingest — the FIFTH member of the ingest
+    family (exact-fp, banded-MinHash, semantic-cell, budget, now
+    content-defined chunks): each micro-batch is CDC-chunked
+    (`operators/dedup.cdc_chunk_table`) and probed against a STANDING
+    chunk-hash store (seeded from the every-3rd-doc historical corpus,
+    the family convention); a doc is ADMITTED iff it contributes at
+    least one NOVEL chunk — so a re-crawl that prepends a banner or
+    shifts bytes is still dropped (its realigned chunks all match),
+    while a doc that is mostly old but adds one new paragraph lands.
+    Accepted docs report (n_chunks, n_novel); the store grows by the
+    batch's novel hashes only (16 B each — provably sufficient: every
+    first occurrence of a non-hist chunk lives in an ACCEPTED doc, so
+    the novel set closes the store over all previous docs' chunks).
+
+    Exact oracle despite two levels of cross-batch state: chunk
+    boundaries are per-doc local, novelty depends only on each chunk's
+    global FIRST-occurrence doc (keep-first prefix argument — the same
+    one that oracle-gates the pipeline key), so any time-ordered batch
+    split yields the same admissions, and DuckDB predicts them with
+    one window min over the shared CDC chunk CTEs. Cross-batch planted
+    test in tests/test_incremental_passage_dedup.py. Scale: per batch
+    one codegen chunk pass over the DELTA, one hash anti-join against
+    an id-width store, one within-delta window — never delta × corpus
+    text. Batch core: `operators/dedup.cdc_ingest_delta` (cross-batch
+    contract tested there directly)."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        cdc_chunk_table,
+        cdc_ingest_delta,
+    )
+
+    store_root = scratch_dir("kscs_cdc_store_")
+    out_root = scratch_dir("kscs_cdc_out_")
+    hist = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    cdc_chunk_table(hist).select("chunk_hash").distinct().write.mode(
+        "overwrite"
+    ).parquet(store_root)
+
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        store = spark.read.parquet(store_root)
+        accepted, new_hashes = cdc_ingest_delta(batch_df, store)
+        # materialize the batch decision BEFORE mutating the store (the
+        # r8 discipline: the append must never race the plan reading
+        # the same dir; the chunk pass itself is checkpointed inside
+        # cdc_ingest_delta)
+        accepted = accepted.localCheckpoint(eager=True)
+        new_hashes = new_hashes.localCheckpoint(eager=True)
+        accepted.write.mode("append").parquet(out_root)
+        new_hashes.write.mode("append").parquet(store_root)
+        batch_df.unpersist()
+
+    q = docs.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        quiet_stop(q, spark)
+    return spark.read.parquet(out_root)

@@ -100,6 +100,9 @@ def main() -> None:
     if "--r9" in sys.argv:
         run_r7_rehearsal(int(args[0]) if args else 1, keys=R9_KEYS)
         return
+    if "--r10" in sys.argv:
+        run_r7_rehearsal(int(args[0]) if args else 1, keys=R10_KEYS)
+        return
     if events_mode:
         if not os.path.exists(f"{OUT_DIR}/events.parquet"):
             t0 = time.perf_counter()
@@ -328,6 +331,21 @@ R9_KEYS = [
     "q_llm_dsir_select",           # vocab-sized freq join + top-k
     "q_llm_top_direction",         # 5 key-width aggregate passes
     "q_stream_ingest_pipeline",    # composed 2-store foreachBatch
+]
+
+#: r10-session rehearsal keys (r9 verdict #7: the late-r9 keys the r9
+#: close only shape-noted, plus the r10 additions). Same generate_r7
+#: fixtures (scaled documents/embeddings/events).
+R10_KEYS = [
+    "q_agg_session_capped",     # vectorized mapInPandas gap+cap scan
+    "q_stream_session_capped",  # per-key engine-state streaming twin
+    "q_llm_bpe_curve",          # per-round tokenizer compression
+    "q_events_ab_cuped",        # user-keyed agg + 1-row moment fold
+    "q_events_did",             # same shape, DiD readout
+    "q_llm_dedup_savings",      # capped pair chain + grouped sum
+    "q_llm_cdc_chunks",         # codegen hash pass + chunk-hash shuffle
+    "q_llm_ann_probe_curve",    # one ADC scoring pass × 4 settings
+    "q_llm_compress_ratio",     # zlib mapInPandas scan, no shuffle
 ]
 
 
