@@ -1082,6 +1082,7 @@ def cdc_chunk_table(
     text_col: str = "text",
     w: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
+    hash_key: bool = False,
 ) -> DataFrame:
     """CONTENT-DEFINED CHUNKING (the gear/Rabin rolling-hash family of
     LBFS/FastCDC): split each document at positions where the rolling
@@ -1155,13 +1156,19 @@ def cdc_chunk_table(
         (F.coalesce(F.lag("__i").over(wd), F.lit(0)) + 1).alias("__cs"),
         F.col("__i").alias("__ce"),
     )
+    chunk_text = F.expr(f"substring({text_col}, __cs, __ce - __cs + 1)")
+    # hash_key=True is the production WIRE shape (the substring_dedup
+    # precedent): the chunk-hash shuffle keys on xxhash64 — 8 B/row
+    # instead of the 32-char md5 hex; not DuckDB-reproducible, so the
+    # hashed twin is rows-only, gated by report-equality to this one.
+    chash = (
+        F.xxhash64(chunk_text) if hash_key else F.md5(chunk_text)
+    ).alias("chunk_hash")
     return ranges.join(base.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.col("__cs").cast("bigint").alias("chunk_start"),
         (F.col("__ce") - F.col("__cs") + 1).cast("bigint").alias("chunk_len"),
-        F.md5(
-            F.expr(f"substring({text_col}, __cs, __ce - __cs + 1)")
-        ).alias("chunk_hash"),
+        chash,
     )
 
 
@@ -1171,6 +1178,7 @@ def cdc_dedup_report(
     text_col: str = "text",
     w: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
+    hash_key: bool = False,
 ) -> DataFrame:
     """Per-document CDC duplication report over `cdc_chunk_table`:
     keep-first at chunk granularity (a chunk occurrence is DUPLICATED
@@ -1181,7 +1189,7 @@ def cdc_dedup_report(
     empty doc on BOTH engines (guarded CASE — the ratio-denominator
     rule). One chunk-hash-keyed shuffle (16 B keys), one doc-keyed
     aggregate: linear at any corpus size."""
-    chunks = cdc_chunk_table(df, id_col, text_col, w, divisor)
+    chunks = cdc_chunk_table(df, id_col, text_col, w, divisor, hash_key)
     wh = Window.partitionBy("chunk_hash")
     is_dup = (F.col("__cnt") > 1) & (F.col("__rk") > 1)
     marked = chunks.withColumn("__cnt", F.count(F.lit(1)).over(wh)).withColumn(

@@ -6610,3 +6610,91 @@ def q_llm_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.compress_ratio)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.compress_ratio(docs)
+
+
+_N_EXPORT_SHARDS = 16
+
+
+@query(
+    "q_llm_shard_export",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                  AS BIGINT) % {_N_EXPORT_SHARDS} AS shard,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS seq
+      FROM t
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(max(seq) AS BIGINT) AS max_seq
+    FROM s GROUP BY shard
+    """,
+)
+def q_llm_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data EXPORT SHARDING — the last step of the pipeline
+    the other families prepare for: assign every curated doc to one of
+    16 (`_N_EXPORT_SHARDS`) shards by a deterministic content-independent
+    hash (md5 chars 9-16 of doc_id — a DIFFERENT hash window than the
+    eval/variant split `_SQL_BUCKET` uses, so shard and split are
+    independent; same-doc always lands in the same shard across reruns
+    — resumable exports), give each doc a stable within-shard sequence
+    number (doc_id order — the deterministic shuffle-free ordering a
+    data-loader can seek into), and report the per-shard manifest
+    (docs, token mass, id range, max sequence number = shard length).
+
+    The manifest IS the product here: a training launch checks shard
+    BALANCE (token-mass spread) before copying a single byte. The
+    balance property itself is invariant-tested (max/min shard token
+    mass on the fixture ≤ 2×, tests/test_llm_ops.py). Exactness:
+    integer hash + integer counts — fully oracle-gated. Scale: one
+    shard-keyed aggregate; the seq window is per-shard (corpus/16 per
+    partition) and at real scale the writer uses it as the parquet
+    file ordering key within each shard directory."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+        ).cast("bigint")
+        % _N_EXPORT_SHARDS
+    ).alias("shard")
+    t = docs.select(
+        "doc_id",
+        shard,
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    s = t.withColumn("seq", F.row_number().over(w))
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+    )
+
+
+@query("q_llm_cdc_chunks_hashed")
+def q_llm_cdc_chunks_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION exchange shape of `q_llm_cdc_chunks` (the
+    substring_dedup_hashed / passage_dedup_hashed discipline): identical
+    report semantics, but the chunk-identity shuffle — the one
+    corpus-proportional exchange — keys on ``xxhash64(chunk text)``,
+    8 bytes/row instead of the 32-char md5 hex (the dominant width cut
+    at 100 TB; chunk rows outnumber docs ~12×). Rows-only BY DESIGN:
+    DuckDB cannot reproduce Spark's xxhash64; the gate is
+    tests/test_llm_ops.py::test_cdc_hashed_matches_md5_twin pinning the
+    per-doc report EQUAL to the oracle-gated md5 twin — a 64-bit
+    collision conflating two chunks is ~2^-64/pair and would surface
+    there first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_dedup_report(docs, hash_key=True)

@@ -1866,3 +1866,52 @@ def test_compress_ratio_crosschecks_repetition_score(spark, sf_dir, docs):
     low_rep = [r["compress_ratio"] for r in rows[:q]]
     high_rep = [r["compress_ratio"] for r in rows[-q:]]
     assert sum(high_rep) / len(high_rep) < sum(low_rep) / len(low_rep)
+
+
+# --- export sharding (q_llm_shard_export) ---------------------------------
+
+
+def test_shard_export_balance_and_completeness(spark, sf_dir, docs):
+    """The manifest's contract: every doc lands in exactly one shard
+    (doc counts sum to the corpus), sequence numbers are dense per
+    shard (max_seq == n_docs), and the md5 shard hash balances token
+    mass (max/min shard mass bounded — the property a training launch
+    checks before copying bytes). Also: the shard hash must be
+    INDEPENDENT of the eval-split bucket (different md5 char window) —
+    shards contain a mix of buckets, not bucket-aligned stripes."""
+    from kafka_streams_clojure_spark.queries.llm import (
+        _N_EXPORT_SHARDS,
+        q_llm_shard_export,
+    )
+
+    rows = q_llm_shard_export(spark, sf_dir).collect()
+    assert len(rows) == _N_EXPORT_SHARDS
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["max_seq"] == r["n_docs"]
+    masses = [r["total_tokens"] for r in rows]
+    assert max(masses) <= 2.5 * min(masses), masses
+
+    # independence from the eval split: within one shard, both split
+    # sides appear (a bucket-aligned shard hash would segregate them)
+    both = docs.selectExpr(
+        f"conv(substring(md5(cast(doc_id as string)), 9, 8), 16, 10) % {_N_EXPORT_SHARDS} as shard",
+        "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) % 100 < 10 as is_eval",
+    ).collect()
+    per_shard: dict = {}
+    for r in both:
+        per_shard.setdefault(int(r["shard"]), set()).add(bool(r["is_eval"]))
+    mixed = sum(1 for v in per_shard.values() if len(v) == 2)
+    assert mixed >= _N_EXPORT_SHARDS // 2, per_shard
+
+
+def test_cdc_hashed_matches_md5_twin(spark, sf_dir, docs):
+    """The hashed wire twin's gate: xxhash64 chunk identity yields a
+    report IDENTICAL to the oracle-gated md5 twin on the fixture (hash
+    representation cancels out of counts/chars; only a 64-bit collision
+    could diverge them)."""
+    from kafka_streams_clojure_spark.operators.dedup import cdc_dedup_report
+
+    a = {r["doc_id"]: r for r in cdc_dedup_report(docs).collect()}
+    b = {r["doc_id"]: r for r in cdc_dedup_report(docs, hash_key=True).collect()}
+    assert a == b
