@@ -6698,3 +6698,64 @@ def q_llm_cdc_chunks_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     there first."""
     docs = load_table(spark, sf_dir, "documents")
     return cdc_dedup_report(docs, hash_key=True)
+
+
+@query("q_llm_lsh_band_curve")  # xxhash64 signatures — rows-only
+def q_llm_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING knob-setting curve — the (bands, rows-per-band)
+    tradeoff table that sizes a MinHash deployment, completing the
+    knob-curve trio (dedup threshold, ANN n_probe, now LSH geometry):
+    ONE 32-hash signature build, then each config (b, r) ∈
+    {(4,8), (8,4), (16,2)} derives its band rows FROM THE SAME
+    signatures (`minhash_band_rows(sig=...)`) — more bands of fewer
+    rows catch lower-Jaccard pairs (P = 1-(1-j^r)^b) at the cost of
+    more candidate mass. Reported per config: band-row count (the
+    index size), distinct candidate pairs (the join cost), hits +
+    recall against the EXACT word-4-gram Jaccard >= 0.5 population,
+    and the theoretical capture probability at j = 0.5.
+
+    Rows-only (xxhash64 signatures); gated in tests/test_llm_ops.py by
+    the STRUCTURAL invariant (identical signatures collide in every
+    band of every config → planted exact dups are caught at 100% by
+    all three configs), index-size exactness (n_band_rows = docs × b),
+    and fixture-measured recall floors. Scale: the signature build is
+    the only corpus-text pass; each config adds one (band, bucket)
+    equi-join over id-width rows."""
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+    from kafka_streams_clojure_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = persist_if_uncached(minhash_signatures(docs, n_hashes=32))
+    exact = persist_if_uncached(
+        ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    )
+    n_exact = exact.count()
+    outs = []
+    for bands in (4, 8, 16):
+        r = 32 // bands
+        rows = minhash_band_rows(docs, n_hashes=32, bands=bands, sig=sig)
+        a = rows.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+        b = rows.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        ).localCheckpoint(eager=True)  # consumed by count + hits join
+        n_cand = cand.count()
+        hits = cand.join(exact, ["id_a", "id_b"], "left_semi").count()
+        p_at_05 = 1.0 - (1.0 - 0.5**r) ** bands
+        outs.append(
+            (bands, r, bands * docs.count(), n_cand, hits,
+             (hits / n_exact) if n_exact else None, p_at_05)
+        )
+    return spark.createDataFrame(
+        outs,
+        "bands int, rows_per_band int, n_band_rows bigint, "
+        "n_cand_pairs bigint, hits bigint, recall double, "
+        "p_capture_at_05 double",
+    )

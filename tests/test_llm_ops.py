@@ -1915,3 +1915,64 @@ def test_cdc_hashed_matches_md5_twin(spark, sf_dir, docs):
     a = {r["doc_id"]: r for r in cdc_dedup_report(docs).collect()}
     b = {r["doc_id"]: r for r in cdc_dedup_report(docs, hash_key=True).collect()}
     assert a == b
+
+
+# --- LSH banding curve (q_llm_lsh_band_curve) ------------------------------
+
+
+def test_lsh_band_curve_structural_invariants(spark, sf_dir):
+    """(a) index size is exact: n_band_rows = n_docs × bands; (b) hits
+    never exceed the exact population or the candidate count; (c) more
+    bands of fewer rows never lose recall on the fixture (the P =
+    1-(1-j^r)^b ordering, strict for j < 1); (d) theoretical capture
+    at j=0.5 is strictly increasing in bands — the column users read
+    the curve for."""
+    from kafka_streams_clojure_spark.queries._util import load_table
+    from kafka_streams_clojure_spark.queries.llm import q_llm_lsh_band_curve
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = sorted(
+        q_llm_lsh_band_curve(spark, sf_dir).collect(), key=lambda r: r["bands"]
+    )
+    assert [r["bands"] for r in rows] == [4, 8, 16]
+    for r in rows:
+        assert r["n_band_rows"] == n_docs * r["bands"]
+        assert r["hits"] <= r["n_cand_pairs"]
+        assert r["recall"] is None or 0.0 <= r["recall"] <= 1.0
+    recalls = [r["recall"] for r in rows if r["recall"] is not None]
+    assert recalls == sorted(recalls), recalls
+    caps = [r["p_capture_at_05"] for r in rows]
+    assert caps[0] < caps[1] < caps[2]
+
+
+def test_lsh_band_curve_exact_dups_caught_by_every_config(spark):
+    """The STRUCTURAL guarantee: identical texts have identical
+    signatures, hence identical bucket hashes in EVERY band of EVERY
+    config — planted exact dups must be candidates at (4,8), (8,4) and
+    (16,2) alike (100%, not probabilistic)."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signatures,
+    )
+
+    texts = [
+        " ".join(f"w{i * 7 % 53}tok{i * 11 % 47}" for i in range(30 + d))
+        for d in range(6)
+    ]
+    rows = [(i, texts[i % 6]) for i in range(12)]  # 6 exact-dup pairs
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = minhash_signatures(docs, n_hashes=32)
+    planted = {(i, i + 6) for i in range(6)}
+    for bands in (4, 8, 16):
+        br = minhash_band_rows(docs, n_hashes=32, bands=bands, sig=sig)
+        a = br.selectExpr("doc_id as id_a", "band", "bucket")
+        b = br.selectExpr("doc_id as id_b", "band", "bucket")
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, ["band", "bucket"])
+            .filter("id_a < id_b")
+            .select("id_a", "id_b")
+            .distinct()
+            .collect()
+        }
+        assert planted <= cand, f"bands={bands}: missing {planted - cand}"

@@ -609,3 +609,81 @@ def test_near_dup_ingest_null_text_accepted_without_bands(spark):
     assert {r.doc_id for r in accepted.collect()} == {10, 11}
     assert {r.doc_id for r in bands.collect()} == {11}
 
+
+
+def test_cdc_null_and_empty_text(spark, duck):
+    """CDC family null discipline (the fixtures have no nulls — hard
+    rule): NULL text yields no chunks, NULL total_chars and NULL frac;
+    empty text yields 0 total and NULL frac — identically in DuckDB
+    over the same synthetic rows."""
+    import pandas as pd
+
+    from kafka_streams_clojure_spark.operators.dedup import (
+        cdc_chunks_sql_ctes,
+        cdc_dedup_report,
+    )
+
+    rows = [
+        (1, "hello world this is fine and long enough"),
+        (2, None),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in cdc_dedup_report(docs).collect()}
+    assert got[2]["n_chunks"] == 0 and got[2]["total_chars"] is None
+    assert got[2]["dup_char_frac"] is None
+    assert got[3]["n_chunks"] == 0 and got[3]["total_chars"] == 0
+    assert got[3]["dup_char_frac"] is None
+
+    con = duck.cursor()
+    con.register("nulldocs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = f"""
+    WITH {cdc_chunks_sql_ctes('nulldocs')},
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM chunks
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+           b.len AS total_chars,
+           CASE WHEN b.len > 0 THEN 0.0e0 END AS frac_guard
+    FROM base b LEFT JOIN per_doc USING (doc_id)
+    """
+    orc = {r[0]: r for r in con.sql(oracle).fetchall()}
+    for did in (1, 2, 3):
+        assert orc[did][1] == got[did]["n_chunks"]
+        assert orc[did][2] == got[did]["total_chars"]
+    assert orc[2][3] is None and orc[3][3] is None  # the guard nulls out
+
+
+def test_compress_ratio_null_text(spark):
+    """NULL text behaves like empty: 0 raw bytes, NULL ratio (guarded
+    denominator), never a crash in the Arrow batch."""
+    from kafka_streams_clojure_spark.operators.text import compress_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in compress_ratio(docs).collect()}
+    assert got[2]["raw_bytes"] == 0 and got[2]["compress_ratio"] is None
+
+
+def test_capped_sessionizer_null_key_rows(spark):
+    """A NULL user_id row groups into its own key partition under the
+    repartition+sort mapInPandas scan — it must not crash the int64
+    numpy cast path; the engine policy (matching the as-of family) is
+    to FILTER null keys before sessionizing."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.operators.sessionize import (
+        capped_sessions,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 100, 1), (None, 200, 2), (1, 300, 3)],
+        "user_id bigint, tu bigint, event_id bigint",
+    )
+    out = capped_sessions(
+        ev.filter(F.col("user_id").isNotNull()), gap_us=1000, cap_us=5000
+    ).collect()
+    assert {r["user_id"] for r in out} == {1}
+    assert sum(r["n_events"] for r in out) == 2
