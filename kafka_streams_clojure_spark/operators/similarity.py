@@ -812,6 +812,13 @@ def mmr_topk(
         .limit(1)
         .select(F.lit(1).alias("rank"), F.col(id_col), F.col("rel"))
     )
+    # per-step lineage cut: each pick references `selected` TWICE (the
+    # anti-join and the union), so the uncut plan doubles per step —
+    # 2^k analysis/codegen cost on <= 5 rows of data (measured 5.8 s at
+    # sf0.1, 2.1 s with the cut; the pq_codebooks counter-lesson does
+    # not apply because the state here is rows, not a growing plan over
+    # corpus-sized inputs)
+    selected = selected.localCheckpoint(eager=True)
     for step in range(2, k_out + 1):
         sel_ids = selected.select(F.col(id_col).alias("_sel_id"))
         ms = (
@@ -830,7 +837,7 @@ def mmr_topk(
             .limit(1)
             .select(F.lit(step).alias("rank"), F.col(id_col), F.col("rel"))
         )
-        selected = selected.union(pick)
+        selected = selected.union(pick).localCheckpoint(eager=True)
     return selected
 
 
