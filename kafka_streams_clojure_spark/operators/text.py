@@ -267,12 +267,25 @@ def bpe_merges(
     wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
     # char split via sequence+substring (NOT F.split(w, "(?!^)"), whose
     # zero-width match emits a trailing EMPTY symbol per word)
-    t = words.select(
-        F.col(word_col).alias("w"),
-        F.col(freq_col).alias("freq"),
-        F.explode(F.sequence(F.lit(1), F.length(word_col))).alias("pos"),
-    ).select(
-        "w", "freq", "pos", F.expr("substring(w, pos, 1)").alias("sym")
+    t = (
+        words.select(
+            F.col(word_col).alias("w"),
+            F.col(freq_col).alias("freq"),
+            F.explode(F.sequence(F.lit(1), F.length(word_col))).alias("pos"),
+        )
+        .select(
+            "w", "freq", "pos", F.expr("substring(w, pos, 1)").alias("sym")
+        )
+        # PIN the word-keyed partitioning (CLAUDE.md AQE rule): the
+        # vocabulary table is fixture-small, AQE coalesces its exchange
+        # to ONE partition and then every round's per-word window sorts
+        # serially — measured 4.3 -> 3.6 s on q_llm_bpe_encode (the
+        # rest is the 6 sequential per-round job launches, not the
+        # sort). An explicit repartition is exempt from AQE coalescing
+        # and every later window over `w` reuses it.
+        .repartition(
+            words.sparkSession.sparkContext.defaultParallelism, "w"
+        )
     )
     def _level(rnd: int, lvl: DataFrame) -> DataFrame:
         # per-level tokenizer stats: corpus token count (symbol rows
