@@ -139,3 +139,42 @@ def test_counts_partition_the_events_fuzz():
         assert total == n
         idxs = [i for (i, _, _, _) in closed] + [st[0]]
         assert idxs == list(range(1, len(idxs) + 1))
+
+
+def test_capped_sessions_arrow_batch_straddle(spark):
+    """End-to-end pin of the mapInPandas CARRY-STITCH: with
+    arrow.maxRecordsPerBatch forced tiny, a user's rows straddle
+    consecutive Arrow batches inside one task, exercising the
+    carried-open-session path the fixture's default batch size never
+    splits. The output must equal the single-batch reference scan."""
+    from kafka_streams_clojure_spark.operators.sessionize import (
+        capped_sessions,
+    )
+
+    gap, cap = 100, 350
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = uid * 10
+        for k in range(50):
+            t += [1, 30, 101, 200][k % 4] + uid
+            rows.append((uid, t, eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id bigint, tu bigint, event_id bigint")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = {
+            (r["user_id"], r["sess_idx"]): (r["start_us"], r["end_us"], r["n_events"])
+            for r in capped_sessions(ev, gap, cap, num_partitions=2).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    want = {}
+    for uid in range(6):
+        tus = sorted(t for (u, t, _) in rows if u == uid)
+        closed, final = reference_scan(tus, gap, cap)
+        for (i, s, e, c) in closed + [final]:
+            want[(uid, i)] = (s, e, c)
+    assert got == want
