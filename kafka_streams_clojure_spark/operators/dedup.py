@@ -20,6 +20,8 @@ Scale design (the whole point of these ops is 100 TB of documents):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 

@@ -6492,6 +6492,12 @@ def q_llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_report(docs)
 
 
+#: one definition for the sweep's settings — consumed by BOTH the
+#: curve operator call and the reachability fan-out inside the query
+#: (the _QUOTA_TOKENS no-drift discipline)
+_ANN_PROBE_SETTINGS = (1, 2, 4, 8)
+
+
 @query("q_llm_ann_probe_curve")  # iterative quantizer training — rows-only
 def q_llm_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN KNOB-SETTING CURVE (r9 verdict #4): the n_probe -> (recall,
@@ -6532,7 +6538,7 @@ def q_llm_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = persist_if_uncached(emb.filter(F.col("vec_id") < 15))
     cents, books, codes = ivfpq_build(emb, m=8, ks=16)
     topk, mass, cand = ivfpq_probe_curve(
-        cents, books, codes, probes, k=k, n_probes=(1, 2, 4, 8), m=8
+        cents, books, codes, probes, k=k, n_probes=_ANN_PROBE_SETTINGS, m=8
     )
 
     # exact squared-L2 ground truth: 15 broadcast probes × corpus, one
@@ -6563,7 +6569,9 @@ def q_llm_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its candidate's home cell ranks <= np for that probe — min over
     # the (unique) matching candidate row, then a broadcast np fan-out
     reach = cand.join(exact, ["probe_id", "vec_id"], "left_semi")
-    nps = spark.createDataFrame([(1,), (2,), (4,), (8,)], "n_probe int")
+    nps = spark.createDataFrame(
+        [(n,) for n in _ANN_PROBE_SETTINGS], "n_probe int"
+    )
     cand_hits = (
         reach.crossJoin(F.broadcast(nps))
         .filter(F.col("cell_rank") <= F.col("n_probe"))
@@ -6729,6 +6737,7 @@ def q_llm_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
     sig = persist_if_uncached(minhash_signatures(docs, n_hashes=32))
     exact = persist_if_uncached(
         ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
@@ -6750,7 +6759,7 @@ def q_llm_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = cand.join(exact, ["id_a", "id_b"], "left_semi").count()
         p_at_05 = 1.0 - (1.0 - 0.5**r) ** bands
         outs.append(
-            (bands, r, bands * docs.count(), n_cand, hits,
+            (bands, r, bands * n_docs, n_cand, hits,
              (hits / n_exact) if n_exact else None, p_at_05)
         )
     return spark.createDataFrame(
