@@ -35,8 +35,22 @@ spark = (SparkSession.builder.master("local[8]")
          .appName("driver-sim")
          .config("spark.sql.session.timeZone", "America/New_York")  # hostile
          .config("spark.ui.enabled", "false")
+         # the sweep runs ~370 keys in ONE JVM; at sf0.1 the default 1g
+         # driver heap died mid-sweep (r10: everything after
+         # q_orders_basket_jaccard failed with py4j connection-refused;
+         # every key passes in isolation) — headroom + per-key cache
+         # clearing below keep the long session bounded
+         .config("spark.driver.memory", "8g")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+
+
+def _reset() -> None:
+    """Release cached/persisted blocks between keys: operator-internal
+    persist_if_uncached frames and localCheckpoint blocks otherwise
+    accumulate across the whole sweep (each key re-persists what it
+    needs, so clearing is correctness-neutral)."""
+    spark.catalog.clearCache()
 
 import __spark_entry__ as e
 
@@ -71,6 +85,7 @@ elif args.sample:
 fails = []
 for name in sorted(set(os_) & selected):
     try:
+        _reset()
         compare(qs[name](spark, SF_DIR), con.sql(os_[name]), name)
         print(f"  OK   {name}")
     except Exception as ex:
@@ -81,6 +96,7 @@ for name in sorted(set(os_) & selected):
 # (invariant-level checks live in pytest; here: runs + row count >= 0).
 for name in sorted((set(qs) - set(os_)) & selected):
     try:
+        _reset()
         n = len(qs[name](spark, SF_DIR).collect())
         print(f"  RAN  {name} ({n} rows, rows-only)")
     except Exception as ex:
