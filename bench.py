@@ -184,7 +184,6 @@ EXTRAS = [
     "q_llm_compress_ratio",    # zlib quality screen (mapInPandas scan)
     "q_stream_cdc_ingest",     # chunk-novelty standing-store admission
     "q_llm_shard_export",      # export shard manifest (hash + seq window)
-    "q_events_quantile_sketch",  # GK mergeable percentiles
     "q_llm_cdc_chunks_hashed",   # CDC wire twin (xxhash64 chunk keys)
     "q_llm_lsh_band_curve",      # (b,r) geometry sweep, one sig build
 ]

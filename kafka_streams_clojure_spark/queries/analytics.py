@@ -4609,30 +4609,3 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (mean("post_a", "na") - mean("pre_a", "na"))
         ).alias("did"),
     )
-
-
-@query("q_events_quantile_sketch")  # GK sketch is engine-specific — rows-only
-def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPROXIMATE QUANTILES via Spark's built-in Greenwald-Khanna
-    sketch (`percentile_approx`, accuracy 1000) — the fourth member of
-    the bounded-memory sketch family beside HLL distinct
-    (`q_agg_approx_distinct`), Misra-Gries heavy hitters and
-    Count-Min (`q_events_cms`): per event_type, the p50/p90/p99 of
-    `value` from a MERGEABLE fixed-size summary, the only way
-    percentiles run over 100 TB (an exact percentile is a global sort;
-    the sketch is one map-side-combined aggregate whose state is
-    O(accuracy) per group regardless of row count).
-
-    Rows-only BY DESIGN: GK summaries are engine-specific (DuckDB's
-    approx_quantile is a different sketch with different tie behavior),
-    so the gate is the GK rank-error CONTRACT — each reported quantile's
-    true rank within ±n/accuracy of the target rank — verified against
-    exact sorted ranks in tests/test_approx_aggregates.py, the same
-    3σ-contract discipline as the HLL key."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.percentile_approx("value", 0.5, 1000).alias("p50"),
-        F.percentile_approx("value", 0.9, 1000).alias("p90"),
-        F.percentile_approx("value", 0.99, 1000).alias("p99"),
-    )

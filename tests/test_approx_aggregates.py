@@ -78,40 +78,3 @@ def test_stickiness_hll_tracks_exact(spark, sf_dir):
         assert abs(wau_a - wau_e) <= max(2, 0.012 * wau_e), (
             f"{day}: HLL wau {wau_a} vs exact {wau_e}"
         )
-
-
-def test_quantile_sketch_rank_error_contract(spark, sf_dir):
-    """The GK guarantee q_events_quantile_sketch ships on: a reported
-    q-quantile's TRUE rank lies within n/accuracy of ceil(q*n) (rank
-    error epsilon = 1/accuracy). Verified per event_type against exact
-    sorted ranks; also every reported value is an actual data value
-    (GK returns elements, not interpolations)."""
-    import bisect
-
-    from kafka_streams_clojure_spark.queries._util import load_table
-    from kafka_streams_clojure_spark.queries.analytics import (
-        q_events_quantile_sketch,
-    )
-
-    rows = {r["event_type"]: r for r in q_events_quantile_sketch(spark, sf_dir).collect()}
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
-    by_type: dict = {}
-    for r in ev:
-        by_type.setdefault(r["event_type"], []).append(r["value"])
-    for etype, vals in by_type.items():
-        vals.sort()
-        n = len(vals)
-        eps_ranks = n / 1000 + 1  # GK bound + 1 for boundary convention
-        got = rows[etype]
-        assert got["n"] == n
-        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
-            v = got[col]
-            # v must be an actual element
-            lo = bisect.bisect_left(vals, v)
-            hi = bisect.bisect_right(vals, v)
-            assert lo < hi, f"{etype} {col}={v} not a data value"
-            target = q * n
-            # true rank interval of v vs target rank
-            assert lo - eps_ranks <= target <= hi + eps_ranks, (
-                etype, col, v, lo, hi, target, eps_ranks
-            )
