@@ -32,6 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
         "online_ingest.py",
         "tokenizer_media.py",
         "experimentation.py",
+        "dedup_cdc.py",
     ],
 )
 def test_example_runs(script):
