@@ -298,3 +298,44 @@ def test_scaled_triplets_keep_bucket_equi_join(spark, sf_dir):
     # the candidate join is keyed on the bucket id (hash join at
     # fixture scale, shuffled at 100 TB — either way an EQUI join)
     assert re.search(r"keys \[1\]: \[nb#\d+L?\]", plan), plan[:3000]
+
+
+def test_cdc_chunk_scan_prunes_and_pins(spark, sf_dir):
+    """The CDC chunk pass reads ONLY (doc_id, text) from the documents
+    scan (a chunker that drags every column through the char explode
+    would be wrong at any scale), its boundary hash runs JVM-side (no
+    Python anywhere in the plan), and the char-window exchange is the
+    PINNED explicit repartition, never an AQE-coalesced single
+    partition."""
+    from kafka_streams_clojure_spark.operators.dedup import cdc_chunk_table
+
+    df = cdc_chunk_table(load_table(spark, sf_dir, "documents"))
+    for cols in scan_read_schema(df):
+        assert set(cols.split(",")) <= {"doc_id", "text"}, cols
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or \
+        "hashpartitioning(doc_id" in plan, plan
+
+
+def test_cdc_report_exchanges_are_id_width(spark, sf_dir):
+    """After the chunk slice, the dedup report's shuffles carry only
+    (id, start, len, hash) — the raw text column must not survive past
+    the chunk projection into any exchange."""
+    from kafka_streams_clojure_spark.operators.dedup import cdc_dedup_report
+
+    plan = physical_plan(
+        cdc_dedup_report(load_table(spark, sf_dir, "documents"))
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_shard_export_is_single_shuffle_per_phase(spark, sf_dir):
+    """The export manifest plans one shard-keyed exchange feeding both
+    the sequence window and the final aggregate (same key — Catalyst
+    must not re-shuffle between them)."""
+    df = _Q["q_llm_shard_export"](spark, sf_dir)
+    assert shuffle_count(df) <= 2, physical_plan(df)
