@@ -603,30 +603,70 @@ def phash_near_dup_pairs(
     id_col: str = "vid",
     max_hamming: int = 2,
     max_bucket: int | None = 50_000,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Perceptual-hash near-dup pairs via Hamming-band blocking (the
     SimHash machinery, operators/dedup.simhash_near_dups, applied to
-    media): two images within ``max_hamming`` ≤ 3 of 64 bits must agree
-    EXACTLY on at least one of the four 16-bit bands (pigeonhole: k
-    flipped bits touch at most k bands), so candidates come from a
-    (band, value) equi-join — never images² — with ZERO recall loss at
-    this threshold, unlike probabilistic MinHash banding.
-    Candidate dedup is id-width (2 longs/row); the four band columns
-    re-join AFTER dedup for the exact Hamming filter (bit_count of
-    XOR, pure JVM). ``max_bucket`` is the family's loud-fail skew
-    guard: a degenerate band bucket (e.g. all-black thumbnails) makes
-    the self-join quadratic in that bucket — fail naming it rather
-    than silently blow up; one metadata-scale aggregate per call."""
+    media): two images within ``max_hamming`` of 64 bits must agree
+    EXACTLY on at least one band when the hash is cut into
+    ``max_hamming + 1`` bands (pigeonhole: k flipped bits touch at most
+    k bands), so candidates come from a (band, value) equi-join — never
+    images² — with ZERO recall loss at this threshold, unlike
+    probabilistic MinHash banding.
+
+    Band GEOMETRY is the scale knob the r9 rehearsal measured
+    (SCALE.md: 4×16-bit bands grew candidates ∝ N²/2¹⁶ once corpus ≈
+    band space): ``n_bands`` defaults to the pigeonhole MINIMUM
+    ``max_hamming + 1`` — at the standard max_hamming=2 that is THREE
+    ~21-bit bands instead of four 16-bit ones, identical guaranteed
+    recall, 2²¹/2¹⁶ = 32× larger band space (→ ~32× fewer random
+    collisions) AND 25% fewer band rows. Pass a larger ``n_bands`` only
+    to trade candidate mass for per-band selectivity consciously; the
+    pigeonhole guarantee needs ``n_bands >= max_hamming + 1``.
+
+    Candidate dedup is id-width (2 longs/row); the four packed hash
+    columns re-join AFTER dedup for the exact Hamming filter (bit_count
+    of XOR, pure JVM) — banding affects WHICH candidates are scored,
+    never the emitted pairs (the oracle-gated keys stay exact).
+    ``max_bucket`` is the family's loud-fail skew guard: a degenerate
+    band bucket (e.g. all-black thumbnails) makes the self-join
+    quadratic in that bucket — fail naming it rather than silently
+    blow up; one metadata-scale aggregate per call."""
     from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
+    nb = n_bands if n_bands is not None else max_hamming + 1
+    if nb < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={nb} breaks the pigeonhole recall guarantee for "
+            f"max_hamming={max_hamming} (need >= {max_hamming + 1})"
+        )
     # consumed 5× (guard agg, both candidate sides, both hash rejoins) —
     # and each consumption would otherwise re-run the upstream decode+
     # hash mapInPandas over the raw blobs
     hashes = persist_if_uncached(hashes)
-    bands = hashes.select(
-        F.col(id_col),
-        F.posexplode(F.array("h0", "h1", "h2", "h3")).alias("band", "hb"),
+    # repack the four 16-bit storage columns into one 64-bit value and
+    # cut it into nb near-equal bands (logical shifts: the top band may
+    # cross the sign bit)
+    h64 = (
+        F.shiftleft(F.col("h3"), 48)
+        .bitwiseOR(F.shiftleft(F.col("h2"), 32))
+        .bitwiseOR(F.shiftleft(F.col("h1"), 16))
+        .bitwiseOR(F.col("h0"))
     )
+    widths = [64 // nb + (1 if k < 64 % nb else 0) for k in range(nb)]
+    offsets = [sum(widths[:k]) for k in range(nb)]
+    slices = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.shiftrightunsigned(h64, offsets[k])
+            .bitwiseAND(F.lit((1 << widths[k]) - 1))
+            .alias("hb"),
+        )
+        for k in range(nb)
+    ]
+    bands = hashes.select(
+        F.col(id_col), F.explode(F.array(*slices)).alias("bb")
+    ).select(id_col, "bb.band", "bb.hb")
     if max_bucket is not None:
         oversized = [
             (int(r["band"]), int(r["hb"]), int(r["__n"]))

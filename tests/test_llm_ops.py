@@ -1976,3 +1976,51 @@ def test_lsh_band_curve_exact_dups_caught_by_every_config(spark):
             .collect()
         }
         assert planted <= cand, f"bands={bands}: missing {planted - cand}"
+
+
+# --- perceptual-hash band geometry (r10 scale fix) -------------------------
+
+
+def test_phash_band_geometry_pigeonhole_and_guard(spark):
+    """The r10 banding change (3×~21-bit bands from max_hamming+1
+    instead of 4×16): (a) pairs differing in exactly max_hamming bits
+    are STILL guaranteed found, including flips that straddle the new
+    band boundaries (the pigeonhole must hold for the new cut points);
+    (b) an n_bands below the pigeonhole minimum is rejected loudly;
+    (c) identical hashes are always found."""
+    import pytest as _pytest
+
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    def pack(h64):
+        return (
+            h64 & 0xFFFF,
+            (h64 >> 16) & 0xFFFF,
+            (h64 >> 32) & 0xFFFF,
+            (h64 >> 48) & 0xFFFF,
+        )
+
+    base = 0x5A5A_C3C3_0F0F_9696
+    rows = [(0, *pack(base)), (1, *pack(base))]  # identical pair
+    # 2-bit flips straddling the 3-band cut points (widths 22,21,21 →
+    # boundaries after bits 21 and 42) and inside one band
+    flips = [(21, 22), (41, 43), (0, 1), (62, 63), (21, 42)]
+    planted = {(0, 1)}
+    vid = 2
+    for a, b in flips:
+        rows.append((vid, *pack(base ^ (1 << a) ^ (1 << b))))
+        planted.add((0, vid))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vid long, h0 long, h1 long, h2 long, h3 long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup_pairs(df, max_hamming=2).collect()
+    }
+    assert planted <= pairs, planted - pairs
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(df, max_hamming=2, n_bands=2)
