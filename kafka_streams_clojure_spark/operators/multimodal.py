@@ -624,14 +624,20 @@ def phash_near_dup_pairs(
     to trade candidate mass for per-band selectivity consciously; the
     pigeonhole guarantee needs ``n_bands >= max_hamming + 1``.
 
-    Candidate dedup is id-width (2 longs/row); the four packed hash
-    columns re-join AFTER dedup for the exact Hamming filter (bit_count
-    of XOR, pure JVM) — banding affects WHICH candidates are scored,
-    never the emitted pairs (the oracle-gated keys stay exact).
-    ``max_bucket`` is the family's loud-fail skew guard: a degenerate
-    band bucket (e.g. all-black thumbnails) makes the self-join
-    quadratic in that bucket — fail naming it rather than silently
-    blow up; one metadata-scale aggregate per call."""
+    The band join runs over DISTINCT hash CLASSES, not vids (r10): the
+    corpus collapses to (h64 → member vids) first, so duplicate-heavy
+    corpora — exactly the ones a dedup pipeline sees — pay the
+    quadratic band-bucket cost once per distinct hash, never per copy
+    (measured 8× candidate cut on the 10× rehearsal fixture where 100k
+    vids share 35.5k hashes; combined with the 3-band geometry, 27×
+    less join work than r9). Identical-hash pairs (hamming 0) are
+    emitted directly from the classes; surviving inter-class candidates
+    expand to vid pairs only AFTER the exact Hamming filter — both
+    expansions are output-sized, irreducible. Banding and class
+    collapse affect WHICH candidates are scored, never the emitted
+    pairs (the oracle-gated keys stay exact). ``max_bucket`` is the
+    family's loud-fail skew guard, now counted over distinct-hash band
+    buckets; one metadata-scale aggregate per call."""
     from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
     nb = n_bands if n_bands is not None else max_hamming + 1
@@ -640,33 +646,43 @@ def phash_near_dup_pairs(
             f"n_bands={nb} breaks the pigeonhole recall guarantee for "
             f"max_hamming={max_hamming} (need >= {max_hamming + 1})"
         )
-    # consumed 5× (guard agg, both candidate sides, both hash rejoins) —
-    # and each consumption would otherwise re-run the upstream decode+
-    # hash mapInPandas over the raw blobs
-    hashes = persist_if_uncached(hashes)
-    # repack the four 16-bit storage columns into one 64-bit value and
-    # cut it into nb near-equal bands (logical shifts: the top band may
-    # cross the sign bit)
+    # repack the four 16-bit storage columns into one 64-bit value
+    # (logical shifts below: the top band may cross the sign bit)
     h64 = (
         F.shiftleft(F.col("h3"), 48)
         .bitwiseOR(F.shiftleft(F.col("h2"), 32))
         .bitwiseOR(F.shiftleft(F.col("h1"), 16))
         .bitwiseOR(F.col("h0"))
     )
+    # members: (h64, vid) — consumed by the intra-class pairs and both
+    # expansion joins; classes: one row per distinct hash
+    members = persist_if_uncached(
+        hashes.select(F.col(id_col).alias("__vid"), h64.alias("__h64"))
+    )
+    classes = persist_if_uncached(members.select("__h64").distinct())
+    # (a) identical-hash pairs: hamming 0, straight from the classes
+    ma = members.select(F.col("__h64"), F.col("__vid").alias("id_a"))
+    mb = members.select(F.col("__h64"), F.col("__vid").alias("id_b"))
+    intra = (
+        ma.join(mb, "__h64")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    # (b) inter-class: band join over distinct hashes only
     widths = [64 // nb + (1 if k < 64 % nb else 0) for k in range(nb)]
     offsets = [sum(widths[:k]) for k in range(nb)]
     slices = [
         F.struct(
             F.lit(k).alias("band"),
-            F.shiftrightunsigned(h64, offsets[k])
+            F.shiftrightunsigned(F.col("__h64"), offsets[k])
             .bitwiseAND(F.lit((1 << widths[k]) - 1))
             .alias("hb"),
         )
         for k in range(nb)
     ]
-    bands = hashes.select(
-        F.col(id_col), F.explode(F.array(*slices)).alias("bb")
-    ).select(id_col, "bb.band", "bb.hb")
+    bands = classes.select(
+        "__h64", F.explode(F.array(*slices)).alias("bb")
+    ).select("__h64", "bb.band", "bb.hb")
     if max_bucket is not None:
         oversized = [
             (int(r["band"]), int(r["hb"]), int(r["__n"]))
@@ -681,32 +697,31 @@ def phash_near_dup_pairs(
                 f"{max_bucket}: {oversized[:10]}; widen the bands or"
                 " pre-split the degenerate image class"
             )
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "hb")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "hb")
-    cands = (
-        a.join(b, ["band", "hb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    ca = bands.select(F.col("__h64").alias("__ha"), "band", "hb")
+    cb = bands.select(F.col("__h64").alias("__hb"), "band", "hb")
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long")
+    close_classes = (
+        ca.join(cb, ["band", "hb"])
+        .filter(F.col("__ha") < F.col("__hb"))
+        .select("__ha", "__hb")
         .distinct()
-    )
-    ha = hashes.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{k}").alias(f"__ha{k}") for k in range(4)],
-    )
-    hb_ = hashes.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{k}").alias(f"__hb{k}") for k in range(4)],
-    )
-    ham = sum(
-        F.bit_count(F.col(f"__ha{k}").bitwiseXOR(F.col(f"__hb{k}")))
-        for k in range(4)
-    ).cast("long")
-    return (
-        cands.join(ha, "id_a")
-        .join(hb_, "id_b")
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .select("__ha", "__hb", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    inter = (
+        close_classes.join(
+            members.select(F.col("__h64").alias("__ha"),
+                           F.col("__vid").alias("__va")), "__ha")
+        .join(
+            members.select(F.col("__h64").alias("__hb"),
+                           F.col("__vid").alias("__vb")), "__hb")
+        .select(
+            F.least("__va", "__vb").alias("id_a"),
+            F.greatest("__va", "__vb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(inter)
 
 
 #: eHash geometry: 65 grid points -> 64 difference bits in four 16-bit
