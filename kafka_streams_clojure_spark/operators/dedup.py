@@ -432,24 +432,42 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
     Hamming distance d < 4 shares at least one of 4 bands exactly),
-    verify exact Hamming distance on candidates."""
+    verify exact Hamming distance on candidates.
+
+    The band self-join runs over DISTINCT signatures, not docs (r10,
+    the phash_near_dup_pairs class-collapse): a corpus full of
+    identical/near-identical docs — the input a dedup pass exists for —
+    pays the band-bucket quadratic once per distinct simhash; identical
+    signatures pair directly at hamming 0 and inter-class candidates
+    expand to doc pairs only after the exact Hamming filter (both
+    expansions are output-sized). Emitted pairs are unchanged."""
     n_bands = 64 // band_bits
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < 64//band_bits ({n_bands}) or the "
             "band-blocking pigeonhole guarantee (>= one clean band per pair) breaks"
         )
-    sig = persist_if_uncached(simhash_signatures(df, id_col, text_col))
+    sig = simhash_signatures(df, id_col, text_col)
+    members = persist_if_uncached(
+        sig.select(F.col(id_col).alias("__vid"), F.col("simhash").alias("__sh"))
+    )
+    classes = persist_if_uncached(members.select("__sh").distinct())
+    ma = members.select("__sh", F.col("__vid").alias("id_a"))
+    mb = members.select("__sh", F.col("__vid").alias("id_b"))
+    intra = (
+        ma.join(mb, "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
+    )
     mask = (1 << band_bits) - 1
-    banded = sig.select(
-        id_col,
-        "simhash",
+    banded = classes.select(
+        "__sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * band_bits)
+                        F.shiftright("__sh", b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("bucket"),
                     )
@@ -457,19 +475,32 @@ def simhash_near_dups(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bucket")
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+    ).select("__sh", "bb.band", "bb.bucket")
+    ca = banded.select(F.col("__sh").alias("__sa"), "band", "bucket")
+    cb = banded.select(F.col("__sh").alias("__sb"), "band", "bucket")
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
+    close = (
+        ca.join(cb, ["band", "bucket"])
+        .filter(F.col("__sa") < F.col("__sb"))
+        .select("__sa", "__sb")
         .distinct()
+        .select("__sa", "__sb", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    inter = (
+        close.join(
+            members.select(F.col("__sh").alias("__sa"),
+                           F.col("__vid").alias("__va")), "__sa")
+        .join(
+            members.select(F.col("__sh").alias("__sb"),
+                           F.col("__vid").alias("__vb")), "__sb")
+        .select(
+            F.least("__va", "__vb").alias("id_a"),
+            F.greatest("__va", "__vb").alias("id_b"),
+            "hamming",
+        )
     )
+    return intra.unionByName(inter)
 
 
 def edit_distance_pairs(
