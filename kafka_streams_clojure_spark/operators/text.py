@@ -423,6 +423,8 @@ def compress_ratio(
 
     def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
+            if pdf.empty:  # empty partitions: avoid object-dtype columns
+                continue
             raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
             raw_n = [len(b) for b in raw]
             comp_n = [len(zlib.compress(b, level)) for b in raw]

@@ -149,7 +149,8 @@ _PYTHON_OK = {
     "q_llm_compress_ratio",
     "q_stream_stateful_counter",
     # capped sessionization: duration-cap semantics are sequential per
-    # user (no window form), grouped-map is the prescribed escape hatch
+    # user (no window form); r10 shape = mapInPandas over user-sorted
+    # partitions running the per-session numpy kernel
     "q_agg_session_capped",
     "q_error_swallow",
     "q_error_dead_letter",  # same tolerant mapInPandas router, DLQ side
