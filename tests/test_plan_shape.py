@@ -309,6 +309,9 @@ def test_cdc_chunk_scan_prunes_and_pins(spark, sf_dir):
     partition."""
     from kafka_streams_clojure_spark.operators.dedup import cdc_chunk_table
 
+    # earlier test modules may leave `documents` persisted — a cached
+    # InMemoryRelation would hide the parquet scan this test audits
+    spark.catalog.clearCache()
     df = cdc_chunk_table(load_table(spark, sf_dir, "documents"))
     for cols in scan_read_schema(df):
         assert set(cols.split(",")) <= {"doc_id", "text"}, cols
@@ -324,6 +327,7 @@ def test_cdc_report_exchanges_are_id_width(spark, sf_dir):
     the chunk projection into any exchange."""
     from kafka_streams_clojure_spark.operators.dedup import cdc_dedup_report
 
+    spark.catalog.clearCache()
     plan = physical_plan(
         cdc_dedup_report(load_table(spark, sf_dir, "documents"))
     )
