@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 #: open-session state tuple: (last_used_idx, start_us, prev_us, count);
 #: count == 0 means "no open session" (idx then carries the last index
@@ -98,10 +98,13 @@ def capped_scan(
     return closed, (idx, -1, -1, 0)
 
 
-_SESS_SCHEMA = (
-    "user_id bigint, sess_idx bigint, start_us bigint, "
-    "end_us bigint, n_events bigint"
-)
+def _sess_schema(key_col: str) -> str:
+    """Output schema keyed by the CALLER's key column name — hardcoding
+    `user_id` silently mislabeled any other key (r10 advice)."""
+    return (
+        f"{key_col} bigint, sess_idx bigint, start_us bigint, "
+        "end_us bigint, n_events bigint"
+    )
 
 
 def capped_sessions(
@@ -135,8 +138,12 @@ def capped_sessions(
     n_parts = num_partitions or events.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    part = events.repartition(int(n_parts), key_col).sortWithinPartitions(
-        key_col, ts_col, id_col
+    # filter-first null policy, enforced here (not just documented):
+    # a null key has no session identity and would crash the int64 cast
+    part = (
+        events.filter(F.col(key_col).isNotNull())
+        .repartition(int(n_parts), key_col)
+        .sortWithinPartitions(key_col, ts_col, id_col)
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,7 +177,7 @@ def capped_sessions(
                 arr = np.asarray(out_rows, dtype="int64")
                 yield pd.DataFrame(
                     {
-                        "user_id": np.asarray(out_uid, dtype="int64"),
+                        key_col: np.asarray(out_uid, dtype="int64"),
                         "sess_idx": arr[:, 0],
                         "start_us": arr[:, 1],
                         "end_us": arr[:, 2],
@@ -180,7 +187,7 @@ def capped_sessions(
         if carry_uid is not None and carry_st[3] > 0:
             yield pd.DataFrame(
                 {
-                    "user_id": [carry_uid],
+                    key_col: [carry_uid],
                     "sess_idx": [carry_st[0]],
                     "start_us": [carry_st[1]],
                     "end_us": [carry_st[2]],
@@ -188,4 +195,4 @@ def capped_sessions(
                 }
             )
 
-    return part.mapInPandas(scan, schema=_SESS_SCHEMA)
+    return part.mapInPandas(scan, schema=_sess_schema(key_col))

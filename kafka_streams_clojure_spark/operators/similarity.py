@@ -1227,7 +1227,7 @@ def ivfpq_probe_curve(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     dim: int = 64,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The n_probe/recall KNOB-SETTING sweep for a standing IVF-PQ index
     (r9 verdict #4 — the threshold-curve discipline applied to serving):
     score the probe batch against the index ONCE at ``max(n_probes)``

@@ -9,6 +9,7 @@ compose into any pipeline.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -393,6 +394,31 @@ def bpe_merges(
     return (res, t) if with_vocab else res
 
 
+def _compress_batch(
+    pdf: "pd.DataFrame", id_col: str, text_col: str, level: int
+) -> "pd.DataFrame":
+    """One Arrow batch of the zlib screen. Purely POSITIONAL: the id
+    column is normalized with `.to_numpy()` so a non-RangeIndex batch
+    (e.g. a pandas-side filter inserted upstream) cannot silently
+    misalign the index-carrying Series against the positional lists
+    (r10 advice; regression in tests/test_llm_ops.py)."""
+    import zlib
+
+    raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+    raw_n = [len(b) for b in raw]
+    comp_n = [len(zlib.compress(b, level)) for b in raw]
+    return pd.DataFrame(
+        {
+            id_col: pdf[id_col].to_numpy(),
+            "raw_bytes": pd.Series(raw_n, dtype="int64"),
+            "compressed_bytes": pd.Series(comp_n, dtype="int64"),
+            "compress_ratio": [
+                (c / n) if n > 0 else None for c, n in zip(comp_n, raw_n)
+            ],
+        }
+    )
+
+
 def compress_ratio(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -417,28 +443,11 @@ def compress_ratio(
     at scan speed next to the token/quality columns. Returns
     ``(id_col, raw_bytes, compressed_bytes, compress_ratio)``; empty
     docs get ratio NULL (guarded, the /0 rule)."""
-    import zlib
-
-    import pandas as pd
-
     def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             if pdf.empty:  # empty partitions: avoid object-dtype columns
                 continue
-            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
-            raw_n = [len(b) for b in raw]
-            comp_n = [len(zlib.compress(b, level)) for b in raw]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "raw_bytes": pd.Series(raw_n, dtype="int64"),
-                    "compressed_bytes": pd.Series(comp_n, dtype="int64"),
-                    "compress_ratio": [
-                        (c / n) if n > 0 else None
-                        for c, n in zip(comp_n, raw_n)
-                    ],
-                }
-            )
+            yield _compress_batch(pdf, id_col, text_col, level)
 
     return df.select(id_col, text_col).mapInPandas(
         score,

@@ -178,3 +178,29 @@ def test_capped_sessions_arrow_batch_straddle(spark):
         for (i, s, e, c) in closed + [final]:
             want[(uid, i)] = (s, e, c)
     assert got == want
+
+
+def test_capped_sessions_custom_key_col_and_null_keys(spark):
+    """r10 advice regression: (a) a caller passing key_col != 'user_id'
+    gets the key back UNDER THAT NAME (the schema used to hardcode
+    user_id); (b) null keys are filtered inside the operator (the
+    documented filter-first policy, now self-enforcing — they used to
+    crash the int64 numpy cast)."""
+    from kafka_streams_clojure_spark.operators.sessionize import (
+        capped_sessions,
+    )
+
+    rows = [(7, 10, 0), (7, 20, 1), (7, 500, 2), (None, 30, 3)]
+    ev = spark.createDataFrame(
+        rows, "device_id bigint, tu bigint, event_id bigint"
+    )
+    out = capped_sessions(
+        ev, gap_us=100, cap_us=1000, key_col="device_id", num_partitions=2
+    )
+    assert out.columns[0] == "device_id"
+    got = {
+        (r["device_id"], r["sess_idx"]): (r["start_us"], r["end_us"], r["n_events"])
+        for r in out.collect()
+    }
+    # null-key row dropped; device 7 sessions: [10,20] then [500]
+    assert got == {(7, 1): (10, 20, 2), (7, 2): (500, 500, 1)}

@@ -1831,6 +1831,25 @@ def test_compress_ratio_planted_entropy_extremes(spark):
         assert x["raw_bytes"] > 0 and x["compressed_bytes"] > 0
 
 
+def test_compress_batch_non_range_index():
+    """r10 advice regression: the batch kernel must be POSITIONAL — a
+    batch arriving with a non-RangeIndex (e.g. a pandas-side filter
+    inserted upstream someday) must not misalign the id column against
+    the positional raw/compressed lists."""
+    import pandas as pd
+
+    from kafka_streams_clojure_spark.operators.text import _compress_batch
+
+    pdf = pd.DataFrame(
+        {"doc_id": [10, 20, 30], "text": ["a" * 100, "", "b" * 50]},
+        index=[5, 99, 2],  # hostile, non-contiguous, non-zero-based
+    )
+    out = _compress_batch(pdf, "doc_id", "text", level=6)
+    assert list(out["doc_id"]) == [10, 20, 30]
+    assert list(out["raw_bytes"]) == [100, 0, 50]
+    assert pd.isna(out["compress_ratio"].iloc[1])
+
+
 def test_compress_ratio_empty_and_null_and_determinism(spark):
     """Empty docs get NULL ratio (guarded denominator); rerunning the
     scan yields byte-identical results (fixed zlib level)."""
