@@ -307,6 +307,62 @@ def sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+#: quantizer-training sample geometry (FAISS practice: train the coarse
+#: quantizer on a small deterministic sample, then assign the full
+#: corpus) — expected training points per centroid, and the floor under
+#: which sampling never engages (small corpora train on everything,
+#: keeping every small-fixture result bit-identical).
+TRAIN_PER_CELL = 32
+MIN_TRAIN = 4096
+
+
+def _train_sample(
+    df: DataFrame, id_col: str, k: int | None, salt: int = 0x5EED
+) -> DataFrame:
+    """Deterministic hash-fraction TRAINING sample for Lloyd's
+    iterations (r10 verdict #2 — the FAISS train-on-a-sample practice):
+    keep rows whose ``xxhash64(id, salt) % 1e6`` falls under the keep
+    fraction for an expected ``max(MIN_TRAIN, TRAIN_PER_CELL·k_cells)``
+    rows, ALL derived in-plan from a broadcast 1-row count (no driver
+    round-trip, no baked literal — the kmeans seed-stride recipe).
+
+    Why this kills the measured N^1.5 training wall: with the adaptive
+    ``k = √N`` cell count, per-iteration assignment over the FULL corpus
+    is N·√N (SCALE.md r10: wall 13 s → 99.6 s at 10×); over the sample
+    it is (TRAIN_PER_CELL·√N)·√N = TRAIN_PER_CELL·N — linear. The one
+    remaining N·√N pass is the consumer's single full-corpus assignment,
+    paid once, not per iteration. When the corpus is smaller than the
+    target sample the keep fraction saturates at 100% and the filter is
+    the identity — small fixtures (and every oracle-adjacent invariant
+    test) train on the full corpus, bit-identical to the pre-sampling
+    build. Deterministic for a fixed corpus, so the serve≡retrain
+    bit-equality contract is unaffected.
+    """
+    k_cells = (
+        F.ceil(F.sqrt(F.col("__tn"))) if k is None else F.lit(k)
+    ).cast("double")
+    stats = F.broadcast(
+        df.agg(F.count(F.lit(1)).alias("__tn")).select(
+            F.least(
+                F.lit(1_000_000),
+                F.ceil(
+                    F.lit(1_000_000.0)
+                    * F.greatest(
+                        F.lit(MIN_TRAIN).cast("double"),
+                        F.lit(TRAIN_PER_CELL) * k_cells,
+                    )
+                    / F.col("__tn")
+                ).cast("bigint"),
+            ).alias("__keep_ppm")
+        )
+    )
+    return (
+        df.crossJoin(stats)
+        .filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), 1_000_000) < F.col("__keep_ppm"))
+        .drop("__keep_ppm")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int | None = 16,
@@ -331,9 +387,14 @@ def kmeans_centroids(
     (guards the tiny-N case where the hash filter could select zero
     rows).
 
-    Each iteration: broadcast the k centroids, assign every vector to
-    its nearest (min_by over the broadcast cross join — one shuffle on
-    the row id), then groupBy-average per cell. Per-element sums go
+    Each iteration: broadcast the k centroids, assign every TRAINING
+    vector to its nearest (min_by over the broadcast cross join — one
+    shuffle on the row id), then groupBy-average per cell. Training
+    runs on the deterministic hash-fraction sample of
+    :func:`_train_sample` (FAISS practice — expected ``max(MIN_TRAIN,
+    TRAIN_PER_CELL·k)`` rows, saturating to the full corpus on small
+    inputs), which makes the per-iteration cost linear in N under the
+    adaptive ``k=√N`` instead of N^1.5. Per-element sums go
     through DECIMAL(38,18) so the centroid means are exact — plain
     double sums are partial-agg-order dependent, and a ulp of centroid
     drift can flip a Voronoi-boundary assignment between runs.
@@ -383,8 +444,14 @@ def kmeans_centroids(
                 vec_as_double.alias("centroid"),
             )
         )
+    # Lloyd's iterations run on the deterministic TRAINING SAMPLE, not
+    # the corpus (r10 verdict #2): per-iteration cost TRAIN_PER_CELL·N
+    # instead of N·√N, identity below MIN_TRAIN-scale corpora. The
+    # CONSUMER's full-corpus assignment against the returned centroids
+    # is unchanged.
+    train = _train_sample(df.select(id_col, vec_col), id_col, k)
     for _ in range(iters):
-        assigned = _assign_cells(df, cents, vec_col=vec_col)
+        assigned = _assign_cells(train, cents, vec_col=vec_col)
         # NARROW mean aggregate: posexplode to (cell, d, x) rows and
         # sum one decimal column grouped by (cell, d), then rebuild the
         # centroid array ordered by dimension. Mathematically identical
@@ -400,17 +467,19 @@ def kmeans_centroids(
                 / F.count(F.lit(1))
             ).alias("mu")
         )
+        # per-iteration checkpoint of the k-ROW centroid table: without
+        # it iteration i's plan nests every earlier iteration and the
+        # chain re-executes once per nesting level (r11 A/B at sf0.1:
+        # 5.6 s → 2.6 s warm, bit-identical centroids). This reverses
+        # the r8 no-checkpoint note, which was measured against the old
+        # per-subspace pq loop (16 eager jobs); here it is `iters` jobs
+        # over k×dim rows — metadata-scale.
         cents = cellmeans.groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("d", "mu"))),
                 lambda s: s["mu"],
             ).alias("centroid")
-        )
-    # NO per-iteration checkpoint: measured ~0 for the 64-dim semdedup
-    # build (the win there is semdedup's checkpoint of the 4×-consumed
-    # ASSIGNMENT), while eager per-iteration jobs added ~2-4 s of fixed
-    # job overhead to pq_codebooks' former 8-subspace loop. The final
-    # nested plan executes each iteration's scan exactly once.
+        ).localCheckpoint(eager=True)
     return cents
 
 
@@ -547,11 +616,23 @@ def pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"m ({m}) must divide dim ({dim})")
     d = dim // m
-    parts = _pq_subvectors(df, m, d, [id_col], vec_col).localCheckpoint(
+    # codebooks too train on the deterministic sample (r10 verdict #2):
+    # expected max(MIN_TRAIN, TRAIN_PER_CELL·k) vectors — CONSTANT in N
+    # (k is fixed here), so PQ training cost stops growing with the
+    # corpus; identity below MIN_TRAIN-scale inputs (bit-identical small
+    # fixtures). Encoding (pq_encode) still covers the full corpus.
+    parts = _pq_subvectors(
+        _train_sample(df.select(id_col, vec_col), id_col, k, salt=0xB00C),
+        m, d, [id_col], vec_col,
+    ).localCheckpoint(
         eager=True
-    )  # scanned once per iteration + once for seeds
+    )  # scanned once per iteration
+    # seeds come from the FULL df (the k lowest ids), independent of the
+    # sample — a sampled-out seed id must still initialize its cell
     seed_ids = df.select(id_col).orderBy(id_col).limit(k)
-    cents = parts.join(F.broadcast(seed_ids), id_col).select(
+    cents = _pq_subvectors(
+        df.join(F.broadcast(seed_ids), id_col, "left_semi"), m, d, [id_col], vec_col
+    ).select(
         "sub",
         F.col(id_col).cast("int").alias("cell"),
         F.transform(F.col("v"), lambda x: x.cast("double")).alias("centroid"),
@@ -575,6 +656,10 @@ def pq_codebooks(
         ).select(
             "sub", F.col("__best.cell").alias("cell"), F.col("__best.v").alias("v")
         )
+        # NO per-iteration checkpoint here (re-measured r11 after the
+        # kmeans_centroids one won 2.1×): this loop's nesting is
+        # shallow (seeds are a plain limit, no stats crossJoin) and the
+        # eager jobs came out ~0.3 s WORSE at sf0.1
         cents = (
             assigned.groupBy("sub", "cell")
             .agg(F.count(F.lit(1)).alias("n"), *sums)
