@@ -423,12 +423,114 @@ def simhash_signatures(
     return votes.select(id_col, sig.alias("simhash"))
 
 
+def _band_cuts(total_bits: int, n: int) -> list[tuple[int, int]]:
+    """n (offset, width) cuts tiling ``total_bits``, widest first."""
+    widths = [total_bits // n + (1 if k < total_bits % n else 0) for k in range(n)]
+    offsets = [sum(widths[:k]) for k in range(n)]
+    return list(zip(offsets, widths))
+
+
+def hamming_band_rows(
+    classes: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    n_bands: int | None = None,
+    levels: int = 1,
+) -> DataFrame:
+    """Blocking keys for exact Hamming-≤k search over 64-bit values:
+    returns ``(hash_col, band, bucket)`` rows such that ANY two values
+    within ``max_hamming`` share at least one (band, bucket) — the
+    shared machinery behind :func:`simhash_near_dups` and
+    ``operators/multimodal.phash_near_dup_pairs``.
+
+    ``levels=1`` is the classic pigeonhole: cut 64 bits into
+    ``n_bands >= max_hamming+1`` disjoint bands; k flips touch at most
+    k bands, so one band is clean. Random collisions grow ∝
+    N²/2^band_width — linear only while N ≤ 2^band_width (2²¹ for the
+    3-band max_hamming=2 geometry).
+
+    ``levels=2`` is the HIERARCHICAL pigeonhole (the multi-index
+    Hamming refinement, cf. Norouzi et al. 2012): for each level-1
+    band b, the 64-w_b COMPLEMENT bits are packed and cut into
+    ``max_hamming+1`` sub-bands; the key is (b's value, sub-band j's
+    value). Proof of zero recall loss: a ≤k-flip pair has a clean
+    level-1 band b (first pigeonhole); ALL its flips then lie in b's
+    complement, so one of the k+1 sub-bands is clean too (second
+    pigeonhole) — the pair agrees on the composite (b, j) key.
+    Effective key width grows from w to w + (64-w)/(k+1) (21→35 bits
+    for the phash geometry, 16→28 for simhash), pushing the
+    linear-collision ceiling from 2²¹ to 2³⁵ at a constant-factor cost
+    of (k+1)× more band rows. Callers auto-select the level from the
+    distinct-class count against the level-1 band space — the
+    semdedup-√N discipline of deriving geometry from corpus size
+    instead of a static knob (r10 verdict #4)."""
+    k1 = max_hamming + 1
+    nb = n_bands if n_bands is not None else k1
+    if nb < k1:
+        raise ValueError(
+            f"n_bands={nb} breaks the pigeonhole recall guarantee for "
+            f"max_hamming={max_hamming} (need >= {k1})"
+        )
+    h = F.col(hash_col)
+    rows = []
+    for b, (off, w) in enumerate(_band_cuts(64, nb)):
+        if levels == 1:
+            rows.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(h, off)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("bucket"),
+                )
+            )
+            continue
+        # pack the complement of band b: bits above (off+w) shifted
+        # down next to the bits below off — logical shifts, the hash
+        # may occupy the sign bit
+        lo_mask = (1 << off) - 1
+        comp = (
+            F.shiftleft(F.shiftrightunsigned(h, off + w), off)
+            .bitwiseOR(h.bitwiseAND(F.lit(lo_mask)))
+            if off + w < 64
+            else h.bitwiseAND(F.lit(lo_mask))
+        )
+        band_val = F.shiftrightunsigned(h, off).bitwiseAND(F.lit((1 << w) - 1))
+        for j, (soff, sw) in enumerate(_band_cuts(64 - w, k1)):
+            sub_val = F.shiftrightunsigned(comp, soff).bitwiseAND(
+                F.lit((1 << sw) - 1)
+            )
+            rows.append(
+                F.struct(
+                    F.lit(b * k1 + j).alias("band"),
+                    # composite (band value, sub value) packed into one
+                    # int64: w + sw <= 64-... always < 64 bits total
+                    F.shiftleft(band_val, sw).bitwiseOR(sub_val).alias(
+                        "bucket"
+                    ),
+                )
+            )
+    return classes.select(
+        hash_col, F.explode(F.array(*rows)).alias("bb")
+    ).select(hash_col, "bb.band", "bb.bucket")
+
+
+def auto_band_levels(n_classes: int, max_hamming: int, n_bands: int | None = None) -> int:
+    """Derive the banding LEVEL from the corpus (distinct-class count)
+    instead of a static knob: switch to the hierarchical keys exactly
+    when level-1 random collisions stop being linear — n_classes >
+    2^band_width, the level-1 band space."""
+    nb = n_bands if n_bands is not None else max_hamming + 1
+    min_w = 64 // nb  # narrowest level-1 band bounds the collision mass
+    return 2 if n_classes > (1 << min_w) else 1
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 16,
     max_hamming: int = 3,
+    levels: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
     Hamming distance d < 4 shares at least one of 4 bands exactly),
@@ -440,7 +542,17 @@ def simhash_near_dups(
     pays the band-bucket quadratic once per distinct simhash; identical
     signatures pair directly at hamming 0 and inter-class candidates
     expand to doc pairs only after the exact Hamming filter (both
-    expansions are output-sized). Emitted pairs are unchanged."""
+    expansions are output-sized). Emitted pairs are unchanged.
+
+    Band GEOMETRY is self-scaling (r10 verdict #4): ``levels=None``
+    derives the blocking depth from the distinct-signature count — one
+    metadata-scale count over the persisted class table — switching to
+    the hierarchical pigeonhole keys (:func:`hamming_band_rows`
+    ``levels=2``: 16→28-bit effective keys, zero recall loss by the
+    double-pigeonhole argument) exactly when the corpus outgrows the
+    2^16 level-1 band space and level-1 collisions would stop being
+    linear. No operator retuning at any corpus size; emitted pairs are
+    level-independent (tests/test_sketch.py equality + planted fuzz)."""
     n_bands = 64 // band_bits
     if max_hamming >= n_bands:
         raise ValueError(
@@ -459,23 +571,11 @@ def simhash_near_dups(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
     )
-    mask = (1 << band_bits) - 1
-    banded = classes.select(
-        "__sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("__sh", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__sh", "bb.band", "bb.bucket")
+    if levels is None:
+        levels = auto_band_levels(classes.count(), max_hamming, n_bands)
+    banded = hamming_band_rows(
+        classes, "__sh", max_hamming, n_bands=n_bands, levels=levels
+    )
     ca = banded.select(F.col("__sh").alias("__sa"), "band", "bucket")
     cb = banded.select(F.col("__sh").alias("__sb"), "band", "bucket")
     ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
@@ -1205,6 +1305,133 @@ def cdc_chunk_table(
     )
 
 
+def _cdc_doc_chunks(
+    text: str, w: int, divisor: int, pows: "np.ndarray"
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Boundary scan for ONE document: vectorized numpy rolling hash
+    over CODEPOINTS. Returns (starts_0based, ends_1based_exclusive…
+    actually inclusive 1-based ends) — empty for an empty doc."""
+    import numpy as np
+
+    n = len(text)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    if n >= w:
+        # utf-32-le view = codepoints directly (python-slice-consistent)
+        codes = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        h = np.zeros(n - w + 1, dtype=np.int64)
+        for j in range(w):
+            h += codes[j : n - w + 1 + j] * pows[j]
+        # max pre-mod value: 0x10FFFF * (2^31-1) * 8 ~ 1.9e16 << 2^63
+        ends = np.flatnonzero((h % CDC_MOD) % divisor == 0) + w
+    else:
+        ends = np.empty(0, dtype=np.int64)
+    if ends.shape[0] == 0 or ends[-1] != n:
+        ends = np.append(ends, n)  # the tail sentinel closes the doc
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1]
+    return starts, ends
+
+
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    hash_key: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The PRODUCTION form of :func:`cdc_chunk_table` (r10 verdict #3):
+    one Arrow-batched ``mapInPandas`` pass whose numpy kernel computes
+    each document's rolling-hash boundaries LOCALLY and emits CHUNK rows
+    only — ~len/divisor rows per doc — so NO char-granular data ever
+    crosses a shuffle (the windowed twin posexplodes the char stream:
+    ~8-16 B of wire per corpus CHARACTER, SCALE.md measured 116.8 MB at
+    the 10× fixture; the boundary rule is doc-local, so that exchange
+    was pure plumbing). Same output schema and bit-identical rows:
+
+    - boundary rule: hash of the w-gram ENDING at 1-based position i
+      (``sum_j code[i-w+j]·BASE^j mod 2^31``), boundary iff ``i >= w``
+      and ``h % divisor == 0``; the doc tail always closes the final
+      chunk — exactly :func:`cdc_hash_sql`, shared with every oracle.
+    - ``chunk_hash``: md5 hex of the chunk text's UTF-8 bytes (DuckDB-
+      reproducible, same oracle as the windowed form), or with
+      ``hash_key=True`` the first 8 md5 bytes as a signed int64 — the
+      8 B/row wire key for downstream chunk-identity shuffles (the
+      xxhash64 twin's role, without a JVM round trip; rows-only, gated
+      by report-equality to the md5 form).
+    - CODEPOINT semantics throughout (python slicing + utf-32 view),
+      matching DuckDB's substr/ascii even for astral-plane chars —
+      where the windowed form's split("") sees UTF-16 units (r10
+      advice; tests/test_llm_ops.py::test_cdc_kernel_astral_codepoints).
+
+    The pinned repartition spreads fixture-small inputs across tasks
+    (the capped_sessions AQE lesson); at scale the doc-level exchange
+    moves corpus bytes ONCE, vs per-char rows in the windowed form."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array(
+        [pow(CDC_BASE, j, CDC_MOD) for j in range(w)], dtype=np.int64
+    )
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    hash_type = "bigint" if hash_key else "string"
+
+    def scan(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_id: list = []
+            out_s: list[int] = []
+            out_l: list[int] = []
+            out_h: list = []
+            for did, text in zip(
+                pdf[id_col].to_numpy(), pdf[text_col].to_numpy()
+            ):
+                if text is None:
+                    continue
+                starts, ends = _cdc_doc_chunks(text, w, divisor, pows)
+                for s, e in zip(starts, ends):
+                    digest = hashlib.md5(
+                        text[s:e].encode("utf-8")
+                    ).digest()
+                    out_id.append(did)
+                    out_s.append(int(s) + 1)
+                    out_l.append(int(e) - int(s))
+                    out_h.append(
+                        int.from_bytes(digest[:8], "big", signed=True)
+                        if hash_key
+                        else digest.hex()
+                    )
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        id_col: out_id,
+                        "chunk_start": pd.Series(out_s, dtype="int64"),
+                        "chunk_len": pd.Series(out_l, dtype="int64"),
+                        "chunk_hash": out_h,
+                    }
+                )
+
+    return df.select(id_col, text_col).repartition(n_parts, id_col).mapInPandas(
+        scan,
+        schema=(
+            f"{id_col} {id_type}, chunk_start bigint, chunk_len bigint, "
+            f"chunk_hash {hash_type}"
+        ),
+    )
+
+
 def cdc_dedup_report(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1212,8 +1439,13 @@ def cdc_dedup_report(
     w: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
     hash_key: bool = False,
+    impl: str = "window",
 ) -> DataFrame:
-    """Per-document CDC duplication report over `cdc_chunk_table`:
+    """Per-document CDC duplication report over `cdc_chunk_table`
+    (``impl="window"``, the oracle-shaped codegen twin) or
+    `cdc_chunk_rows` (``impl="kernel"``, the zero-char-exchange
+    production form — r10 verdict #3; report-equality gates at sf0.01
+    and sf0.1 in tests/test_llm_ops.py):
     keep-first at chunk granularity (a chunk occurrence is DUPLICATED
     iff its hash occurs elsewhere in the corpus and it is not the
     canonical smallest-(doc, start) occurrence — the substring_dedup
@@ -1222,7 +1454,8 @@ def cdc_dedup_report(
     empty doc on BOTH engines (guarded CASE — the ratio-denominator
     rule). One chunk-hash-keyed shuffle (16 B keys), one doc-keyed
     aggregate: linear at any corpus size."""
-    chunks = cdc_chunk_table(df, id_col, text_col, w, divisor, hash_key)
+    chunker = cdc_chunk_rows if impl == "kernel" else cdc_chunk_table
+    chunks = chunker(df, id_col, text_col, w, divisor, hash_key)
     wh = Window.partitionBy("chunk_hash")
     is_dup = (F.col("__cnt") > 1) & (F.col("__rk") > 1)
     marked = chunks.withColumn("__cnt", F.count(F.lit(1)).over(wh)).withColumn(
@@ -1260,8 +1493,12 @@ def cdc_ingest_delta(
     keep_cols: Sequence[str] = ("source",),
     w: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
+    impl: str = "kernel",
 ) -> tuple[DataFrame, DataFrame]:
-    """The batch core of `q_stream_cdc_ingest`: CDC-chunk one delta,
+    """The batch core of `q_stream_cdc_ingest`: CDC-chunk one delta
+    (default the zero-char-exchange :func:`cdc_chunk_rows` kernel —
+    bit-identical chunks to the windowed oracle twin, so the standing
+    oracle is unchanged; r10 verdict #3),
     probe the standing chunk-hash ``store`` (one column: chunk_hash),
     admit docs contributing >= 1 NOVEL chunk (not in store, and this
     doc is the chunk's within-delta first occurrence by smallest id).
@@ -1275,7 +1512,8 @@ def cdc_ingest_delta(
     Scale: one codegen chunk pass over the delta, one hash anti-join
     against the id-width store, one within-delta window — never
     delta × corpus text."""
-    chunks = cdc_chunk_table(delta, id_col, text_col, w, divisor)
+    chunker = cdc_chunk_rows if impl == "kernel" else cdc_chunk_table
+    chunks = chunker(delta, id_col, text_col, w, divisor)
     # feeds novelty + totals + store append: one materialization, also
     # cutting lineage so the store append never races its own input
     chunks = chunks.localCheckpoint(eager=True)

@@ -604,6 +604,7 @@ def phash_near_dup_pairs(
     max_hamming: int = 2,
     max_bucket: int | None = 50_000,
     n_bands: int | None = None,
+    levels: int | None = None,
 ) -> DataFrame:
     """Perceptual-hash near-dup pairs via Hamming-band blocking (the
     SimHash machinery, operators/dedup.simhash_near_dups, applied to
@@ -637,8 +638,21 @@ def phash_near_dup_pairs(
     collapse affect WHICH candidates are scored, never the emitted
     pairs (the oracle-gated keys stay exact). ``max_bucket`` is the
     family's loud-fail skew guard, now counted over distinct-hash band
-    buckets; one metadata-scale aggregate per call."""
+    buckets; one metadata-scale aggregate per call.
+
+    ``levels=None`` (default) derives the blocking DEPTH from the
+    distinct-class count (r10 verdict #4 — geometry from corpus size,
+    not a static knob): beyond 2²¹ classes the level-1 band space
+    saturates and `operators/dedup.hamming_band_rows` switches to its
+    hierarchical double-pigeonhole keys (21→35-bit effective, zero
+    recall loss, collision mass linear again up to 2³⁵ classes).
+    Emitted pairs are level-independent — banding only selects which
+    candidates are SCORED."""
     from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+    from kafka_streams_clojure_spark.operators.dedup import (
+        auto_band_levels,
+        hamming_band_rows,
+    )
 
     nb = n_bands if n_bands is not None else max_hamming + 1
     if nb < max_hamming + 1:
@@ -668,21 +682,16 @@ def phash_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
     )
-    # (b) inter-class: band join over distinct hashes only
-    widths = [64 // nb + (1 if k < 64 % nb else 0) for k in range(nb)]
-    offsets = [sum(widths[:k]) for k in range(nb)]
-    slices = [
-        F.struct(
-            F.lit(k).alias("band"),
-            F.shiftrightunsigned(F.col("__h64"), offsets[k])
-            .bitwiseAND(F.lit((1 << widths[k]) - 1))
-            .alias("hb"),
-        )
-        for k in range(nb)
-    ]
-    bands = classes.select(
-        "__h64", F.explode(F.array(*slices)).alias("bb")
-    ).select("__h64", "bb.band", "bb.hb")
+    # (b) inter-class: band join over distinct hashes only, geometry
+    # SELF-SCALING from the class count (r10 verdict #4): hierarchical
+    # double-pigeonhole keys engage when the corpus outgrows the
+    # level-1 band space (hamming_band_rows levels=2 — 21→35-bit
+    # effective keys, recall guarantee intact, collisions linear again)
+    if levels is None:
+        levels = auto_band_levels(classes.count(), max_hamming, nb)
+    bands = hamming_band_rows(
+        classes, "__h64", max_hamming, n_bands=nb, levels=levels
+    ).withColumnRenamed("bucket", "hb")
     if max_bucket is not None:
         oversized = [
             (int(r["band"]), int(r["hb"]), int(r["__n"]))

@@ -6492,6 +6492,25 @@ def q_llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_report(docs)
 
 
+@query("q_llm_cdc_chunks_kernel", oracle=_CDC_ORACLE)
+def q_llm_cdc_chunks_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION plan of `q_llm_cdc_chunks` (r10 verdict #3),
+    gated by the SAME oracle: the rolling-hash boundary scan runs as an
+    Arrow-batched numpy kernel (`operators/dedup.cdc_chunk_rows`) that
+    emits CHUNK rows only — ~len/divisor per doc — so no char-granular
+    row ever crosses a shuffle (the windowed twin exchanges ~8-16 B per
+    corpus CHARACTER; SCALE.md measured 116.8 MB at the 10× fixture).
+    The kernel is bit-identical to the windowed form on the fixtures
+    AND codepoint-correct beyond the BMP where split("") sees UTF-16
+    units (tests/test_llm_ops.py::test_cdc_kernel_astral_codepoints);
+    md5 chunk identity keeps it exactly DuckDB-reproducible, which is
+    why this production form carries a full oracle rather than the
+    usual rows-only gate. Downstream report shape unchanged: one
+    chunk-hash shuffle at 16 B/row, one doc-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_dedup_report(docs, impl="kernel")
+
+
 #: one definition for the sweep's settings — consumed by BOTH the
 #: curve operator call and the reachability fan-out inside the query
 #: (the _QUOTA_TOKENS no-drift discipline)
@@ -6696,16 +6715,18 @@ def q_llm_cdc_chunks_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION exchange shape of `q_llm_cdc_chunks` (the
     substring_dedup_hashed / passage_dedup_hashed discipline): identical
     report semantics, but the chunk-identity shuffle — the one
-    corpus-proportional exchange — keys on ``xxhash64(chunk text)``,
-    8 bytes/row instead of the 32-char md5 hex (the dominant width cut
-    at 100 TB; chunk rows outnumber docs ~12×). Rows-only BY DESIGN:
-    DuckDB cannot reproduce Spark's xxhash64; the gate is
-    tests/test_llm_ops.py::test_cdc_hashed_matches_md5_twin pinning the
-    per-doc report EQUAL to the oracle-gated md5 twin — a 64-bit
-    collision conflating two chunks is ~2^-64/pair and would surface
-    there first."""
+    corpus-proportional exchange — keys on an 8-byte int64 (the first 8
+    md5 bytes, computed inside the r11 `cdc_chunk_rows` kernel) instead
+    of the 32-char md5 hex (the dominant width cut at 100 TB; chunk
+    rows outnumber docs ~12×). Composed with the kernel it is the full
+    production plan: no char-granular exchange AND 8 B/row identity
+    keys. Rows-only BY DESIGN (the truncated-digest key is a wire
+    detail, not an answer); the gate is tests/test_llm_ops.py::
+    test_cdc_hashed_matches_md5_twin pinning the per-doc report EQUAL
+    to the oracle-gated md5 twin — a 64-bit collision conflating two
+    chunks is ~2^-64/pair and would surface there first."""
     docs = load_table(spark, sf_dir, "documents")
-    return cdc_dedup_report(docs, hash_key=True)
+    return cdc_dedup_report(docs, hash_key=True, impl="kernel")
 
 
 @query("q_llm_lsh_band_curve")  # xxhash64 signatures — rows-only

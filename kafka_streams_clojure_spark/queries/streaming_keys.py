@@ -1711,8 +1711,10 @@ def _cdc_ingest_oracle() -> str:
 def q_stream_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHUNK-level dedup at ingest — the FIFTH member of the ingest
     family (exact-fp, banded-MinHash, semantic-cell, budget, now
-    content-defined chunks): each micro-batch is CDC-chunked
-    (`operators/dedup.cdc_chunk_table`) and probed against a STANDING
+    content-defined chunks): each micro-batch is CDC-chunked by the
+    zero-char-exchange numpy kernel (`operators/dedup.cdc_chunk_rows`,
+    r10 verdict #3 — chunk rows only, bit-identical md5 identity to the
+    windowed oracle twin) and probed against a STANDING
     chunk-hash store (seeded from the every-3rd-doc historical corpus,
     the family convention); a doc is ADMITTED iff it contributes at
     least one NOVEL chunk — so a re-crawl that prepends a banner or
@@ -1730,12 +1732,12 @@ def q_stream_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     split yields the same admissions, and DuckDB predicts them with
     one window min over the shared CDC chunk CTEs. Cross-batch planted
     test in tests/test_incremental_passage_dedup.py. Scale: per batch
-    one codegen chunk pass over the DELTA, one hash anti-join against
+    one Arrow-kernel chunk pass over the DELTA, one hash anti-join against
     an id-width store, one within-delta window — never delta × corpus
     text. Batch core: `operators/dedup.cdc_ingest_delta` (cross-batch
     contract tested there directly)."""
     from kafka_streams_clojure_spark.operators.dedup import (
-        cdc_chunk_table,
+        cdc_chunk_rows,
         cdc_ingest_delta,
     )
 
@@ -1744,7 +1746,9 @@ def q_stream_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 3 == 0
     )
-    cdc_chunk_table(hist).select("chunk_hash").distinct().write.mode(
+    # store init + per-batch chunking both use the r11 zero-char-exchange
+    # kernel (bit-identical md5 chunk identity, so the oracle holds)
+    cdc_chunk_rows(hist).select("chunk_hash").distinct().write.mode(
         "overwrite"
     ).parquet(store_root)
 

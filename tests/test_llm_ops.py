@@ -1925,15 +1925,83 @@ def test_shard_export_balance_and_completeness(spark, sf_dir, docs):
 
 
 def test_cdc_hashed_matches_md5_twin(spark, sf_dir, docs):
-    """The hashed wire twin's gate: xxhash64 chunk identity yields a
-    report IDENTICAL to the oracle-gated md5 twin on the fixture (hash
-    representation cancels out of counts/chars; only a 64-bit collision
-    could diverge them)."""
+    """The hashed wire twin's gate: 8-byte chunk identity (truncated
+    md5 int64, computed in the r11 kernel — the q_llm_cdc_chunks_hashed
+    plan) yields a report IDENTICAL to the oracle-gated md5 twin on the
+    fixture (hash representation cancels out of counts/chars; only a
+    64-bit collision could diverge them)."""
     from kafka_streams_clojure_spark.operators.dedup import cdc_dedup_report
 
     a = {r["doc_id"]: r for r in cdc_dedup_report(docs).collect()}
-    b = {r["doc_id"]: r for r in cdc_dedup_report(docs, hash_key=True).collect()}
+    b = {
+        r["doc_id"]: r
+        for r in cdc_dedup_report(docs, hash_key=True, impl="kernel").collect()
+    }
     assert a == b
+
+
+def test_cdc_kernel_matches_windowed_sf_gate(spark, docs):
+    """r10 verdict #3's gate: the zero-char-exchange mapInPandas kernel
+    (`cdc_chunk_rows`) must be CHUNK-FOR-CHUNK identical to the windowed
+    oracle twin on the fixture corpus — run at sf0.1 density via
+    SPARK_GRAFT_TEST_SF_DIR (the sf_gate discipline: boundary-hash bugs
+    hide in low-density fixtures). Report equality follows a fortiori,
+    but the chunk-table comparison localizes a failure to the exact
+    (doc, start) that diverged."""
+    from kafka_streams_clojure_spark.operators.dedup import (
+        cdc_chunk_rows,
+        cdc_chunk_table,
+    )
+
+    a = cdc_chunk_table(docs)
+    b = cdc_chunk_rows(docs)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+
+def test_cdc_kernel_astral_codepoints(spark):
+    """r10 advice: CODEPOINT semantics beyond the BMP. The kernel must
+    chunk an emoji-bearing doc exactly like a pure-Python codepoint
+    reference of the documented boundary rule (DuckDB's substr/ascii
+    are codepoint-based too, so this is also oracle semantics) — the
+    windowed form's split("") sees UTF-16 surrogate halves there, which
+    is why the kernel is the production path."""
+    import hashlib
+
+    from kafka_streams_clojure_spark.operators.dedup import (
+        CDC_BASE,
+        CDC_DIVISOR,
+        CDC_MOD,
+        CDC_WINDOW,
+        cdc_chunk_rows,
+    )
+
+    text = "🚀".join(
+        f"tok{i * 7 % 97}🜁word{i * 13 % 89}" for i in range(40)
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = sorted(
+        (r["chunk_start"], r["chunk_len"], r["chunk_hash"])
+        for r in cdc_chunk_rows(docs).collect()
+    )
+
+    w, d = CDC_WINDOW, CDC_DIVISOR
+    pows = [pow(CDC_BASE, j, CDC_MOD) for j in range(w)]
+    ends = [
+        i
+        for i in range(w, len(text) + 1)
+        if sum(ord(text[i - w + j]) * pows[j] for j in range(w)) % CDC_MOD % d == 0
+    ]
+    if not ends or ends[-1] != len(text):
+        ends.append(len(text))
+    want, prev = [], 0
+    for e in ends:
+        chunk = text[prev:e]
+        want.append(
+            (prev + 1, e - prev, hashlib.md5(chunk.encode("utf-8")).hexdigest())
+        )
+        prev = e
+    assert got == sorted(want)
+    assert len(got) > 1  # the fixture actually exercises boundaries
 
 
 # --- LSH banding curve (q_llm_lsh_band_curve) ------------------------------
@@ -2043,3 +2111,97 @@ def test_phash_band_geometry_pigeonhole_and_guard(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         phash_near_dup_pairs(df, max_hamming=2, n_bands=2)
+
+
+def test_auto_band_levels_threshold():
+    """The self-scaling rule (r10 verdict #4): hierarchical keys engage
+    exactly when the distinct-class count exceeds the level-1 band
+    space — 2²¹ for the 3-band max_hamming=2 phash geometry, 2¹⁶ for
+    the 4-band simhash one."""
+    from kafka_streams_clojure_spark.operators.dedup import auto_band_levels
+
+    assert auto_band_levels(1 << 21, 2) == 1
+    assert auto_band_levels((1 << 21) + 1, 2) == 2
+    assert auto_band_levels(1 << 16, 3, n_bands=4) == 1
+    assert auto_band_levels((1 << 16) + 1, 3, n_bands=4) == 2
+    assert auto_band_levels(100, 2) == 1
+
+
+def test_hamming_band_rows_hierarchical_recall_fuzz(spark):
+    """The double-pigeonhole guarantee of hamming_band_rows levels=2:
+    for ANY pair within max_hamming, some level-1 band b is flip-free,
+    all flips then lie in b's complement, so one of its max_hamming+1
+    sub-bands is clean — the pair must share >= 1 (band, bucket).
+    Fuzzed over random 64-bit signatures (sign bit exercised) with
+    random flip positions, for both the phash (k=2) and simhash (k=3)
+    geometries; also pins levels=1/levels=2 END-TO-END pair equality
+    through phash_near_dup_pairs (banding must never change emitted
+    pairs)."""
+    import random
+
+    from kafka_streams_clojure_spark.operators.dedup import hamming_band_rows
+    from kafka_streams_clojure_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(42)
+
+    def to_i64(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    for max_h, nb in ((2, 3), (3, 4)):
+        pairs, values = [], set()
+        for i in range(120):
+            base = rng.getrandbits(64)
+            flipped = base
+            for pos in rng.sample(range(64), rng.randint(0, max_h)):
+                flipped ^= 1 << pos
+            pairs.append((base, flipped))
+            values.add(base)
+            values.add(flipped)
+        classes = spark.createDataFrame(
+            [(to_i64(v),) for v in values], "__h long"
+        )
+        rows = hamming_band_rows(
+            classes, "__h", max_h, n_bands=nb, levels=2
+        ).collect()
+        keys: dict = {}
+        for r in rows:
+            keys.setdefault(r["__h"], set()).add((r["band"], r["bucket"]))
+        # geometry: nb*(max_h+1) keys per hash, every pair collides
+        assert all(len(s) == nb * (max_h + 1) for s in keys.values())
+        for a, b in pairs:
+            assert keys[to_i64(a)] & keys[to_i64(b)], (
+                f"hamming<= {max_h} pair missed by hierarchical keys: "
+                f"{a:016x} vs {b:016x}"
+            )
+
+    # end-to-end: levels must not change WHICH pairs are emitted
+    def pack(h64):
+        return (
+            h64 & 0xFFFF,
+            (h64 >> 16) & 0xFFFF,
+            (h64 >> 32) & 0xFFFF,
+            (h64 >> 48) & 0xFFFF,
+        )
+
+    rows = []
+    for i in range(60):
+        base = rng.getrandbits(64)
+        rows.append((2 * i, *pack(base)))
+        flipped = base
+        for pos in rng.sample(range(64), rng.randint(0, 3)):  # some > max_h
+            flipped ^= 1 << pos
+        rows.append((2 * i + 1, *pack(flipped)))
+    df = spark.createDataFrame(
+        rows, "vid long, h0 long, h1 long, h2 long, h3 long"
+    )
+    p1 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup_pairs(df, max_hamming=2, levels=1).collect()
+    }
+    p2 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup_pairs(df, max_hamming=2, levels=2).collect()
+    }
+    assert p1 == p2 and p1  # non-empty: the fixture planted <=2-flip pairs

@@ -147,6 +147,11 @@ _PYTHON_OK = {
     # zlib quality screen: compression is not expressible in Catalyst —
     # one Arrow-batched mapInPandas scan, no shuffle, zlib in C
     "q_llm_compress_ratio",
+    # CDC production kernel (r11): doc-local numpy rolling hash emits
+    # chunk rows only — the whole point is REMOVING the char-granular
+    # exchange of the windowed twin; oracle-gated (md5 identity)
+    "q_llm_cdc_chunks_kernel",
+    "q_llm_cdc_chunks_hashed",  # same kernel, 8-byte truncated-md5 keys
     "q_stream_stateful_counter",
     # capped sessionization: duration-cap semantics are sequential per
     # user (no window form); r10 shape = mapInPandas over user-sorted
