@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
@@ -490,36 +490,82 @@ def _assign_cells(
     n_probe: int = 1,
     id_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Attach the ``n_probe`` nearest cell ids to every row: broadcast
-    the centroid table, score all cells per row, keep the best n_probe.
-    Exactly ONE shuffle keyed by the row id (min_by aggregate for
-    n_probe=1, ranking window otherwise) — the vector rides inside the
-    min_by struct, so there is no join back to the corpus."""
+    """Attach the ``n_probe`` nearest cell ids to every row.
+
+    r11 shape: the centroid table — k ≈ √N rows, the same metadata
+    scale every loud-fail guard already collects — is COLLECTED once
+    and closed over by an Arrow-batched numpy kernel that scores all
+    cells per row with vectorized row ops: ONE corpus pass, zero
+    shuffle, zero row blowup. The former broadcast crossJoin
+    materialized N·k rows and ran an interpreted 64-dim fold on each —
+    the 10× rehearsal's dominant ANN wall once training was sampled
+    (q_llm_ann_probe_curve 77 s, semdedup 59 s at 10×, almost all of
+    it this assignment). Ties break (distance, cell id) exactly as the
+    old min_by struct: cells are processed in ascending-cell blocks
+    and merged with a STABLE argsort on distance, so equal distances
+    resolve to the earlier = smaller cell. numpy's per-row pairwise
+    reduction replaces the left-to-right JVM fold — consumers (ivf /
+    ivfpq / semdedup families) are all rows-only by design;
+    deterministic for a fixed corpus, so serve≡retrain bit-equality
+    holds."""
     keys = list(id_cols) if id_cols else [c for c in df.columns if c != vec_col]
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        *keys,
-        vec_col,
-        "cell",
-        sq_l2(F.col(vec_col), F.col("centroid")).alias("__d2"),
+    cent_rows = centroids.select("cell", "centroid").collect()
+    if not cent_rows:
+        raise ValueError("_assign_cells: empty centroid table")
+    cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
+    order = np.argsort(cells_np)
+    cells_np, cmat = cells_np[order], cmat[order]
+    k = int(cells_np.shape[0])
+    p = min(int(n_probe), k)
+    in_fields = {f.name: f for f in df.schema.fields}
+    cell_type = centroids.schema["cell"].dataType
+    out_schema = StructType(
+        [in_fields[c] for c in keys]
+        + [StructField("cell", cell_type)]
+        + [in_fields[vec_col]]
     )
-    if n_probe == 1:
-        best = scored.groupBy(*keys).agg(
-            F.min_by(
-                F.struct(F.col("cell"), F.col(vec_col)),
-                F.struct(F.col("__d2"), F.col("cell")),
-            ).alias("__best")
-        )
-        return best.select(
-            *keys,
-            F.col("__best.cell").alias("cell"),
-            F.col(f"__best.{vec_col}").alias(vec_col),
-        )
-    w = Window.partitionBy(*keys).orderBy(F.col("__d2"), F.col("cell"))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_probe)
-        .drop("__d2", "__r")
-    )
+    cell_np_type = np.int32 if isinstance(cell_type, IntegerType) else np.int64
+    block = 1024  # bounds the per-batch distance matrix at b×block doubles
+
+    def assign(batches: "pd.DataFrame") -> "pd.DataFrame":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            b = x.shape[0]
+            best_d = np.full((b, p), np.inf)
+            best_c = np.zeros((b, p), dtype=np.int64)
+            for s in range(0, k, block):
+                cb = cmat[s : s + block]
+                dblk = np.empty((b, cb.shape[0]))
+                for j in range(cb.shape[0]):
+                    diff = x - cb[j]
+                    dblk[:, j] = np.einsum("ij,ij->i", diff, diff)
+                cat_d = np.concatenate([best_d, dblk], axis=1)
+                cat_c = np.concatenate(
+                    [
+                        best_c,
+                        np.broadcast_to(cells_np[s : s + block], (b, cb.shape[0])),
+                    ],
+                    axis=1,
+                )
+                # stable sort on distance = lexicographic (d2, cell):
+                # carried best is already (d2, cell)-ordered and all its
+                # cells precede this block's (ascending cell blocks)
+                idx = np.argsort(cat_d, axis=1, kind="stable")[:, :p]
+                best_d = np.take_along_axis(cat_d, idx, axis=1)
+                best_c = np.take_along_axis(cat_c, idx, axis=1)
+            out = {
+                c: np.repeat(pdf[c].to_numpy(), p) for c in keys
+            }
+            out["cell"] = best_c.reshape(-1).astype(cell_np_type)
+            out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), p)
+            yield pd.DataFrame(out)
+
+    return df.select(*keys, vec_col).mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk(

@@ -144,6 +144,10 @@ _PYTHON_OK = {
     "q_multimodal_near_dup",  # gradient encode + resize + dHash mapInPandas
     "q_multimodal_audio_near_dup",  # stepped-WAV encode + decimate + eHash
     "q_llm_ivfpq_serve",  # Arrow bucket/assignment UDFs (the ivfpq family)
+    # r11 numpy cell-assignment kernel (_assign_cells): the probe-side
+    # assignment is the one that survives into the final plan (the
+    # corpus side sits behind the build's localCheckpoint)
+    "q_llm_ivfpq_topk",
     # zlib quality screen: compression is not expressible in Catalyst —
     # one Arrow-batched mapInPandas scan, no shuffle, zlib in C
     "q_llm_compress_ratio",

@@ -103,6 +103,9 @@ def main() -> None:
     if "--r10" in sys.argv:
         run_r7_rehearsal(int(args[0]) if args else 1, keys=R10_KEYS)
         return
+    if "--r11" in sys.argv:
+        run_r7_rehearsal(int(args[0]) if args else 1, keys=R11_KEYS)
+        return
     if events_mode:
         if not os.path.exists(f"{OUT_DIR}/events.parquet"):
             t0 = time.perf_counter()
@@ -346,6 +349,23 @@ R10_KEYS = [
     "q_llm_cdc_chunks",         # codegen hash pass + chunk-hash shuffle
     "q_llm_ann_probe_curve",    # one ADC scoring pass × 4 settings
     "q_llm_compress_ratio",     # zlib mapInPandas scan, no shuffle
+]
+
+
+#: r11-session rehearsal keys (r10 verdict #5: the r10 keys that shipped
+#: unrehearsed, plus the r11 CDC kernel and the sampled-training ANN
+#: re-measure — the N^1.5 wall fix under test). Same generate_r7
+#: fixtures.
+R11_KEYS = [
+    "q_llm_lsh_band_curve",      # 1 signature build × 3 (b,r) configs
+    "q_llm_cdc_chunks",          # windowed oracle twin (char exchange)
+    "q_llm_cdc_chunks_kernel",   # r11 mapInPandas kernel (chunk rows only)
+    "q_llm_cdc_chunks_hashed",   # kernel + 8-byte identity keys
+    "q_llm_shard_export",        # manifest: shard window + grouped agg
+    "q_stream_cdc_ingest",       # per-batch kernel + store anti-join
+    "q_llm_ann_probe_curve",     # sampled-training IVF-PQ build + curve
+    "q_llm_ivfpq_topk",          # sampled-training build + ADC search
+    "q_llm_semdedup",            # sampled-training √N-cell quantizer
 ]
 
 
