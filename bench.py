@@ -114,6 +114,19 @@ HEADLINE6 = [
 ]
 
 
+#: Seventh gated set (r10 verdict #1): the heaviest keys still sitting
+#: in ungated extras after the r10 additions — the two knob-curve
+#: sweeps, the CDC streaming ingest (now on the r11 zero-char-exchange
+#: kernel), and the k-core peel. Promoted with the standard pin
+#: discipline. Reference values: BENCH_NOTES.md "headline7 pinning".
+HEADLINE7 = [
+    "q_llm_ann_probe_curve",   # IVF-PQ n_probe sweep (sampled training)
+    "q_llm_lsh_band_curve",    # (b,r) geometry sweep, one sig build
+    "q_stream_cdc_ingest",     # chunk-novelty standing-store admission
+    "q_graph_kcore",           # 4-round k-core peeling
+]
+
+
 #: Round-5 additions, timed AFTER the headline set and reported in a
 #: separate "extras" field so the baseline-comparable headline total is
 #: untouched. One run each (these are not regression-gated, just
@@ -127,7 +140,6 @@ EXTRAS = [
     "q_llm_bitext_mining",     # margin-criterion cross-lingual pairs
     "q_llm_decontaminate_fuzzy",  # winnowing-fp eval-overlap first pass
     "q_llm_budget_select",     # token-budget greedy curation cut
-    "q_graph_kcore",           # 4-round k-core peeling
     "q_llm_random_projection", # JL dim cut (pure map)
     "q_events_trending",       # per-day top-k
     "q_llm_bloom_dedup",       # Bloom-prefiltered ingest dedup
@@ -178,14 +190,14 @@ EXTRAS = [
     "q_events_ab_cuped",       # variance-reduced experiment readout
     "q_events_did",            # difference-in-differences readout
     "q_llm_bpe_curve",         # per-round tokenizer compression
-    # round-10 additions
+    # round-10 additions (ann_probe_curve / lsh_band_curve /
+    # stream_cdc_ingest promoted to HEADLINE7 in r11)
     "q_llm_cdc_chunks",        # content-defined chunking dedup report
-    "q_llm_ann_probe_curve",   # IVF-PQ n_probe knob-setting sweep
     "q_llm_compress_ratio",    # zlib quality screen (mapInPandas scan)
-    "q_stream_cdc_ingest",     # chunk-novelty standing-store admission
     "q_llm_shard_export",      # export shard manifest (hash + seq window)
-    "q_llm_cdc_chunks_hashed",   # CDC wire twin (xxhash64 chunk keys)
-    "q_llm_lsh_band_curve",      # (b,r) geometry sweep, one sig build
+    "q_llm_cdc_chunks_hashed",   # CDC wire twin (8-byte kernel keys)
+    # round-11 additions
+    "q_llm_cdc_chunks_kernel", # zero-char-exchange CDC kernel (oracle'd)
 ]
 
 
@@ -197,6 +209,18 @@ EXTRAS = [
 #: as such.
 PROBE_REFERENCE_SEC = 0.74
 
+#: Pinned MULTI-CORE probe (r10 verdict #6): 8 processes running the
+#: same loop concurrently, wall-clock of the batch. The single-thread
+#: probe missed the r10 driver-run contention entirely (scalar ratios
+#: 1.13/1.18 while every shuffle-bound key inflated ~26% — neighbors
+#: stealing CORES, not cycles); parallel processes see exactly that.
+#: Pinned RELATIVE to the scalar pin (BENCH_NOTES.md "Probe pinning",
+#: r11): measured mt_wall / scalar_ratio at one box state (1.41 s /
+#: 1.26), so both ratios read ~equal under pure cycle contention and
+#: the mt ratio only DOMINATES the max() when cores are being stolen.
+PROBE_MT_REFERENCE_SEC = 1.12
+PROBE_MT_PROCS = 8
+
 
 def cpu_probe() -> float:
     """Fixed pure-Python single-thread loop (20M iterations) — measures
@@ -207,6 +231,27 @@ def cpu_probe() -> float:
     for i in range(20_000_000):
         acc += i & 7
     assert acc == 70_000_000
+    return time.perf_counter() - t0
+
+
+def _probe_worker(_: int) -> int:
+    acc = 0
+    for i in range(20_000_000):
+        acc += i & 7
+    return acc
+
+
+def cpu_probe_mt() -> float:
+    """8 copies of the scalar loop in PARALLEL PROCESSES (the GIL makes
+    threads useless as a multi-core probe), wall time of the whole
+    batch. Spawn (not fork): the JVM is live between the two probe
+    points and forking its host process is unsafe."""
+    from multiprocessing import get_context
+
+    t0 = time.perf_counter()
+    with get_context("spawn").Pool(PROBE_MT_PROCS) as pool:
+        res = pool.map(_probe_worker, range(PROBE_MT_PROCS))
+    assert all(r == 70_000_000 for r in res)
     return time.perf_counter() - t0
 
 
@@ -241,6 +286,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     probe = cpu_probe()
+    probe_mt = cpu_probe_mt()
 
     from kafka_streams_clojure_spark.queries import queries
     from kafka_streams_clojure_spark.session import get_spark
@@ -261,6 +307,8 @@ def main() -> None:
     total5 = round(sum(timings5.values()), 3)
     timings6 = _run_gated(qs, spark, HEADLINE6, sf_dir)
     total6 = round(sum(timings6.values()), 3)
+    timings7 = _run_gated(qs, spark, HEADLINE7, sf_dir)
+    total7 = round(sum(timings7.values()), 3)
 
     extras: dict[str, float] = {}
     # Warm extras at the smallest SF too: the iterative keys
@@ -284,16 +332,25 @@ def main() -> None:
     # slow mid-flight; reporting both ends makes the drift visible so
     # the reader normalizes against the WORSE of the two.
     probe_end = cpu_probe()
+    probe_mt_end = cpu_probe_mt()
     # probe-normalized headline total (r9 verdict #1): the recurring
     # contended-box confusion (r3, r7, r9's q_sql_tpch_q3) resolved IN
-    # the artifact — divide by the mean of the two probe ratios, never
-    # below 1.0 (an idle-faster box must not deflate the number; the
-    # pin was measured at ratio ~1.0). Read it against the r1 baseline
-    # 14.157 s directly.
-    mean_ratio = max(
-        1.0,
-        (probe / PROBE_REFERENCE_SEC + probe_end / PROBE_REFERENCE_SEC) / 2.0,
-    )
+    # the artifact — divide by the mean probe ratio, never below 1.0
+    # (an idle-faster box must not deflate the number; the pin was
+    # measured at ratio ~1.0). Read it against the r1 baseline
+    # 14.157 s directly. r11 (r10 verdict #6): normalize against the
+    # WORSE of the scalar and multi-core probe dimensions — the r10
+    # driver run inflated 26% at scalar ratios 1.13/1.18 because
+    # neighbors stole CORES (shuffle-bound keys only), which only the
+    # parallel probe can see.
+    mean_ratio_st = (
+        probe / PROBE_REFERENCE_SEC + probe_end / PROBE_REFERENCE_SEC
+    ) / 2.0
+    mean_ratio_mt = (
+        probe_mt / PROBE_MT_REFERENCE_SEC
+        + probe_mt_end / PROBE_MT_REFERENCE_SEC
+    ) / 2.0
+    mean_ratio = max(1.0, mean_ratio_st, mean_ratio_mt)
     norm_total = round(total / mean_ratio, 3)
     # r7 lesson (VERDICT r7 "What's wrong" #2): the driver captures only
     # a ~2.2 KB stdout TAIL and parses the LAST JSON line. One big line
@@ -312,6 +369,12 @@ def main() -> None:
         "cpu_probe_ratio": round(probe / PROBE_REFERENCE_SEC, 2),
         "cpu_probe_sec_end": round(probe_end, 3),
         "cpu_probe_ratio_end": round(probe_end / PROBE_REFERENCE_SEC, 2),
+        "cpu_probe_mt_sec": round(probe_mt, 3),
+        "cpu_probe_mt_ratio": round(probe_mt / PROBE_MT_REFERENCE_SEC, 2),
+        "cpu_probe_mt_sec_end": round(probe_mt_end, 3),
+        "cpu_probe_mt_ratio_end": round(
+            probe_mt_end / PROBE_MT_REFERENCE_SEC, 2
+        ),
         "headline2_total_sec": total2,
         "queries2": timings2,
         "headline3_total_sec": total3,
@@ -322,6 +385,8 @@ def main() -> None:
         "queries5": timings5,
         "headline6_total_sec": total6,
         "queries6": timings6,
+        "headline7_total_sec": total7,
+        "queries7": timings7,
         "probe_normalized_total": norm_total,
         "extras": extras,
     }
@@ -336,11 +401,16 @@ def main() -> None:
         "sf": sf,
         "cpu_probe_ratio": round(probe / PROBE_REFERENCE_SEC, 2),
         "cpu_probe_ratio_end": round(probe_end / PROBE_REFERENCE_SEC, 2),
+        "cpu_probe_mt_ratio": round(probe_mt / PROBE_MT_REFERENCE_SEC, 2),
+        "cpu_probe_mt_ratio_end": round(
+            probe_mt_end / PROBE_MT_REFERENCE_SEC, 2
+        ),
         "headline2_total_sec": total2,
         "headline3_total_sec": total3,
         "headline4_total_sec": total4,
         "headline5_total_sec": total5,
         "headline6_total_sec": total6,
+        "headline7_total_sec": total7,
         "probe_normalized_total": norm_total,
     }
     line = json.dumps(compact)
