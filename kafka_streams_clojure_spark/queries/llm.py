@@ -6749,7 +6749,10 @@ def q_llm_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three configs), index-size exactness (n_band_rows = docs × b),
     and fixture-measured recall floors. Scale: the signature build is
     the only corpus-text pass; each config adds one (band, bucket)
-    equi-join over id-width rows."""
+    equi-join over id-width rows; the exact-Jaccard recall ground
+    truth runs on a ~10k-doc hash-stride sample beyond fixture scale
+    (r11 — it is an estimator, not an answer; saturates to the full
+    corpus below 10k docs)."""
     from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
     from kafka_streams_clojure_spark.operators.dedup import (
         minhash_band_rows,
@@ -6760,8 +6763,25 @@ def q_llm_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     sig = persist_if_uncached(minhash_signatures(docs, n_hashes=32))
+    # The exact-Jaccard GROUND-TRUTH pass was the curve's one
+    # corpus-superlinear term (r11 rehearsal: 14× shuffle at 10×) and
+    # exists only to ESTIMATE each config's recall — so beyond a fixed
+    # population it runs on a deterministic hash-stride doc sample
+    # (both endpoints sampled ⇒ truth-pair mass drops ∝ sample², the
+    # FAISS ground-truth-on-a-sample practice; the estimator is the
+    # same hits/n_exact, restricted to sampled pairs). Saturates to
+    # the full corpus at fixture scale, so the pinned recall floors
+    # and every fixture test are bit-unchanged.
+    truth_docs = (
+        docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(0x77)), n_docs // 10_000)
+            == 0
+        )
+        if n_docs > 10_000
+        else docs
+    )
     exact = persist_if_uncached(
-        ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+        ngram_jaccard_pairs(truth_docs, threshold=0.5).select("id_a", "id_b")
     )
     n_exact = exact.count()
     outs = []
