@@ -406,6 +406,39 @@ def test_ivf_topk_recall_and_pruning(emb, spark):
     cents.unpersist()
 
 
+def test_train_sample_saturation_and_engagement(spark):
+    """The r11 sampled-training contract: (a) below the MIN_TRAIN floor
+    the hash-fraction filter is the IDENTITY (small fixtures train on
+    the full corpus — what keeps every pre-r11 result bit-identical);
+    (b) above it, the expected sample size tracks max(MIN_TRAIN,
+    TRAIN_PER_CELL·k) within sampling noise; (c) the sample is
+    deterministic (same rows both calls — the serve≡retrain premise)."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        MIN_TRAIN,
+        TRAIN_PER_CELL,
+        _train_sample,
+    )
+
+    small = spark.range(0, 1000).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(0.0)).alias("embedding")
+    )
+    assert _train_sample(small, "vec_id", 16).count() == 1000
+
+    n = 40_000
+    big = spark.range(0, n).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(0.0)).alias("embedding")
+    )
+    got = _train_sample(big, "vec_id", None).select("vec_id")
+    n_got = got.count()
+    import math
+
+    expected = max(MIN_TRAIN, TRAIN_PER_CELL * math.ceil(math.sqrt(n)))
+    assert expected < n  # the scenario actually engages sampling
+    assert 0.8 * expected <= n_got <= 1.25 * expected, (n_got, expected)
+    again = _train_sample(big, "vec_id", None).select("vec_id")
+    assert got.exceptAll(again).count() == 0 and n_got == again.count()
+
+
 def test_kmeans_centroids_deterministic_and_shaped(emb):
     """The quantizer is deterministic (no RNG) and emits k cells of
     dim-length double centroids."""
