@@ -628,6 +628,76 @@ def _blocked_all_pairs_cosine(
     )
 
 
+def _grouped_all_pairs_cosine(
+    df: DataFrame, id_col: str, vec_col: str, blk: Column, threshold: float
+) -> DataFrame:
+    """Rows-only numpy twin of :func:`_blocked_all_pairs_cosine` (r11):
+    per-block all-pairs cosine as ONE `applyInPandas` kernel — group
+    count is the number of BLOCKS (√N cells for the semdedup caller,
+    so the per-group pandas overhead trap does not apply), and the
+    qualifying pairs are the only rows that ever leave Python. The join
+    form materializes Σ|block|² candidate rows EACH CARRYING BOTH
+    64-dim vectors (~1 KB/row) through a shuffle before scoring; here
+    the block's vectors cross once and the N²/k work runs as chunked
+    einsum (256-row strips, so memory is strip×|block| doubles, never
+    |block|²). NOT bit-identical to the fold (einsum accumulation) —
+    oracle-gated callers keep the join+fold form; rows-only callers
+    (semdedup's cell blocking) take this one. Zero vectors produce NaN
+    cosine and are dropped by the >= threshold mask, matching the
+    fold's null-comparison behavior."""
+    work = df.select(blk.alias("__blk"), F.col(id_col), F.col(vec_col))
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="object"),
+             "id_b": pd.Series([], dtype="object"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+        )[order]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xn = x / np.sqrt(np.einsum("ij,ij->i", x, x))[:, None]
+        cols = np.arange(n)
+        out_a, out_b, out_s = [], [], []
+        for s in range(0, n, 256):
+            e = min(s + 256, n)
+            sim = np.einsum("ik,jk->ij", xn[s:e], xn)
+            with np.errstate(invalid="ignore"):
+                mask = sim >= threshold
+            mask &= cols[None, :] > np.arange(s, e)[:, None]  # j > i only
+            ii, jj = np.nonzero(mask)
+            if ii.size:
+                out_a.append(ids[ii + s])
+                out_b.append(ids[jj])
+                out_s.append(sim[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    return work.groupBy("__blk").applyInPandas(pairs, schema=schema)
+
+
 def pq_codebooks(
     df: DataFrame,
     m: int = 8,
@@ -753,21 +823,69 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as its nearest codebook cell per subspace:
     ``(id, sub, code)`` — the compressed representation PQ search runs
-    on. One broadcast join (codebooks are m·k rows) + one min_by
-    aggregate keyed by (id, sub); ties broken by cell id so codes are
-    deterministic."""
+    on.
+
+    r11 shape (the `_assign_cells` recipe): the codebook — m·k rows,
+    always broadcast-sized — is collected once and closed over by an
+    Arrow-batched numpy kernel that encodes all m subspaces per row in
+    one pass: the former broadcast join + min_by materialized N·m rows
+    and ran N·m·k interpreted d-dim folds. Ties still break (distance,
+    cell): per-sub cells are column-ordered ascending and argmin
+    returns the first minimum. Rows-only consumers (pq / ivfpq); codes
+    are deterministic for a fixed corpus."""
     d = dim // m
-    parts = _pq_subvectors(df, m, d, [id_col], vec_col)
-    scored = parts.join(F.broadcast(codebooks), "sub").select(
-        id_col,
-        "sub",
-        "cell",
-        sq_l2(F.col("v"), F.col("centroid")).alias("__d2"),
+    book_rows = codebooks.select("sub", "cell", "centroid").collect()
+    by_sub: dict[int, list] = {}
+    for r in book_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["cell"]), list(r["centroid"]))
+        )
+    if sorted(by_sub) != list(range(m)):
+        raise ValueError(
+            f"pq_encode: codebooks must cover subs 0..{m-1}, got {sorted(by_sub)}"
+        )
+    cells_by_sub = []
+    cmats = []
+    for s in range(m):
+        entries = sorted(by_sub[s])  # ascending cell → argmin ties = min cell
+        cells_by_sub.append(np.array([c for c, _ in entries], dtype=np.int64))
+        cmats.append(np.array([v for _, v in entries], dtype=np.float64))
+    in_id = df.schema[id_col]
+    out_schema = StructType(
+        [in_id, StructField("sub", IntegerType()), StructField("code", IntegerType())]
     )
-    best = scored.groupBy(id_col, "sub").agg(
-        F.min_by(F.col("cell"), F.struct(F.col("__d2"), F.col("cell"))).alias("code")
-    )
-    return best.select(id_col, "sub", "code")
+
+    def encode(batches: "pd.DataFrame") -> "pd.DataFrame":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            b = x.shape[0]
+            ids = pdf[id_col].to_numpy()
+            out_id, out_sub, out_code = [], [], []
+            for s in range(m):
+                xs = x[:, s * d : (s + 1) * d]
+                cm = cmats[s]
+                dist = np.empty((b, cm.shape[0]))
+                for j in range(cm.shape[0]):
+                    diff = xs - cm[j]
+                    dist[:, j] = np.einsum("ij,ij->i", diff, diff)
+                out_id.append(ids)
+                out_sub.append(np.full(b, s, dtype=np.int32))
+                out_code.append(
+                    cells_by_sub[s][np.argmin(dist, axis=1)].astype(np.int32)
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "sub": np.concatenate(out_sub),
+                    "code": np.concatenate(out_code),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
 
 
 def pq_topk(
@@ -832,6 +950,7 @@ def embedding_cosine_near_dups(
     max_block: int | None = 100_000,
     on_oversize: str = "raise",
     dim: int = 64,
+    impl: str = "join",
 ) -> DataFrame:
     """Exact near-dup pairs by cosine with optional blocking on a
     cheap attribute (label/cluster/source): all-pairs within a block
@@ -853,10 +972,22 @@ def embedding_cosine_near_dups(
       preserving the within-block pairing semantics at LSH recall.
 
     ``max_block=None`` disables the guard (caller asserts boundedness).
+
+    ``impl="grouped"`` (rows-only callers ONLY — semdedup's cell
+    blocking) scores each block in the chunked-numpy
+    :func:`_grouped_all_pairs_cosine` kernel instead of the candidate
+    join: the Σ|block|² rows carrying two 64-dim vectors each never
+    materialize, only qualifying pairs leave Python. Oracle-gated
+    callers keep the default join+fold form (bit-matched to DuckDB).
     """
+    if impl not in ("join", "grouped"):
+        raise ValueError(f"impl must be 'join' or 'grouped', got {impl!r}")
+    allpairs = (
+        _grouped_all_pairs_cosine if impl == "grouped" else _blocked_all_pairs_cosine
+    )
     blk = F.col(block_col) if block_col else F.lit(0)
     if max_block is None:
-        return _blocked_all_pairs_cosine(df, id_col, vec_col, blk, threshold)
+        return allpairs(df, id_col, vec_col, blk, threshold)
     if on_oversize not in ("raise", "lsh"):
         raise ValueError(f"on_oversize must be 'raise' or 'lsh', got {on_oversize!r}")
     counts = df.groupBy(blk.alias("blk")).agg(F.count("*").alias("__n"))
@@ -864,7 +995,7 @@ def embedding_cosine_near_dups(
         (r["blk"], r["__n"]) for r in counts.filter(F.col("__n") > max_block).collect()
     ]
     if not oversized:
-        return _blocked_all_pairs_cosine(df, id_col, vec_col, blk, threshold)
+        return allpairs(df, id_col, vec_col, blk, threshold)
     if on_oversize == "raise":
         raise RuntimeError(
             f"embedding_cosine_near_dups: block(s) exceed max_block={max_block} "
@@ -881,7 +1012,7 @@ def embedding_cosine_near_dups(
         c = blk.eqNullSafe(F.lit(key))
         is_big = c if is_big is None else (is_big | c)
     bounded = df.filter(~is_big)
-    exact = _blocked_all_pairs_cosine(bounded, id_col, vec_col, blk, threshold)
+    exact = allpairs(bounded, id_col, vec_col, blk, threshold)
     out = exact.select("id_a", "id_b", "cos_sim")
     for key in big_keys:
         block_rows = df.filter(blk.eqNullSafe(F.lit(key)))
@@ -1076,6 +1207,10 @@ def semdedup(
             df.select(id_col, vec_col), cents, vec_col=vec_col,
             id_cols=[id_col], n_probe=n_probe,
         ).localCheckpoint(eager=True)
+    # rows-only key → the chunked-numpy grouped kernel: the join form
+    # shuffled Σ|cell|² ≈ N^1.5 candidate rows each carrying BOTH
+    # 64-dim vectors (~1 KB/row); grouped, the block's vectors cross
+    # once and only qualifying pairs leave Python (r11)
     pairs = embedding_cosine_near_dups(
         probe_rows,
         id_col=id_col,
@@ -1084,6 +1219,7 @@ def semdedup(
         threshold=threshold,
         max_block=max_block,
         dim=dim,
+        impl="grouped",
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(drops, id_col, "left_anti").select(id_col, "cell")

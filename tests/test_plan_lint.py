@@ -148,6 +148,12 @@ _PYTHON_OK = {
     # assignment is the one that survives into the final plan (the
     # corpus side sits behind the build's localCheckpoint)
     "q_llm_ivfpq_topk",
+    # r11 grouped within-cell verify (_grouped_all_pairs_cosine):
+    # √N-group applyInPandas — only qualifying pairs leave Python
+    "q_llm_semdedup",
+    # r11 numpy PQ encoder (pq_encode mapInPandas over the collected
+    # m·k-row codebook) — the corpus-side encode in the final plan
+    "q_llm_pq_topk",
     # zlib quality screen: compression is not expressible in Catalyst —
     # one Arrow-batched mapInPandas scan, no shuffle, zlib in C
     "q_llm_compress_ratio",
