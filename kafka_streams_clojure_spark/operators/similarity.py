@@ -512,6 +512,17 @@ def _assign_cells(
     cent_rows = centroids.select("cell", "centroid").collect()
     if not cent_rows:
         raise ValueError("_assign_cells: empty centroid table")
+    if len(cent_rows) > 1_000_000:
+        # the family's loud-fail posture: √N cells only reach 10⁶ at
+        # N = 10¹² vectors, where a single-table quantizer is the wrong
+        # design anyway (shard the corpus / two-level coarse quantizer)
+        # — fail naming the cure rather than silently ship a multi-GB
+        # closure to every task
+        raise RuntimeError(
+            f"_assign_cells: {len(cent_rows)} centroids exceed the 1e6 "
+            "kernel-closure bound; shard the corpus or train a two-level "
+            "coarse quantizer"
+        )
     cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
     order = np.argsort(cells_np)
