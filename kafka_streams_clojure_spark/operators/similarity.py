@@ -539,7 +539,7 @@ def _assign_cells(
     cell_np_type = np.int32 if isinstance(cell_type, IntegerType) else np.int64
     block = 1024  # bounds the per-batch distance matrix at b×block doubles
 
-    def assign(batches: "pd.DataFrame") -> "pd.DataFrame":
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -866,7 +866,7 @@ def pq_encode(
         [in_id, StructField("sub", IntegerType()), StructField("code", IntegerType())]
     )
 
-    def encode(batches: "pd.DataFrame") -> "pd.DataFrame":
+    def encode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             if pdf.empty:
                 continue
