@@ -216,10 +216,16 @@ PROBE_REFERENCE_SEC = 0.74
 #: stealing CORES, not cycles); parallel processes see exactly that.
 #: Pinned RELATIVE to the scalar pin (BENCH_NOTES.md "Probe pinning",
 #: r11): measured mt_wall / scalar_ratio at one box state (1.41 s /
-#: 1.26), so both ratios read ~equal under pure cycle contention and
+#: 1.15), so both ratios read ~equal under pure cycle contention and
 #: the mt ratio only DOMINATES the max() when cores are being stolen.
-PROBE_MT_REFERENCE_SEC = 1.12
-PROBE_MT_PROCS = 8
+#: ONE process per vCPU: a narrower probe (8 procs) measured BLIND to
+#: moderate theft — 24 of 32 cores stolen read mt 1.21 because the 8
+#: workers just used the free cores, while the full-width probe reads
+#: available-core loss proportionally (16/32 stolen → wall ×1.97,
+#: validated r11) — and Spark's 32 task threads see what the full-width
+#: probe sees.
+PROBE_MT_REFERENCE_SEC = 1.23
+PROBE_MT_PROCS = 32
 
 
 def cpu_probe() -> float:
