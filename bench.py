@@ -209,8 +209,9 @@ EXTRAS = [
 #: as such.
 PROBE_REFERENCE_SEC = 0.74
 
-#: Pinned MULTI-CORE probe (r10 verdict #6): 8 processes running the
-#: same loop concurrently, wall-clock of the batch. The single-thread
+#: Pinned MULTI-CORE probe (r10 verdict #6): PROBE_MT_PROCS (32, one
+#: per vCPU) processes running the same loop concurrently, wall-clock
+#: of the batch. The single-thread
 #: probe missed the r10 driver-run contention entirely (scalar ratios
 #: 1.13/1.18 while every shuffle-bound key inflated ~26% — neighbors
 #: stealing CORES, not cycles); parallel processes see exactly that.
@@ -248,7 +249,8 @@ def _probe_worker(_: int) -> int:
 
 
 def cpu_probe_mt() -> float:
-    """8 copies of the scalar loop in PARALLEL PROCESSES (the GIL makes
+    """PROBE_MT_PROCS (32, one per vCPU) copies of the scalar loop in
+    PARALLEL PROCESSES (the GIL makes
     threads useless as a multi-core probe), wall time of the whole
     batch. Spawn (not fork): the JVM is live between the two probe
     points and forking its host process is unsafe."""

@@ -1454,6 +1454,8 @@ def cdc_dedup_report(
     empty doc on BOTH engines (guarded CASE — the ratio-denominator
     rule). One chunk-hash-keyed shuffle (16 B keys), one doc-keyed
     aggregate: linear at any corpus size."""
+    if impl not in ("window", "kernel"):
+        raise ValueError(f"impl must be 'window' or 'kernel', got {impl!r}")
     chunker = cdc_chunk_rows if impl == "kernel" else cdc_chunk_table
     chunks = chunker(df, id_col, text_col, w, divisor, hash_key)
     wh = Window.partitionBy("chunk_hash")
@@ -1512,6 +1514,8 @@ def cdc_ingest_delta(
     Scale: one codegen chunk pass over the delta, one hash anti-join
     against the id-width store, one within-delta window — never
     delta × corpus text."""
+    if impl not in ("window", "kernel"):
+        raise ValueError(f"impl must be 'window' or 'kernel', got {impl!r}")
     chunker = cdc_chunk_rows if impl == "kernel" else cdc_chunk_table
     chunks = chunker(delta, id_col, text_col, w, divisor)
     # feeds novelty + totals + store append: one materialization, also

@@ -187,16 +187,17 @@ def morton2_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
     return f"({_sql_spread(x_expr, bits)} | ({_sql_spread(y_expr, bits)} << 1))"
 
 
-def take_while_global(
+def _prefix_ok(
     df: DataFrame,
     pred: Column,
     order_by: Sequence[ColumnOrName],
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Longest prefix satisfying ``pred`` in a pinned total order —
-    ``(take-while pred)`` — as a parallel two-phase prefix scan:
-    running min of the predicate flag within each range partition,
-    AND-ed with the broadcast min over all EARLIER partitions."""
+    """Rows annotated with ``__run_ok``/``__prior_ok`` — the parallel
+    two-phase prefix scan shared by :func:`take_while_global` and
+    :func:`drop_while_global`: running min of the predicate flag within
+    each range partition, plus the broadcast min over all EARLIER
+    partitions. A row is in the satisfying prefix iff both are 1."""
     d = _ranged(df, order_by, num_partitions)
     flag = F.when(pred, F.lit(1)).otherwise(F.lit(0))
     wp = Window.partitionBy("__pid").orderBy("__local_idx").rowsBetween(
@@ -211,9 +212,42 @@ def take_while_global(
         )
         .select("__pid", "__prior_ok")
     )
+    return d.withColumn("__run_ok", F.min(flag).over(wp)).join(
+        F.broadcast(prior), "__pid"
+    )
+
+
+def take_while_global(
+    df: DataFrame,
+    pred: Column,
+    order_by: Sequence[ColumnOrName],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Longest prefix satisfying ``pred`` in a pinned total order —
+    ``(take-while pred)`` — as a parallel two-phase prefix scan
+    (:func:`_prefix_ok`), never a single-task global window."""
     return (
-        d.withColumn("__run_ok", F.min(flag).over(wp))
-        .join(F.broadcast(prior), "__pid")
+        _prefix_ok(df, pred, order_by, num_partitions)
         .filter((F.col("__run_ok") == 1) & (F.col("__prior_ok") == 1))
+        .drop("__pid", "__local_idx", "__run_ok", "__prior_ok")
+    )
+
+
+def drop_while_global(
+    df: DataFrame,
+    pred: Column,
+    order_by: Sequence[ColumnOrName],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Complement suffix of :func:`take_while_global` — ``(drop-while
+    pred)``: everything FROM the first row failing ``pred`` onward, in
+    the same pinned total order. Same two-phase prefix scan; the filter
+    keeps rows where the running-prefix flag has dropped to 0 (either
+    within this range partition or in any earlier one). take-while ∪
+    drop-while = df exactly, disjointly — the transducer-pair contract
+    (reference api.clj:39 names the transducible context both ride)."""
+    return (
+        _prefix_ok(df, pred, order_by, num_partitions)
+        .filter((F.col("__run_ok") == 0) | (F.col("__prior_ok") == 0))
         .drop("__pid", "__local_idx", "__run_ok", "__prior_ok")
     )

@@ -483,6 +483,163 @@ def kmeans_centroids(
     return cents
 
 
+# Above this many centroids the single-table assignment kernel switches
+# to the two-level coarse-quantizer path (verdict r11 #2). √N cells only
+# reach 10⁶ at N = 10¹² vectors; tests lower the bound to exercise the
+# switch. HARD_CELL_BOUND keeps the loud-fail posture for tables too big
+# to even collect/broadcast (~8 GB at 16M×64 doubles): shard the corpus.
+TWO_LEVEL_CELL_BOUND = 1_000_000
+HARD_CELL_BOUND = 16_000_000
+_COARSE_TRAIN_SAMPLE = 65_536
+_COARSE_ITERS = 3
+
+
+def _coarse_quantize(cmat: np.ndarray) -> np.ndarray:
+    """Deterministic driver-side Lloyd's over the (already-collected)
+    centroid matrix: K1 = ⌈√k⌉ coarse centroids, seeded by evenly-spaced
+    centroid rows, trained on an evenly-spaced ≤65536-row sample (the
+    sampled-training rule from the level-2 quantizer applies one level
+    up too). Pure numpy, no RNG — bit-reproducible for a fixed table."""
+    k = cmat.shape[0]
+    K1 = max(1, int(math.ceil(math.sqrt(k))))
+    cc = cmat[np.linspace(0, k - 1, K1).astype(np.int64)].copy()
+    samp = cmat[
+        np.linspace(0, k - 1, min(k, _COARSE_TRAIN_SAMPLE)).astype(np.int64)
+    ]
+    s2 = np.einsum("ij,ij->i", samp, samp)
+    for _ in range(_COARSE_ITERS):
+        d = (
+            s2[:, None]
+            + np.einsum("ij,ij->i", cc, cc)[None, :]
+            - 2.0 * (samp @ cc.T)
+        )
+        a = np.argmin(d, axis=1)
+        for g in range(K1):
+            members = samp[a == g]
+            if members.shape[0]:
+                cc[g] = members.mean(axis=0)
+    return cc
+
+
+def _coarse_assign(cmat: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """Nearest coarse cell for every level-2 centroid (blocked GEMM;
+    argmin first-minimum = smallest coarse id on exact ties)."""
+    cc2 = np.einsum("ij,ij->i", cc, cc)
+    out = np.empty(cmat.shape[0], dtype=np.int64)
+    for s in range(0, cmat.shape[0], 65536):
+        xb = cmat[s : s + 65536]
+        d = (
+            np.einsum("ij,ij->i", xb, xb)[:, None]
+            + cc2[None, :]
+            - 2.0 * (xb @ cc.T)
+        )
+        out[s : s + 65536] = np.argmin(d, axis=1)
+    return out
+
+
+def _assign_cells_two_level(
+    df: DataFrame,
+    cent_rows: list,
+    centroids: DataFrame,
+    vec_col: str,
+    n_probe: int,
+    keys: Sequence[str],
+    coarse_probe: int | None = None,
+) -> DataFrame:
+    """Two-level cell assignment for centroid tables past the
+    single-table design point (k > TWO_LEVEL_CELL_BOUND): a driver-side
+    coarse quantizer (⌈√k⌉ cells) shards the level-2 centroid table;
+    each row scores the ⌈√k⌉ coarse centroids plus only the level-2
+    centroids in its ``coarse_probe`` nearest shards — O(√k·(1+cp)·dim)
+    per row instead of O(k·dim). APPROXIMATE like the IVF probe itself
+    (a row's true nearest level-2 centroid can sit in an unprobed
+    shard); deterministic for a fixed table (pure numpy, sorted shard
+    traversal, carried-first stable merge), so identical duplicate
+    vectors land in identical cells and serve≡retrain bit-equality
+    holds. Tie-break is carried-first over (ascending coarse shard,
+    ascending cell within shard) — deterministic, though not globally
+    (distance, cell)-lexicographic like the single-level kernel.
+    Rows whose probed shards are all empty keep the padding cell
+    (smallest real cell id), never a fabricated one."""
+    if len(cent_rows) > HARD_CELL_BOUND:
+        raise RuntimeError(
+            f"_assign_cells: {len(cent_rows)} centroids exceed the "
+            f"{HARD_CELL_BOUND} two-level broadcast bound; shard the corpus"
+        )
+    cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
+    order = np.argsort(cells_np)
+    cells_np, cmat = cells_np[order], cmat[order]
+    cc = _coarse_quantize(cmat)
+    ga = _coarse_assign(cmat, cc)
+    # stable sort by coarse id keeps cells ascending WITHIN each shard
+    shard_order = np.argsort(ga, kind="stable")
+    cells_np, cmat, ga = cells_np[shard_order], cmat[shard_order], ga[shard_order]
+    K1 = cc.shape[0]
+    offsets = np.searchsorted(ga, np.arange(K1 + 1))
+    c2 = np.einsum("ij,ij->i", cmat, cmat)
+    cc2 = np.einsum("ij,ij->i", cc, cc)
+    k = int(cells_np.shape[0])
+    p = min(int(n_probe), k)
+    cp = min(K1, max(8, 4 * p)) if coarse_probe is None else min(K1, coarse_probe)
+    in_fields = {f.name: f for f in df.schema.fields}
+    cell_type = centroids.schema["cell"].dataType
+    out_schema = StructType(
+        [in_fields[c] for c in keys]
+        + [StructField("cell", cell_type)]
+        + [in_fields[vec_col]]
+    )
+    cell_np_type = np.int32 if isinstance(cell_type, IntegerType) else np.int64
+    block = 1024
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cells_np, cmat, c2, cc, cc2, offsets)
+    )
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cells_np, cmat, c2, cc, cc2, offsets = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            b = x.shape[0]
+            x2 = np.einsum("ij,ij->i", x, x)
+            dc = x2[:, None] + cc2[None, :] - 2.0 * (x @ cc.T)
+            cidx = np.argsort(dc, axis=1, kind="stable")[:, :cp]
+            best_d = np.full((b, p), np.inf)
+            best_c = np.full((b, p), cells_np[0], dtype=np.int64)
+            for g in np.unique(cidx):
+                lo, hi = int(offsets[g]), int(offsets[g + 1])
+                if hi <= lo:
+                    continue
+                rows = np.nonzero((cidx == g).any(axis=1))[0]
+                if rows.size == 0:
+                    continue
+                xs, xs2 = x[rows], x2[rows]
+                for s in range(lo, hi, block):
+                    e = min(s + block, hi)
+                    cb = cmat[s:e]
+                    dblk = xs2[:, None] + c2[s:e][None, :] - 2.0 * (xs @ cb.T)
+                    cat_d = np.concatenate([best_d[rows], dblk], axis=1)
+                    cat_c = np.concatenate(
+                        [
+                            best_c[rows],
+                            np.broadcast_to(cells_np[s:e], (rows.size, e - s)),
+                        ],
+                        axis=1,
+                    )
+                    idx = np.argsort(cat_d, axis=1, kind="stable")[:, :p]
+                    best_d[rows] = np.take_along_axis(cat_d, idx, axis=1)
+                    best_c[rows] = np.take_along_axis(cat_c, idx, axis=1)
+            out = {c: np.repeat(pdf[c].to_numpy(), p) for c in keys}
+            out["cell"] = best_c.reshape(-1).astype(cell_np_type)
+            out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), p)
+            yield pd.DataFrame(out)
+
+    return df.select(*keys, vec_col).mapInPandas(assign, schema=out_schema)
+
+
 def _assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -494,39 +651,43 @@ def _assign_cells(
 
     r11 shape: the centroid table — k ≈ √N rows, the same metadata
     scale every loud-fail guard already collects — is COLLECTED once
-    and closed over by an Arrow-batched numpy kernel that scores all
-    cells per row with vectorized row ops: ONE corpus pass, zero
-    shuffle, zero row blowup. The former broadcast crossJoin
-    materialized N·k rows and ran an interpreted 64-dim fold on each —
-    the 10× rehearsal's dominant ANN wall once training was sampled
-    (q_llm_ann_probe_curve 77 s, semdedup 59 s at 10×, almost all of
-    it this assignment). Ties break (distance, cell id) exactly as the
-    old min_by struct: cells are processed in ascending-cell blocks
-    and merged with a STABLE argsort on distance, so equal distances
-    resolve to the earlier = smaller cell. numpy's per-row pairwise
-    reduction replaces the left-to-right JVM fold — consumers (ivf /
-    ivfpq / semdedup families) are all rows-only by design;
-    deterministic for a fixed corpus, so serve≡retrain bit-equality
-    holds."""
+    and shipped to executors as a Spark BROADCAST variable (r12,
+    verdict #1: a task closure re-pickles the up-to-0.5 GB matrix per
+    task batch; the broadcast transfers once per executor) consumed by
+    an Arrow-batched numpy kernel that scores all cells per row: ONE
+    corpus pass, zero shuffle, zero row blowup. Distances are ONE GEMM
+    per block (‖x‖² + ‖c‖² − 2·x@Cᵀ) instead of the r11 per-centroid
+    einsum loop — same O(b·k·dim) flops but BLAS-tiled (r12 A/B rows
+    in SCALE.md). Ties break (distance, cell id) exactly as the old
+    min_by struct: cells are processed in ascending-cell blocks and
+    merged with a STABLE argsort on distance, so equal distances
+    resolve to the earlier = smaller cell (identical duplicate vectors
+    still land in identical cells — the planted-copy contract). numpy's
+    GEMM replaces the left-to-right JVM fold — consumers (ivf / ivfpq /
+    semdedup families) are all rows-only by design; deterministic for
+    a fixed corpus, so serve≡retrain bit-equality holds. NaN guard
+    (r12 ADVICE): best_c pads with the smallest REAL cell id, so a
+    NaN-bearing vector (all-NaN distances sort after the inf padding)
+    degrades to a real cell instead of a fabricated id 0."""
     keys = list(id_cols) if id_cols else [c for c in df.columns if c != vec_col]
     cent_rows = centroids.select("cell", "centroid").collect()
     if not cent_rows:
         raise ValueError("_assign_cells: empty centroid table")
-    if len(cent_rows) > 1_000_000:
-        # the family's loud-fail posture: √N cells only reach 10⁶ at
-        # N = 10¹² vectors, where a single-table quantizer is the wrong
-        # design anyway (shard the corpus / two-level coarse quantizer)
-        # — fail naming the cure rather than silently ship a multi-GB
-        # closure to every task
-        raise RuntimeError(
-            f"_assign_cells: {len(cent_rows)} centroids exceed the 1e6 "
-            "kernel-closure bound; shard the corpus or train a two-level "
-            "coarse quantizer"
+    if len(cent_rows) > TWO_LEVEL_CELL_BOUND:
+        # past the single-table design point (√N cells reach 10⁶ at
+        # N = 10¹² vectors) the kernel routes through the two-level
+        # coarse quantizer: level-1 coarse cells restrict which level-2
+        # centroids a row scores — ~√k coarse scores + probed shards
+        # instead of all k (r12, verdict #2; formerly a loud RuntimeError
+        # naming this cure)
+        return _assign_cells_two_level(
+            df, cent_rows, centroids, vec_col, n_probe, keys
         )
     cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
     order = np.argsort(cells_np)
     cells_np, cmat = cells_np[order], cmat[order]
+    c2 = np.einsum("ij,ij->i", cmat, cmat)
     k = int(cells_np.shape[0])
     p = min(int(n_probe), k)
     in_fields = {f.name: f for f in df.schema.fields}
@@ -538,8 +699,10 @@ def _assign_cells(
     )
     cell_np_type = np.int32 if isinstance(cell_type, IntegerType) else np.int64
     block = 1024  # bounds the per-batch distance matrix at b×block doubles
+    bc = df.sparkSession.sparkContext.broadcast((cells_np, cmat, c2))
 
     def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cells_np, cmat, c2 = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -547,14 +710,12 @@ def _assign_cells(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
             )
             b = x.shape[0]
+            x2 = np.einsum("ij,ij->i", x, x)
             best_d = np.full((b, p), np.inf)
-            best_c = np.zeros((b, p), dtype=np.int64)
+            best_c = np.full((b, p), cells_np[0], dtype=np.int64)
             for s in range(0, k, block):
                 cb = cmat[s : s + block]
-                dblk = np.empty((b, cb.shape[0]))
-                for j in range(cb.shape[0]):
-                    diff = x - cb[j]
-                    dblk[:, j] = np.einsum("ij,ij->i", diff, diff)
+                dblk = x2[:, None] + c2[s : s + block][None, :] - 2.0 * (x @ cb.T)
                 cat_d = np.concatenate([best_d, dblk], axis=1)
                 cat_c = np.concatenate(
                     [
@@ -836,14 +997,16 @@ def pq_encode(
     ``(id, sub, code)`` — the compressed representation PQ search runs
     on.
 
-    r11 shape (the `_assign_cells` recipe): the codebook — m·k rows,
-    always broadcast-sized — is collected once and closed over by an
+    r12 shape (the `_assign_cells` recipe): the codebook — m·k rows,
+    always broadcast-sized — is collected once, shipped as a Spark
+    BROADCAST variable (not a per-task closure), and consumed by an
     Arrow-batched numpy kernel that encodes all m subspaces per row in
-    one pass: the former broadcast join + min_by materialized N·m rows
-    and ran N·m·k interpreted d-dim folds. Ties still break (distance,
-    cell): per-sub cells are column-ordered ascending and argmin
-    returns the first minimum. Rows-only consumers (pq / ivfpq); codes
-    are deterministic for a fixed corpus."""
+    one pass with ONE GEMM per subspace (‖x‖²+‖c‖²−2x@Cᵀ): the former
+    broadcast join + min_by materialized N·m rows and ran N·m·k
+    interpreted d-dim folds. Ties still break (distance, cell): per-sub
+    cells are column-ordered ascending and argmin returns the first
+    minimum. Rows-only consumers (pq / ivfpq); codes are deterministic
+    for a fixed corpus."""
     d = dim // m
     book_rows = codebooks.select("sub", "cell", "centroid").collect()
     by_sub: dict[int, list] = {}
@@ -857,16 +1020,21 @@ def pq_encode(
         )
     cells_by_sub = []
     cmats = []
+    c2s = []
     for s in range(m):
         entries = sorted(by_sub[s])  # ascending cell → argmin ties = min cell
         cells_by_sub.append(np.array([c for c, _ in entries], dtype=np.int64))
-        cmats.append(np.array([v for _, v in entries], dtype=np.float64))
+        cm = np.array([v for _, v in entries], dtype=np.float64)
+        cmats.append(cm)
+        c2s.append(np.einsum("ij,ij->i", cm, cm))
     in_id = df.schema[id_col]
     out_schema = StructType(
         [in_id, StructField("sub", IntegerType()), StructField("code", IntegerType())]
     )
+    bc = df.sparkSession.sparkContext.broadcast((cells_by_sub, cmats, c2s))
 
     def encode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cells_by_sub, cmats, c2s = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -879,10 +1047,11 @@ def pq_encode(
             for s in range(m):
                 xs = x[:, s * d : (s + 1) * d]
                 cm = cmats[s]
-                dist = np.empty((b, cm.shape[0]))
-                for j in range(cm.shape[0]):
-                    diff = xs - cm[j]
-                    dist[:, j] = np.einsum("ij,ij->i", diff, diff)
+                dist = (
+                    np.einsum("ij,ij->i", xs, xs)[:, None]
+                    + c2s[s][None, :]
+                    - 2.0 * (xs @ cm.T)
+                )
                 out_id.append(ids)
                 out_sub.append(np.full(b, s, dtype=np.int32))
                 out_code.append(
@@ -1426,6 +1595,119 @@ def ivfpq_build(
         resid, books, m=m, id_col=id_col, vec_col="__rv", dim=dim
     ).join(resid.select(id_col, F.col("cell").alias("__ivf_cell")), id_col)
     return cents, books, codes
+
+
+def ivfpq_append(
+    new_df: DataFrame,
+    cents: DataFrame,
+    books: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """INCREMENTAL index maintenance (r11 verdict #3): encode a DELTA
+    of new vectors against the FROZEN coarse quantizer + codebooks and
+    return their ``(id, sub, code, __ivf_cell)`` rows for the caller to
+    APPEND to the standing codes table — no retraining, the corpus is
+    never rescanned. This is the serving-side twin of the dedup
+    family's ingest-delta ops: the standing index grows per batch at
+    delta cost (one broadcast-centroid assignment scan of the delta +
+    one broadcast-codebook encode pass).
+
+    Because assignment and encoding are EXACTLY the build's own kernels
+    run against the same frozen tables, search-after-append is
+    bit-identical to search after a full re-encode of (corpus ∪ delta)
+    with the same frozen quantizer/codebooks — the
+    `q_llm_ivfpq_append` invariant (tests/test_llm_ops.py). When to
+    retrain instead of append is a DRIFT question: :func:`ivfpq_drift`
+    (the q_llm_dim_stats monitor against the train-time snapshot)."""
+    residual = F.zip_with(
+        F.col(vec_col), F.col("centroid"), lambda x, y: x.cast("double") - y
+    )
+    resid = (
+        _assign_cells(
+            new_df.select(id_col, vec_col), cents, vec_col=vec_col,
+            id_cols=[id_col],
+        )
+        .join(F.broadcast(cents), "cell")
+        .select(id_col, "cell", residual.alias("__rv"))
+        .localCheckpoint(eager=True)  # consumed by encode AND the cell join
+    )
+    return pq_encode(
+        resid, books, m=m, id_col=id_col, vec_col="__rv", dim=dim
+    ).join(resid.select(id_col, F.col("cell").alias("__ivf_cell")), id_col)
+
+
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension ``(dim, n, mean_x, min_x, max_x)`` of an embedding
+    column — the drift-monitor summary :func:`ivfpq_drift` compares
+    (the q_llm_dim_stats shape). The mean rides the tie-guarded
+    DECIMAL(28,8) f32-mean discipline (queries/llm._f32_mean — ONE
+    double→decimal cast at a scale with no dyadic tie in f32 data,
+    divide after casting back to double), min/max are exact order
+    statistics — every column oracle-reproducible, unlike a variance
+    (whose x² decimal cast sits at the f64 tie floor)."""
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    return ex.groupBy("dim").agg(
+        F.count("x").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(28,8)")).cast("double")
+            / F.count("x")
+        )
+        .cast("double")
+        .alias("mean_x"),
+        F.min("x").cast("double").alias("min_x"),
+        F.max("x").cast("double").alias("max_x"),
+    )
+
+
+def ivfpq_drift(
+    delta_stats: DataFrame,
+    train_stats: DataFrame,
+    shift_threshold: float = 0.05,
+    drifted_dims_frac: float = 0.25,
+) -> DataFrame:
+    """RETRAIN TRIGGER for a standing IVF-PQ index: compare the ingest
+    delta's per-dimension stats (:func:`dim_stats`) against the
+    snapshot captured at train time. A dimension has drifted when its
+    delta mean moved more than ``shift_threshold`` of the train-time
+    VALUE RANGE (max−min — the range-normalized mean shift: exact
+    order statistics keep the whole monitor oracle-reproducible where
+    a σ-normalized shift would not be); the index wants a retrain when
+    more than ``drifted_dims_frac`` of dimensions drifted. Returns ONE
+    row ``(n_dims, n_drifted, max_shift, retrain)`` — a metadata-scale
+    verdict (both inputs are dim-count rows), evaluated per append
+    batch for free. Degenerate zero-range train dims count as drifted
+    only if the delta mean actually moved (guarded /0 on both engines
+    — the ratio-denominator rule), and the guard keeps max_shift
+    finite/NULL-free."""
+    t = train_stats.select(
+        "dim",
+        F.col("mean_x").alias("__tmean"),
+        (F.col("max_x") - F.col("min_x")).alias("__trange"),
+    )
+    j = delta_stats.select("dim", "mean_x").join(t, "dim")
+    dmean = F.abs(F.col("mean_x") - F.col("__tmean"))
+    shift = F.when(F.col("__trange") > 0, dmean / F.col("__trange")).otherwise(
+        F.when(dmean > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    scored = j.select("dim", shift.alias("__shift"))
+    return scored.agg(
+        F.count("dim").cast("bigint").alias("n_dims"),
+        F.count(F.when(F.col("__shift") > shift_threshold, 1))
+        .cast("bigint")
+        .alias("n_drifted"),
+        F.max("__shift").alias("max_shift"),
+    ).select(
+        "n_dims",
+        "n_drifted",
+        "max_shift",
+        (
+            F.col("n_drifted").cast("double")
+            > F.lit(drifted_dims_frac) * F.col("n_dims").cast("double")
+        ).alias("retrain"),
+    )
 
 
 def ivfpq_search(

@@ -5446,6 +5446,98 @@ def q_llm_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("q_llm_ivfpq_append")  # iterative quantizer training — rows-only
+def q_llm_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF-PQ maintenance (r11 verdict #3) — the missing
+    half of the serving story: `q_llm_ivfpq_serve` reuses a standing
+    index across probe batches; this key GROWS one. New vectors are
+    assigned + residual-encoded against the FROZEN coarse quantizer
+    and codebooks (`ivfpq_append` — exactly the build's own kernels,
+    no retraining, corpus never rescanned) and their code rows are
+    unioned onto the standing codes table; the search then runs over
+    the merged index. Rows-only (nested iterative k-means); the
+    invariant test (tests/test_llm_ops.py::
+    test_ivfpq_append_matches_frozen_rebuild) pins bit-equality
+    between search-after-append and search after a full re-encode of
+    corpus ∪ delta with the same frozen quantizer/codebooks. The
+    when-to-retrain-instead question is `q_llm_ivfpq_drift`."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents, books, codes = ivfpq_build(hist, m=8, ks=16)
+    merged = codes.unionByName(ivfpq_append(delta, cents, books, m=8))
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_search(cents, books, merged, probes, k=5, n_probe=4, m=8)
+
+
+_SQL_VEC_EXPLODED = """
+      SELECT vec_id,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+"""
+
+
+@query(
+    "q_llm_ivfpq_drift",
+    oracle=f"""
+    WITH ex AS ({_SQL_VEC_EXPLODED}),
+    tr AS (
+      SELECT dim, {_SQL_F32_MEAN} AS mean_x,
+             CAST(min(x) AS DOUBLE) AS min_x,
+             CAST(max(x) AS DOUBLE) AS max_x
+      FROM ex WHERE vec_id % 5 <> 0 GROUP BY dim
+    ),
+    de AS (
+      SELECT dim, {_SQL_F32_MEAN} AS mean_x
+      FROM ex WHERE vec_id % 5 = 0 GROUP BY dim
+    ),
+    sc AS (
+      SELECT tr.dim,
+             CASE WHEN (tr.max_x - tr.min_x) > 0e0
+                  THEN abs(de.mean_x - tr.mean_x) / (tr.max_x - tr.min_x)
+                  WHEN abs(de.mean_x - tr.mean_x) > 0e0 THEN 1e0
+                  ELSE 0e0 END AS shift
+      FROM de JOIN tr ON de.dim = tr.dim
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(count(*) FILTER (WHERE shift > 0.05e0) AS BIGINT) AS n_drifted,
+           max(shift) AS max_shift,
+           (CAST(count(*) FILTER (WHERE shift > 0.05e0) AS DOUBLE)
+            > 0.25e0 * CAST(count(*) AS DOUBLE)) AS retrain
+    FROM sc
+    """,
+)
+def q_llm_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRAIN TRIGGER for the incremental IVF-PQ index
+    (`q_llm_ivfpq_append`'s other half): per-dimension stats of the
+    ingest delta vs the train-time snapshot (the q_llm_dim_stats
+    monitor reused as the drift sensor, r11 verdict #3). Drift is the
+    RANGE-normalized mean shift — |Δmean| / (train max − min) — so
+    every column is oracle-exact (tie-guarded DECIMAL(28,8) f32-means,
+    exact order-statistic ranges; a σ-normalized shift would put x²
+    through a decimal cast at the f64 tie floor). One posexplode +
+    two (dim)-keyed aggregates on metadata-width tables; the verdict
+    row is free per append batch. Degenerate zero-range dims count as
+    drifted only if the mean actually moved (guarded /0 on both
+    engines)."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        dim_stats,
+        ivfpq_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = dim_stats(emb.filter(F.col("vec_id") % 5 != 0))
+    de = dim_stats(emb.filter(F.col("vec_id") % 5 == 0))
+    return ivfpq_drift(de, tr, shift_threshold=0.05, drifted_dims_frac=0.25)
+
+
 @query(
     "q_llm_isotropy",
     oracle="""

@@ -126,6 +126,29 @@ def q_take_while(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_drop_while",
+    oracle="""
+    SELECT event_id, ts, value FROM (
+      SELECT event_id, ts, value,
+             min(CASE WHEN value < 99.5 THEN 1 ELSE 0 END)
+               OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ok
+      FROM events
+    ) WHERE ok = 0
+    """,
+)
+def q_drop_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(drop-while pred)`: the complement suffix of q_take_while —
+    everything from the first predicate-failing row onward, same pinned
+    global order and the same parallel two-phase prefix scan (running
+    min within range partitions + broadcast min of earlier partitions);
+    the oracle is the exact `ok = 0` complement of q_take_while's."""
+    from kafka_streams_clojure_spark.operators.order import drop_while_global
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    return drop_while_global(ev, F.col("value") < 99.5, ["ts", "event_id"])
+
+
+@query(
     "q_topk_global",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

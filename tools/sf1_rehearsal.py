@@ -7,6 +7,9 @@ query from the Spark UI REST API. Output feeds SCALE.md "sf~1
 rehearsal" — measured headroom, not extrapolation.
 
 Usage: python tools/sf1_rehearsal.py [n_docs]  (default 50_000)
+  --x30 [mult]: the standing 30× re-run (r11 verdict #6) — ANN family
+  keys at mult (default 30) + the hierarchical-banding switch-point
+  candidate-mass A/B (levels 1 vs 2 on the >2^16-class fixture).
 Writes the table to /tmp/sf1_rehearsal/documents.parquet (never
 touches /root/testdata).
 """
@@ -105,6 +108,14 @@ def main() -> None:
         return
     if "--r11" in sys.argv:
         run_r7_rehearsal(int(args[0]) if args else 1, keys=R11_KEYS)
+        return
+    if "--x30" in sys.argv:
+        # r11 verdict #6: the one-off 30× measurements promoted to a
+        # standing flag — the ANN family at mult=30 plus the banding
+        # at-the-switch-point candidate-mass A/B. Optional arg = mult.
+        m = int(args[0]) if args else 30
+        run_r7_rehearsal(m, keys=X30_KEYS)
+        run_banding_switchpoint(m)
         return
     if events_mode:
         if not os.path.exists(f"{OUT_DIR}/events.parquet"):
@@ -367,6 +378,78 @@ R11_KEYS = [
     "q_llm_ivfpq_topk",          # sampled-training build + ADC search
     "q_llm_semdedup",            # sampled-training √N-cell quantizer
 ]
+
+
+#: `--x30` keys (r11 verdict #6): the families whose 30× behavior was
+#: measured one-off in round 11 — re-runnable whenever they change.
+X30_KEYS = [
+    "q_llm_ann_probe_curve",  # sampled-training IVF-PQ build + curve
+    "q_llm_ivfpq_topk",       # sampled-training build + ADC search
+    "q_llm_semdedup",         # √N-cell quantizer + grouped verify
+]
+
+
+def run_banding_switchpoint(mult: int) -> None:
+    """The hierarchical-banding at-the-switch-point A/B (r11 one-off,
+    now standing): on the x``mult`` documents fixture — whose distinct
+    simhash class count exceeds the 2¹⁶ level-1 band space at mult≈30 —
+    measure band rows, CANDIDATE pair mass and candidate-join wall for
+    levels=1 vs levels=2, plus what `auto_band_levels` derives. The
+    level-2 cut is the scale argument (r11: 149.4M → 14.7M candidates,
+    10.1×, zero recall loss by double-pigeonhole)."""
+    d = f"/tmp/sf1_r7_x{mult}"
+    if not os.path.exists(f"{d}/documents.parquet"):
+        t0 = time.perf_counter()
+        generate_r7(d, mult)
+        print(f"generated x{mult} fixtures in {time.perf_counter()-t0:.1f}s")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.operators.dedup import (
+        auto_band_levels,
+        hamming_band_rows,
+        simhash_signatures,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("banding-switchpoint")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    classes = (
+        simhash_signatures(docs).select("simhash").distinct().persist()
+    )
+    n_classes = classes.count()
+    lvl = auto_band_levels(n_classes, max_hamming=3)
+    report = {"n_classes": n_classes, "auto_level": lvl}
+    for levels in (1, 2):
+        rows = hamming_band_rows(classes, "simhash", 3, levels=levels).persist()
+        n_rows = rows.count()
+        a = rows.select(F.col("simhash").alias("ha"), "band", "bucket")
+        b = rows.select(F.col("simhash").alias("hb"), "band", "bucket")
+        t0 = time.perf_counter()
+        n_cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("ha") < F.col("hb"))
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        report[f"level{levels}"] = {
+            "band_rows": n_rows,
+            "candidates": n_cand,
+            "join_sec": round(dt, 1),
+        }
+        print(f"levels={levels}", json.dumps(report[f"level{levels}"]))
+        rows.unpersist()
+    print("BANDING_REPORT", json.dumps(report))
+    spark.stop()
 
 
 def generate_r7(d: str, mult: int) -> None:
