@@ -33,6 +33,42 @@ from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
 
+_BLAS_LIMITED = False
+
+
+def _limit_blas_threads() -> None:
+    """Pin OpenBLAS to ONE thread in this process — called at GEMM-
+    kernel entry, so it runs once per Python WORKER. numpy's bundled
+    OpenBLAS spawns its compile-cap threads per GEMM; 32 concurrent
+    workers × extra BLAS threads oversubscribes the box (measured r12,
+    q_llm_ann_probe_curve: 9.9-10.8 s multi-threaded vs 7.3-7.7 s
+    pinned — the entire GEMM-rewrite regression). Spark owns the
+    parallelism; per-worker BLAS must not. ctypes against the already-
+    loaded library: env vars are too late once the worker has imported
+    numpy, and threadpoolctl is not in the container. Best-effort — an
+    exotic BLAS build just keeps its own threading."""
+    global _BLAS_LIMITED
+    if _BLAS_LIMITED:
+        return
+    _BLAS_LIMITED = True
+    try:
+        import ctypes
+        import glob
+        import os
+
+        libs = glob.glob(
+            os.path.join(os.path.dirname(np.__file__) + ".libs", "libopenblas*")
+        )
+        for so in libs:
+            lib = ctypes.CDLL(so)
+            for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                if hasattr(lib, sym):
+                    getattr(lib, sym)(1)
+                    return
+    except Exception:
+        pass
+
+
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
@@ -596,6 +632,7 @@ def _assign_cells_two_level(
     )
 
     def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        _limit_blas_threads()  # Spark owns the parallelism (see helper)
         cells_np, cmat, c2, cc, cc2, offsets = bc.value
         for pdf in batches:
             if pdf.empty:
@@ -702,6 +739,7 @@ def _assign_cells(
     bc = df.sparkSession.sparkContext.broadcast((cells_np, cmat, c2))
 
     def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        _limit_blas_threads()  # Spark owns the parallelism (see helper)
         cells_np, cmat, c2 = bc.value
         for pdf in batches:
             if pdf.empty:
@@ -1034,6 +1072,7 @@ def pq_encode(
     bc = df.sparkSession.sparkContext.broadcast((cells_by_sub, cmats, c2s))
 
     def encode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        _limit_blas_threads()  # Spark owns the parallelism (see helper)
         cells_by_sub, cmats, c2s = bc.value
         for pdf in batches:
             if pdf.empty:

@@ -49,8 +49,17 @@ def get_spark(app_name: str = "kafka_streams_clojure_spark", shuffle_partitions:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    # One BLAS thread per Python worker: Spark's task threads are the
+    # parallelism; per-worker multi-threaded GEMMs oversubscribe (r12,
+    # measured 1.4x on q_llm_ann_probe_curve). Set in the driver env
+    # BEFORE the JVM launches (local workers inherit it) and as
+    # executorEnv for cluster mode; the kernels also self-pin via
+    # operators.similarity._limit_blas_threads for externally-built
+    # sessions whose JVM predates this import.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
