@@ -617,7 +617,18 @@ def _assign_cells_two_level(
     cc2 = np.einsum("ij,ij->i", cc, cc)
     k = int(cells_np.shape[0])
     p = min(int(n_probe), k)
-    cp = min(K1, max(8, 4 * p)) if coarse_probe is None else min(K1, coarse_probe)
+    # default coarse probe SCALES with the shard count (K1/8, floor 8,
+    # at least 4·n_probe): a fixed small cp over ~√k shards probes a
+    # vanishing fraction of centroids as k grows — on structure-free
+    # Gaussian data (the worst case) cp=8 of 1000 shards agreed with
+    # exact assignment on only 19% of rows (tools/two_level_bench.py),
+    # while cp=K1/8 bounds the cut at 8× compute for a fixed ~87% of
+    # shards skipped. Callers tune per corpus; the recall floors of the
+    # consuming families are the gate.
+    if coarse_probe is None:
+        cp = min(K1, max(8, 4 * p, (K1 + 7) // 8))
+    else:
+        cp = min(K1, max(1, int(coarse_probe)))
     in_fields = {f.name: f for f in df.schema.fields}
     cell_type = centroids.schema["cell"].dataType
     out_schema = StructType(

@@ -101,7 +101,7 @@ def main() -> None:
         cc2 = np.einsum("ij,ij->i", cc, cc)
         t_build = time.perf_counter() - t0
 
-        cp = min(K1, 8)
+        cp = min(K1, max(8, (K1 + 7) // 8))  # the kernel's default formula
         t0 = time.perf_counter()
         a2 = two_level(x, cmat_s, c2_s, cc, cc2, offsets, cp)
         t_two = time.perf_counter() - t0
