@@ -1357,6 +1357,73 @@ def q_stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_root)
 
 
+@query("q_stream_ann_ingest")  # iterative quantizer training — rows-only
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-INDEX ingest — the SERVING-side member of the ingest family
+    (the dedup members admit/drop; this one keeps the similarity index
+    current): an IVF-PQ index is trained ONCE on the historical corpus
+    (every 3rd vector, the family's convention) and persisted; each
+    micro-batch of NEW vectors is then assigned + residual-encoded
+    against the FROZEN quantizer/codebooks (`ivfpq_append` — the
+    build's own kernels, nothing retrains, the corpus is never
+    rescanned) and its code rows are APPENDED to the standing
+    cell-partitioned store. The final search over the grown store is
+    the returned result.
+
+    Rows-only (nested iterative k-means); still deterministic on a
+    fixed corpus AND independent of how the stream was micro-batched —
+    append order never matters because codes are a keyed set and the
+    ADC sum is decimal-cast. The invariant test pins search-over-
+    streamed-store ≡ search after a frozen full re-encode of the whole
+    corpus (tests/test_ann_maintenance.py). Scale shape: per batch one
+    broadcast-centroid scan + one broadcast-codebook encode of the
+    DELTA only; the store grows by m fixed-width rows per vector,
+    partitioned by coarse cell exactly how the probe join prunes it.
+    The when-to-retrain drift monitor is `q_llm_ivfpq_drift`."""
+    import os
+
+    from kafka_streams_clojure_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 3 == 0)
+    root = scratch_dir("kscs_ann_ingest_")
+    cents_root = os.path.join(root, "cents")
+    books_root = os.path.join(root, "books")
+    codes_root = os.path.join(root, "codes")
+    cents, books, codes = ivfpq_build(hist, m=8, ks=16)
+    cents.write.mode("overwrite").parquet(cents_root)
+    books.write.mode("overwrite").parquet(books_root)
+    codes.write.mode("overwrite").partitionBy("__ivf_cell").parquet(codes_root)
+    cents_s = spark.read.parquet(cents_root)
+    books_s = spark.read.parquet(books_root)
+
+    vecs = stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 3 != 0
+    ).select("vec_id", "embedding")
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivfpq_append(batch_df, cents_s, books_s, m=8).write.mode(
+            "append"
+        ).partitionBy("__ivf_cell").parquet(codes_root)
+
+    q = vecs.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    codes_s = spark.read.parquet(codes_root)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_search(cents_s, books_s, codes_s, probes, k=5, n_probe=4, m=8)
+
+
 # One shared constant for the quota-ingest family, f-string-interpolated
 # into BOTH the oracle SQL and the engine bodies (the _SESS_GAP_US
 # discipline) so the two sides cannot silently drift (r9 advice).

@@ -62,6 +62,35 @@ def test_ivfpq_append_matches_frozen_rebuild(spark, emb):
     assert a == b  # bit-equality, not tolerance
 
 
+def test_stream_ann_ingest_matches_frozen_rebuild(spark, sf_dir, emb):
+    """The streaming ingest key's contract: after the stream drains,
+    searching the grown store returns EXACTLY what a frozen full
+    re-encode of the whole corpus returns — batching never matters
+    (codes are a keyed set, the ADC sum is decimal-cast), and the
+    history + appended deltas together cover every vector once."""
+    import __spark_entry__ as entrymod
+    from kafka_streams_clojure_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    streamed = entrymod.queries()["q_stream_ann_ingest"](spark, sf_dir)
+    got = {
+        (int(r.probe_id), int(r.vec_id)): float(r.adc_d2)
+        for r in streamed.collect()
+    }
+    hist = emb.filter(F.col("vec_id") % 3 == 0)
+    cents, books, _ = ivfpq_build(hist, m=8, ks=16)
+    rebuilt = ivfpq_append(emb, cents, books, m=8)
+    probes = emb.filter(F.col("vec_id") < 5)
+    want = {
+        (int(r.probe_id), int(r.vec_id)): float(r.adc_d2)
+        for r in ivfpq_search(cents, books, rebuilt, probes, k=5, n_probe=4, m=8).collect()
+    }
+    assert got == want
+
+
 def test_ivfpq_drift_quiet_on_identical_delta(emb):
     """A delta drawn from the train distribution itself (the train
     slice verbatim) must not trip the trigger: every shift is exactly
