@@ -154,6 +154,9 @@ _PYTHON_OK = {
     # r11 numpy PQ encoder (pq_encode mapInPandas over the collected
     # m·k-row codebook) — the corpus-side encode in the final plan
     "q_llm_pq_topk",
+    # r12 incremental maintenance: the delta's frozen assign + encode
+    # are the same ivfpq-family kernels (ivfpq_append)
+    "q_llm_ivfpq_append",
     # zlib quality screen: compression is not expressible in Catalyst —
     # one Arrow-batched mapInPandas scan, no shuffle, zlib in C
     "q_llm_compress_ratio",
