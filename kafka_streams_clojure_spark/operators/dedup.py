@@ -71,18 +71,35 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
         .filter(F.col("__pos") + k <= F.col("__n"))
         .select(id_col, "shingle")
     )
-    short = df.select(
-        F.col(id_col),
-        F.array_join(F.split(F.col(text_col), r"\s+"), " ").alias("shingle"),
-    ).filter(F.size(F.split(F.col(text_col), r"\s+")) <= k)
-    return (
-        full.unionByName(short)
-        .groupBy(id_col)
+    # r12 (guide §2.4 — reuse the exchange): the per-doc dedupe
+    # aggregates the WINDOWED side directly on the id partitioning the
+    # repartition above already established (HashAggregate, no second
+    # exchange). Short docs (≤ k tokens) contribute exactly ONE shingle
+    # — their collect_set is trivially {whole text} with set_size 1 —
+    # so they union in AFTER the aggregate, pre-aggregated, instead of
+    # forcing the union'd stream through a fresh full shuffle. Output
+    # rows identical (the sides are disjoint: __n > k vs __n <= k);
+    # every Jaccard/MinHash/containment consumer drops one
+    # shingle-width exchange.
+    full_sets = (
+        full.groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
         .select(
             F.col(id_col), F.size("sh").alias("set_size"), F.explode("sh").alias("shingle")
         )
     )
+    short = (
+        df.select(
+            F.col(id_col),
+            F.lit(1).alias("set_size"),
+            F.array_join(F.split(F.col(text_col), r"\s+"), " ").alias("shingle"),
+        )
+        .filter(F.size(F.split(F.col(text_col), r"\s+")) <= k)
+        # null-text docs produced NO rows under the old collect_set
+        # (collect_set drops nulls) — keep that contract
+        .filter(F.col("shingle").isNotNull())
+    )
+    return full_sets.unionByName(short)
 
 
 def _shingle_pair_counts(

@@ -28,7 +28,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
@@ -297,24 +303,53 @@ def lsh_cosine_pairs(
     # one (2×64 doubles/row, ~100× wider — at 100 TB the distinct()
     # shuffle would dominate). Vectors re-join AFTER dedup, keyed by id,
     # against the already-persisted bucketed projection.
-    pairs = None
-    for t in range(n_tables):
-        if multiprobe:
-            probe_buckets = F.explode(
-                F.array(
-                    F.col(f"b_{t}"),
-                    *[
-                        F.col(f"b_{t}").bitwiseXOR(F.lit(1 << i).cast("long"))
-                        for i in range(n_planes)
-                    ],
+    # r12 (guide §2.4: share one exchange): the former per-table loop
+    # union'd n_tables separate bucket joins — 2 exchanges of the
+    # bucketed projection EACH. Fused, both sides explode to (table,
+    # bucket) rows once and ONE equi-join on ["t", "bkt"] carries every
+    # table (same total row mass, the table id rides as a join key), so
+    # the candidate set is unchanged while the exchange count drops
+    # n_tables-fold (q_llm_cosine_ann plan: 16 Exchange → 2 below the
+    # distinct).
+    home = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), F.col(f"b_{t}").alias("bkt")
                 )
+                for t in range(n_tables)
+            ]
+        )
+    )
+    if multiprobe:
+        probe_structs = []
+        for t in range(n_tables):
+            probe_structs.append(
+                F.struct(F.lit(t).alias("t"), F.col(f"b_{t}").alias("bkt"))
             )
-        else:
-            probe_buckets = F.col(f"b_{t}")
-        a = bucketed.select(F.col(id_col).alias("id_a"), probe_buckets.alias("bkt"))
-        b = bucketed.select(F.col(id_col).alias("id_b"), F.col(f"b_{t}").alias("bkt"))
-        cand = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = cand if pairs is None else pairs.unionByName(cand)
+            probe_structs += [
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.col(f"b_{t}")
+                    .bitwiseXOR(F.lit(1 << i).cast("long"))
+                    .alias("bkt"),
+                )
+                for i in range(n_planes)
+            ]
+        probes = F.explode(F.array(*probe_structs))
+    else:
+        probes = home
+    a = bucketed.select(F.col(id_col).alias("id_a"), probes.alias("tb")).select(
+        "id_a", "tb.t", "tb.bkt"
+    )
+    b = bucketed.select(F.col(id_col).alias("id_b"), home.alias("tb")).select(
+        "id_b", "tb.t", "tb.bkt"
+    )
+    pairs = (
+        a.join(b, ["t", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
     vecs = bucketed.select(F.col(id_col), F.col(vec_col))
     # verify stage is the per-candidate hot loop → Arrow-batched cosine
     # (3.1× vs the interpreted HOF, BENCH_NOTES.md "Cosine hot loop")
@@ -485,7 +520,16 @@ def kmeans_centroids(
     # instead of N·√N, identity below MIN_TRAIN-scale corpora. The
     # CONSUMER's full-corpus assignment against the returned centroids
     # is unchanged.
-    train = _train_sample(df.select(id_col, vec_col), id_col, k)
+    # The sample is scanned once PER ITERATION by the assignment kernel
+    # — materialize it once (r12, guide §5 caching rule: reused AND
+    # recomputation = a full corpus scan + hash filter each round; the
+    # checkpointed footprint is the bounded TRAIN_PER_CELL·k sample,
+    # not the corpus). localCheckpoint over persist: nothing else ever
+    # re-derives it, and the blocks release with the session like the
+    # per-iteration centroid checkpoints below.
+    train = _train_sample(
+        df.select(id_col, vec_col), id_col, k
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = _assign_cells(train, cents, vec_col=vec_col)
         # NARROW mean aggregate: posexplode to (cell, d, x) rows and
@@ -836,14 +880,64 @@ def ivf_topk(
     )
 
 
+#: Safety margin for the vectorized cosine PREFILTER below: the max
+#: discrepancy between numpy's einsum accumulation and the strict
+#: left-to-right fold is bounded by ~n·eps·Σ|aᵢbᵢ| ≈ 64·1.1e-16 ≈ 7e-15
+#: for 64-dim unit-scale vectors (norms and the division add a few eps
+#: more) — 1e-9 is ~10⁴× that bound, so no pair whose EXACT fold value
+#: reaches the threshold can be dropped by the prefilter.
+_COSINE_PREFILTER_MARGIN = 1e-9
+
+
+def _cosine_prefilter(threshold: float):
+    """Vectorized (Arrow-batched) cosine >= threshold−margin predicate —
+    a Bloom-filter-style candidate cut (guide §3.2: false positives only
+    cost the exact fold they would have paid anyway; the margin makes
+    false negatives impossible) for the oracle-gated blocked all-pairs
+    chain. Marked non-deterministic ON PURPOSE (guide §4.4): it keeps
+    Catalyst from pushing the expensive interpreted-fold filter below
+    this one, so the fold only ever runs on prefilter survivors. NaN /
+    zero-norm rows read False here and their exact fold reads NaN —
+    dropped by both, so the output set is unchanged."""
+    cut = threshold - _COSINE_PREFILTER_MARGIN
+
+    @pandas_udf(BooleanType())
+    def pre(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=bool)
+        ok = (a.notna() & b.notna()).to_numpy()
+        out = np.zeros(len(a), dtype=bool)
+        if ok.any():
+            A = np.stack(a[ok].to_numpy()).astype(np.float64)
+            B = np.stack(b[ok].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                    np.einsum("ij,ij->i", B, B)
+                )
+                sim = num / den
+            with np.errstate(invalid="ignore"):
+                out[ok] = sim >= cut
+        return pd.Series(out, index=a.index)
+
+    return pre.asNondeterministic()
+
+
 def _blocked_all_pairs_cosine(
     df: DataFrame, id_col: str, vec_col: str, blk: Column, threshold: float
 ) -> DataFrame:
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), blk.alias("blk"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), blk.alias("blk"))
+    # r12: the interpreted left-to-right fold (`cosine`) is the emitted,
+    # oracle-bit-matched value but also the chain's hot loop (BENCH_NOTES
+    # "Cosine hot loop": HOF 2.62 s vs einsum pandas_udf 0.84 s per 200k
+    # pairs) — so candidates first pass the margin prefilter above and
+    # the fold only scores survivors. Output rows and cos_sim values are
+    # IDENTICAL (tests/test_llm_ops.py::test_cosine_prefilter_equivalence).
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cosine_prefilter(threshold)(F.col("v_a"), F.col("v_b")))
         .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -6876,20 +6876,43 @@ def q_llm_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs(truth_docs, threshold=0.5).select("id_a", "id_b")
     )
     n_exact = exact.count()
+    # r12 (guide §2.4: share one exchange instead of three): the three
+    # configs' band rows UNION into one cfg-tagged table, so the
+    # candidate build is ONE (cfg, band, bucket) self-join + ONE
+    # distinct + ONE checkpoint, and the per-config counts/hits come
+    # back as two 3-row aggregates — was a per-config loop of
+    # join+distinct+checkpoint+2 counts (~9 jobs → 3). Per-config
+    # candidate sets are unchanged (cfg rides in every join/group key).
+    rows_all = None
+    for bands in (4, 8, 16):
+        tagged = minhash_band_rows(
+            docs, n_hashes=32, bands=bands, sig=sig
+        ).select(F.lit(bands).alias("cfg"), "doc_id", "band", "bucket")
+        rows_all = tagged if rows_all is None else rows_all.unionByName(tagged)
+    a = rows_all.select("cfg", F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = rows_all.select("cfg", F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["cfg", "band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cfg", "id_a", "id_b")
+        .distinct()
+    ).localCheckpoint(eager=True)  # consumed by count + hits aggregates
+    n_cand_by_cfg = {
+        int(r["cfg"]): int(r["n"])
+        for r in cand.groupBy("cfg").agg(F.count("*").alias("n")).collect()
+    }
+    hits_by_cfg = {
+        int(r["cfg"]): int(r["n"])
+        for r in cand.join(exact, ["id_a", "id_b"], "left_semi")
+        .groupBy("cfg")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     outs = []
     for bands in (4, 8, 16):
         r = 32 // bands
-        rows = minhash_band_rows(docs, n_hashes=32, bands=bands, sig=sig)
-        a = rows.select(F.col("doc_id").alias("id_a"), "band", "bucket")
-        b = rows.select(F.col("doc_id").alias("id_b"), "band", "bucket")
-        cand = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        ).localCheckpoint(eager=True)  # consumed by count + hits join
-        n_cand = cand.count()
-        hits = cand.join(exact, ["id_a", "id_b"], "left_semi").count()
+        n_cand = n_cand_by_cfg.get(bands, 0)
+        hits = hits_by_cfg.get(bands, 0)
         p_at_05 = 1.0 - (1.0 - 0.5**r) ** bands
         outs.append(
             (bands, r, bands * n_docs, n_cand, hits,

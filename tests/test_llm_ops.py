@@ -602,6 +602,115 @@ def test_embedding_near_dup_block_guard_lsh_fallback(skewed_blocks):
     assert not crossing, f"cross-block pairs violate blocking: {crossing[:5]}"
 
 
+def test_shingle_sets_post_agg_union(spark):
+    """r12 optimization guard: unioning the pre-aggregated short-doc
+    side AFTER the windowed side's collect_set (one exchange instead of
+    two) must keep shingle_sets' exact output contract — long docs get
+    distinct k-shingles with the full set size, short (<= k tokens)
+    docs get their whole text as ONE shingle with set_size 1, null-text
+    docs get NO rows."""
+    from kafka_streams_clojure_spark.operators.dedup import shingle_sets
+
+    rows = [
+        (1, "a b c d e f"),          # 6 tokens -> 3 distinct 4-shingles
+        (2, "x y"),                  # short -> one whole-text shingle
+        (3, None),                   # null text -> no rows
+        (4, "r r r r r r r"),        # repeated token -> 1 distinct shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (int(r.doc_id), int(r.set_size), r.shingle)
+        for r in shingle_sets(df).collect()
+    }
+    want = {
+        (1, 3, "a b c d"),
+        (1, 3, "b c d e"),
+        (1, 3, "c d e f"),
+        (2, 1, "x y"),
+        (4, 1, "r r r r"),
+    }
+    assert got == want, f"diff: got-want={got - want}, want-got={want - got}"
+
+
+def test_cosine_prefilter_equivalence(emb, spark):
+    """r12 optimization guard: the vectorized margin prefilter in
+    `_blocked_all_pairs_cosine` must not change the chain's output —
+    same pair SET and bit-identical fold cos_sim values as the bare
+    join+fold form, on the fixture (threshold 0.25, the lowest any
+    oracle caller uses) AND on planted vectors sitting exactly AT the
+    threshold (the tie the margin exists to protect)."""
+    from kafka_streams_clojure_spark.operators.similarity import (
+        _blocked_all_pairs_cosine,
+        cosine,
+    )
+
+    def bare(df, blk_col, threshold):
+        a = df.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("v_a"),
+            F.col(blk_col).alias("blk"),
+        )
+        b = df.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("v_b"),
+            F.col(blk_col).alias("blk"),
+        )
+        return (
+            a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    got = {
+        (int(r.id_a), int(r.id_b)): r.cos_sim
+        for r in _blocked_all_pairs_cosine(
+            emb, "vec_id", "embedding", F.col("label"), 0.25
+        ).collect()
+    }
+    want = {
+        (int(r.id_a), int(r.id_b)): r.cos_sim
+        for r in bare(emb, "label", 0.25).collect()
+    }
+    assert got == want, (
+        f"prefilter changed the fixture output: lost "
+        f"{sorted(set(want) - set(got))[:5]}, gained "
+        f"{sorted(set(got) - set(want))[:5]}"
+    )
+
+    # planted at-threshold ties: cos(a, b) = t EXACTLY in float for
+    # a = e0, b = (t, sqrt(1-t^2), 0...) — the fold computes 0 + 1*t
+    # and the einsum the same product; both must keep the pair.
+    import math
+
+    t = 0.25
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [t, math.sqrt(1 - t * t), 0.0, 0.0], 0),  # cos == t exactly
+        (2, [0.0, 1.0, 0.0, 0.0], 0),  # cos(0,2) = 0 < t
+        (3, [1.0, 1e-7, 0.0, 0.0], 0),  # cos(0,3) ~ 1
+    ]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got_p = {
+        (int(r.id_a), int(r.id_b)): r.cos_sim
+        for r in _blocked_all_pairs_cosine(
+            planted, "vec_id", "embedding", F.col("label"), t
+        ).collect()
+    }
+    want_p = {
+        (int(r.id_a), int(r.id_b)): r.cos_sim
+        for r in bare(planted, "label", t).collect()
+    }
+    assert got_p == want_p
+    assert (0, 1) in got_p, "at-threshold pair must survive the prefilter"
+
+
 def test_pq_codes_shape_and_cardinality(emb):
     """PQ encoding: exactly m codes per vector, each drawn from the
     <=k cells of its subspace's codebook."""
