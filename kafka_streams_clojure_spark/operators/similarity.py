@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -530,7 +531,8 @@ def kmeans_centroids(
     train = _train_sample(
         df.select(id_col, vec_col), id_col, k
     ).localCheckpoint(eager=True)
-    for _ in range(iters):
+
+    def _iterate(cents: DataFrame) -> DataFrame:
         assigned = _assign_cells(train, cents, vec_col=vec_col)
         # NARROW mean aggregate: posexplode to (cell, d, x) rows and
         # sum one decimal column grouped by (cell, d), then rebuild the
@@ -547,19 +549,45 @@ def kmeans_centroids(
                 / F.count(F.lit(1))
             ).alias("mu")
         )
-        # per-iteration checkpoint of the k-ROW centroid table: without
-        # it iteration i's plan nests every earlier iteration and the
-        # chain re-executes once per nesting level (r11 A/B at sf0.1:
-        # 5.6 s → 2.6 s warm, bit-identical centroids). This reverses
-        # the r8 no-checkpoint note, which was measured against the old
-        # per-subspace pq loop (16 eager jobs); here it is `iters` jobs
-        # over k×dim rows — metadata-scale.
-        cents = cellmeans.groupBy("cell").agg(
+        return cellmeans.groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("d", "mu"))),
                 lambda s: s["mu"],
             ).alias("centroid")
-        ).localCheckpoint(eager=True)
+        )
+
+    # r12 (§1.2 per-task work after shape is right — here the "shape"
+    # waste was PER-ITERATION JOB BARRIERS): the loop state is a k-row
+    # metadata-scale table that the next iteration's _assign_cells
+    # COLLECTS anyway. Carrying it between iterations as a driver-local
+    # relation (collect → createDataFrame) makes each iteration ONE
+    # Spark job — the old per-iteration trio was the centroid collect,
+    # the checkpoint materialization, and the agg chain (r11's
+    # localCheckpoint-per-round, now subsumed: a LocalRelation has no
+    # lineage to truncate, and _assign_cells' collect on it is
+    # driver-local, no job). Arithmetic is untouched — same assignment
+    # kernel, same decimal means, same d-ordered rebuild — so centroids
+    # stay bit-identical (guard: test_kmeans_centroids_deterministic_
+    # and_shaped + serve≡retrain). Rows collected per iteration = the
+    # same (cell, centroid) table every consumer already collects,
+    # under the same TWO_LEVEL_CELL_BOUND exposure; past the bound the
+    # distributed loop below keeps the two-level routing.
+    seed_schema = StructType(
+        [
+            StructField("cell", cents.schema["cell"].dataType),
+            cents.schema["centroid"],
+        ]
+    )
+    seed_rows = cents.select("cell", "centroid").collect()
+    if len(seed_rows) > TWO_LEVEL_CELL_BOUND:
+        del seed_rows
+        for _ in range(iters):
+            cents = _iterate(cents).localCheckpoint(eager=True)
+        return cents
+    spark = df.sparkSession
+    cents = spark.createDataFrame(seed_rows, seed_schema)
+    for _ in range(iters):
+        cents = spark.createDataFrame(_iterate(cents).collect(), seed_schema)
     return cents
 
 
@@ -625,6 +653,7 @@ def _assign_cells_two_level(
     n_probe: int,
     keys: Sequence[str],
     coarse_probe: int | None = None,
+    residual_col: str | None = None,
 ) -> DataFrame:
     """Two-level cell assignment for centroid tables past the
     single-table design point (k > TWO_LEVEL_CELL_BOUND): a driver-side
@@ -673,22 +702,31 @@ def _assign_cells_two_level(
         cp = min(K1, max(8, 4 * p, (K1 + 7) // 8))
     else:
         cp = min(K1, max(1, int(coarse_probe)))
+    if residual_col is not None and p != 1:
+        raise ValueError("residual_col requires n_probe=1 (one winning cell)")
     in_fields = {f.name: f for f in df.schema.fields}
     cell_type = centroids.schema["cell"].dataType
+    tail_field = (
+        StructField(residual_col, ArrayType(DoubleType()))
+        if residual_col is not None
+        else in_fields[vec_col]
+    )
     out_schema = StructType(
-        [in_fields[c] for c in keys]
-        + [StructField("cell", cell_type)]
-        + [in_fields[vec_col]]
+        [in_fields[c] for c in keys] + [StructField("cell", cell_type), tail_field]
     )
     cell_np_type = np.int32 if isinstance(cell_type, IntegerType) else np.int64
     block = 1024
+    # shard ordering leaves cells_np unsorted globally — precompute the
+    # cell-id → matrix-row lookup for the residual path
+    cell_order = np.argsort(cells_np, kind="stable")
     bc = df.sparkSession.sparkContext.broadcast(
-        (cells_np, cmat, c2, cc, cc2, offsets)
+        (cells_np, cmat, c2, cc, cc2, offsets, cell_order)
     )
+    emit_resid = residual_col is not None
 
     def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         _limit_blas_threads()  # Spark owns the parallelism (see helper)
-        cells_np, cmat, c2, cc, cc2, offsets = bc.value
+        cells_np, cmat, c2, cc, cc2, offsets, cell_order = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -726,7 +764,12 @@ def _assign_cells_two_level(
                     best_c[rows] = np.take_along_axis(cat_c, idx, axis=1)
             out = {c: np.repeat(pdf[c].to_numpy(), p) for c in keys}
             out["cell"] = best_c.reshape(-1).astype(cell_np_type)
-            out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), p)
+            if emit_resid:
+                srt = cells_np[cell_order]
+                rv = x - cmat[cell_order[np.searchsorted(srt, best_c[:, 0])]]
+                out[residual_col] = list(rv)
+            else:
+                out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), p)
             yield pd.DataFrame(out)
 
     return df.select(*keys, vec_col).mapInPandas(assign, schema=out_schema)
@@ -738,6 +781,7 @@ def _assign_cells(
     vec_col: str = "embedding",
     n_probe: int = 1,
     id_cols: Sequence[str] | None = None,
+    residual_col: str | None = None,
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest cell ids to every row.
 
@@ -762,6 +806,8 @@ def _assign_cells(
     NaN-bearing vector (all-NaN distances sort after the inf padding)
     degrades to a real cell instead of a fabricated id 0."""
     keys = list(id_cols) if id_cols else [c for c in df.columns if c != vec_col]
+    if residual_col is not None and int(n_probe) != 1:
+        raise ValueError("residual_col requires n_probe=1 (one winning cell)")
     cent_rows = centroids.select("cell", "centroid").collect()
     if not cent_rows:
         raise ValueError("_assign_cells: empty centroid table")
@@ -773,7 +819,8 @@ def _assign_cells(
         # instead of all k (r12, verdict #2; formerly a loud RuntimeError
         # naming this cure)
         return _assign_cells_two_level(
-            df, cent_rows, centroids, vec_col, n_probe, keys
+            df, cent_rows, centroids, vec_col, n_probe, keys,
+            residual_col=residual_col,
         )
     cells_np = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
@@ -784,14 +831,22 @@ def _assign_cells(
     p = min(int(n_probe), k)
     in_fields = {f.name: f for f in df.schema.fields}
     cell_type = centroids.schema["cell"].dataType
+    # with residual_col the kernel emits the row's residual (vec − its
+    # winning centroid, elementwise IEEE double subtraction — the exact
+    # arithmetic of the former broadcast-join + zip_with consumer form,
+    # r12) INSTEAD of the raw vector
+    tail_field = (
+        StructField(residual_col, ArrayType(DoubleType()))
+        if residual_col is not None
+        else in_fields[vec_col]
+    )
     out_schema = StructType(
-        [in_fields[c] for c in keys]
-        + [StructField("cell", cell_type)]
-        + [in_fields[vec_col]]
+        [in_fields[c] for c in keys] + [StructField("cell", cell_type), tail_field]
     )
     cell_np_type = np.int32 if isinstance(cell_type, IntegerType) else np.int64
     block = 1024  # bounds the per-batch distance matrix at b×block doubles
     bc = df.sparkSession.sparkContext.broadcast((cells_np, cmat, c2))
+    emit_resid = residual_col is not None
 
     def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         _limit_blas_threads()  # Spark owns the parallelism (see helper)
@@ -827,7 +882,12 @@ def _assign_cells(
                 c: np.repeat(pdf[c].to_numpy(), p) for c in keys
             }
             out["cell"] = best_c.reshape(-1).astype(cell_np_type)
-            out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), p)
+            if emit_resid:
+                # p == 1 (asserted above): one winning centroid per row
+                rv = x - cmat[np.searchsorted(cells_np, best_c[:, 0])]
+                out[residual_col] = list(rv)
+            else:
+                out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), p)
             yield pd.DataFrame(out)
 
     return df.select(*keys, vec_col).mapInPandas(assign, schema=out_schema)
@@ -1718,17 +1778,18 @@ def ivfpq_build(
             df, k=None, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
         )
     )
-    residual = F.zip_with(
-        F.col(vec_col), F.col("centroid"), lambda x, y: x.cast("double") - y
-    )
     # consumed by the m-subspace codebook build AND the encode pass —
-    # materialize once (the semdedup assignment lesson)
+    # materialize once (the semdedup assignment lesson). r12: the
+    # residual comes straight out of the assignment kernel (numpy
+    # x − centroid, bit-identical elementwise IEEE subtraction) —
+    # drops the broadcast-cents join AND the interpreted zip_with over
+    # every corpus vector the former consumer form paid (§4.2).
     resid = (
         _assign_cells(
-            df.select(id_col, vec_col), cents, vec_col=vec_col, id_cols=[id_col]
+            df.select(id_col, vec_col), cents, vec_col=vec_col,
+            id_cols=[id_col], residual_col="__rv",
         )
-        .join(F.broadcast(cents), "cell")
-        .select(id_col, "cell", residual.alias("__rv"))
+        .select(id_col, "cell", "__rv")
         .localCheckpoint(eager=True)
     )
     books = persist_if_uncached(
@@ -1766,16 +1827,12 @@ def ivfpq_append(
     `q_llm_ivfpq_append` invariant (tests/test_llm_ops.py). When to
     retrain instead of append is a DRIFT question: :func:`ivfpq_drift`
     (the q_llm_dim_stats monitor against the train-time snapshot)."""
-    residual = F.zip_with(
-        F.col(vec_col), F.col("centroid"), lambda x, y: x.cast("double") - y
-    )
     resid = (
         _assign_cells(
             new_df.select(id_col, vec_col), cents, vec_col=vec_col,
-            id_cols=[id_col],
+            id_cols=[id_col], residual_col="__rv",
         )
-        .join(F.broadcast(cents), "cell")
-        .select(id_col, "cell", residual.alias("__rv"))
+        .select(id_col, "cell", "__rv")
         .localCheckpoint(eager=True)  # consumed by encode AND the cell join
     )
     return pq_encode(

@@ -185,3 +185,39 @@ def test_assign_cells_nan_guard(spark):
     }
     assert got[1] == 3  # smallest real cell, NOT 0
     assert got[2] == 7
+
+
+def test_assign_cells_residual_matches_join_form(spark, emb):
+    """r12 optimization guard: the kernel-emitted residual
+    (residual_col=) must be bit-identical to the former
+    broadcast-join + zip_with consumer form — elementwise IEEE double
+    subtraction either way."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb)
+    residual = F.zip_with(
+        F.col("embedding"), F.col("centroid"), lambda x, y: x.cast("double") - y
+    )
+    old = {
+        (int(r["vec_id"]), int(r["cell"])): tuple(r["__rv"])
+        for r in (
+            _assign_cells(
+                emb.select("vec_id", "embedding"), cents,
+                vec_col="embedding", id_cols=["vec_id"],
+            )
+            .join(F.broadcast(cents), "cell")
+            .select("vec_id", "cell", residual.alias("__rv"))
+        ).collect()
+    }
+    new = {
+        (int(r["vec_id"]), int(r["cell"])): tuple(r["__rv"])
+        for r in _assign_cells(
+            emb.select("vec_id", "embedding"), cents,
+            vec_col="embedding", id_cols=["vec_id"], residual_col="__rv",
+        ).collect()
+    }
+    assert old == new
