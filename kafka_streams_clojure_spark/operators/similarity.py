@@ -466,13 +466,19 @@ def kmeans_centroids(
     :func:`_train_sample` (FAISS practice — expected ``max(MIN_TRAIN,
     TRAIN_PER_CELL·k)`` rows, saturating to the full corpus on small
     inputs), which makes the per-iteration cost linear in N under the
-    adaptive ``k=√N`` instead of N^1.5. Per-element sums go
-    through DECIMAL(38,18) so the centroid means are exact — plain
-    double sums are partial-agg-order dependent, and a ulp of centroid
-    drift can flip a Voronoi-boundary assignment between runs.
-    Distributed cost per iteration is one corpus scan + two aggregates;
-    the centroid table itself (k×dim doubles) always fits in a
-    broadcast — at N=10⁹, √N ≈ 31.6k centroids ≈ 16 MB.
+    adaptive ``k=√N`` instead of N^1.5. r12: when that bounded sample
+    fits ``DRIVER_TRAIN_BOUND`` the whole loop runs driver-locally in
+    numpy (:func:`_lloyd_driver` — assignment through the shared
+    :func:`_score_assign_block` kernel, means as fixed-order float64
+    sums, zero per-iteration Spark jobs); past the bound the
+    distributed loop below runs, with per-element sums through
+    DECIMAL(38,18) so the centroid means are partial-agg-order
+    independent. Both paths are RNG-free and deterministic for a fixed
+    corpus — the contract every rows-only consumer (serve≡retrain,
+    planted-copy, recall floors) pins. Distributed cost per iteration
+    is one sample scan + two aggregates; the centroid table itself
+    (k×dim doubles) always fits in a broadcast — at N=10⁹, √N ≈ 31.6k
+    centroids ≈ 16 MB.
 
     Returns ``(cell, centroid array<double>)``. Iterative refinement is
     genuinely non-SQL-expressible → consumers are rows-only keys with
@@ -522,15 +528,13 @@ def kmeans_centroids(
     # CONSUMER's full-corpus assignment against the returned centroids
     # is unchanged.
     # The sample is scanned once PER ITERATION by the assignment kernel
-    # — materialize it once (r12, guide §5 caching rule: reused AND
-    # recomputation = a full corpus scan + hash filter each round; the
-    # checkpointed footprint is the bounded TRAIN_PER_CELL·k sample,
-    # not the corpus). localCheckpoint over persist: nothing else ever
-    # re-derives it, and the blocks release with the session like the
-    # per-iteration centroid checkpoints below.
-    train = _train_sample(
-        df.select(id_col, vec_col), id_col, k
-    ).localCheckpoint(eager=True)
+    # in the distributed loops — materialized once there (r12, guide §5
+    # caching rule: reused AND recomputation = a full corpus scan +
+    # hash filter each round; the checkpointed footprint is the bounded
+    # TRAIN_PER_CELL·k sample, not the corpus). The driver-local path
+    # below collects it instead (one scan, no checkpoint job).
+    train_plan = _train_sample(df.select(id_col, vec_col), id_col, k)
+    train: DataFrame | None = None
 
     def _iterate(cents: DataFrame) -> DataFrame:
         assigned = _assign_cells(train, cents, vec_col=vec_col)
@@ -581,11 +585,47 @@ def kmeans_centroids(
     seed_rows = cents.select("cell", "centroid").collect()
     if len(seed_rows) > TWO_LEVEL_CELL_BOUND:
         del seed_rows
+        train = train_plan.localCheckpoint(eager=True)
         for _ in range(iters):
             cents = _iterate(cents).localCheckpoint(eager=True)
         return cents
     spark = df.sparkSession
+    # r12 driver-local fast path: the training SAMPLE itself is bounded
+    # (≈ max(MIN_TRAIN, TRAIN_PER_CELL·k) rows by _train_sample's keep
+    # fraction — the same metadata scale as the seed collect above), so
+    # when that bound is small enough to collect, the whole Lloyd's
+    # loop runs as pure numpy on the driver (`_lloyd_driver`, the
+    # `_coarse_quantize` precedent): ZERO per-iteration Spark jobs
+    # instead of one assign+aggregate+collect job each (measured at
+    # sf0.1: ~1.3-2.0 s of pure job overhead per iteration on a
+    # 2000-row sample). Assignment arithmetic is the shared
+    # `_score_assign_block` kernel; means are fixed-order float64 sums
+    # — deterministic for a fixed corpus, which is the contract every
+    # rows-only consumer (serve≡retrain, planted-copy, recall floors)
+    # actually pins, exactly as with the r11 GEMM kernel swap.
+    target = max(MIN_TRAIN, TRAIN_PER_CELL * max(1, len(seed_rows)))
+    if seed_rows and iters > 0 and target <= DRIVER_TRAIN_BOUND:
+        samp = train_plan.select(vec_col).collect()
+        if samp:
+            cells_np = np.array([r["cell"] for r in seed_rows], dtype=np.int64)
+            order = np.argsort(cells_np)
+            cells_np = cells_np[order]
+            cmat = np.array(
+                [list(seed_rows[int(i)]["centroid"]) for i in order],
+                dtype=np.float64,
+            )
+            x = np.stack(
+                [np.asarray(r[0], dtype=np.float64) for r in samp]
+            )
+            cells_out, cmat_out = _lloyd_driver(x, cells_np, cmat, iters)
+            out_rows = [
+                (int(c), [float(v) for v in row])
+                for c, row in zip(cells_out, cmat_out)
+            ]
+            return spark.createDataFrame(out_rows, seed_schema)
     cents = spark.createDataFrame(seed_rows, seed_schema)
+    if iters > 0:
+        train = train_plan.localCheckpoint(eager=True)
     for _ in range(iters):
         cents = spark.createDataFrame(_iterate(cents).collect(), seed_schema)
     return cents
@@ -600,6 +640,82 @@ TWO_LEVEL_CELL_BOUND = 1_000_000
 HARD_CELL_BOUND = 16_000_000
 _COARSE_TRAIN_SAMPLE = 65_536
 _COARSE_ITERS = 3
+
+#: Largest TRAINING SAMPLE (rows) the quantizer trainers run
+#: driver-locally (r12, guide §1.2): the Lloyd's loop state AND input
+#: are both bounded metadata-scale tables (sample ≈ max(MIN_TRAIN,
+#: TRAIN_PER_CELL·k) ≤ this bound ⇒ ≤ ~34 MB at dim 64), and a
+#: driver-side numpy loop replaces `iters` distributed
+#: assign+aggregate jobs with zero Spark jobs — the `_coarse_quantize`
+#: precedent one level down. Past the bound the distributed loop is
+#: unchanged.
+DRIVER_TRAIN_BOUND = 65_536
+
+
+def _score_assign_block(
+    x: np.ndarray,
+    cells_np: np.ndarray,
+    cmat: np.ndarray,
+    c2: np.ndarray,
+    p: int,
+    block: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-``p``-cells scoring for a row block — the EXACT
+    arithmetic of the `_assign_cells` mapInPandas kernel (blocked
+    ‖x‖²+‖c‖²−2xCᵀ GEMM; stable-argsort merge so exact distance ties
+    resolve to the smaller cell id; NaN rows degrade to the smallest
+    real cell via the padding init). ``cells_np`` must be ascending.
+    Shared by the distributed kernel and the driver-local trainer so
+    the two paths cannot drift."""
+    b = x.shape[0]
+    x2 = np.einsum("ij,ij->i", x, x)
+    best_d = np.full((b, p), np.inf)
+    best_c = np.full((b, p), cells_np[0], dtype=np.int64)
+    k = int(cells_np.shape[0])
+    for s in range(0, k, block):
+        cb = cmat[s : s + block]
+        dblk = x2[:, None] + c2[s : s + block][None, :] - 2.0 * (x @ cb.T)
+        cat_d = np.concatenate([best_d, dblk], axis=1)
+        cat_c = np.concatenate(
+            [best_c, np.broadcast_to(cells_np[s : s + block], (b, cb.shape[0]))],
+            axis=1,
+        )
+        # stable sort on distance = lexicographic (d2, cell): carried
+        # best is already (d2, cell)-ordered and all its cells precede
+        # this block's (ascending cell blocks)
+        idx = np.argsort(cat_d, axis=1, kind="stable")[:, :p]
+        best_d = np.take_along_axis(cat_d, idx, axis=1)
+        best_c = np.take_along_axis(cat_c, idx, axis=1)
+    return best_d, best_c
+
+
+def _lloyd_driver(
+    x: np.ndarray, cells_np: np.ndarray, cmat: np.ndarray, iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-local Lloyd's over an already-collected bounded sample:
+    assignment through `_score_assign_block` (the distributed kernel's
+    own arithmetic), means as float64 sums in FIXED row order (the
+    driver loop has one deterministic accumulation order, which is the
+    whole property the distributed path needed DECIMAL casts to get),
+    empty cells dropped exactly like the distributed groupBy. No RNG —
+    bit-reproducible for a fixed sample; the same run-to-run
+    determinism contract as the r11 GEMM kernel swap (consumers are
+    rows-only ANN/semdedup keys gated by recall/planted invariants,
+    not value oracles). ``cells_np`` must be ascending (preserved
+    across iterations: dropping rows keeps order)."""
+    _limit_blas_threads()  # single-threaded GEMM = reproducible sums
+    for _ in range(iters):
+        c2 = np.einsum("ij,ij->i", cmat, cmat)
+        _, best = _score_assign_block(x, cells_np, cmat, c2, 1)
+        idx = np.searchsorted(cells_np, best[:, 0])
+        sums = np.zeros_like(cmat)
+        counts = np.zeros(cells_np.shape[0], dtype=np.int64)
+        np.add.at(sums, idx, x)
+        np.add.at(counts, idx, 1)
+        present = counts > 0
+        cells_np = cells_np[present]
+        cmat = sums[present] / counts[present][:, None]
+    return cells_np, cmat
 
 
 def _coarse_quantize(cmat: np.ndarray) -> np.ndarray:
@@ -857,27 +973,9 @@ def _assign_cells(
             x = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
             )
-            b = x.shape[0]
-            x2 = np.einsum("ij,ij->i", x, x)
-            best_d = np.full((b, p), np.inf)
-            best_c = np.full((b, p), cells_np[0], dtype=np.int64)
-            for s in range(0, k, block):
-                cb = cmat[s : s + block]
-                dblk = x2[:, None] + c2[s : s + block][None, :] - 2.0 * (x @ cb.T)
-                cat_d = np.concatenate([best_d, dblk], axis=1)
-                cat_c = np.concatenate(
-                    [
-                        best_c,
-                        np.broadcast_to(cells_np[s : s + block], (b, cb.shape[0])),
-                    ],
-                    axis=1,
-                )
-                # stable sort on distance = lexicographic (d2, cell):
-                # carried best is already (d2, cell)-ordered and all its
-                # cells precede this block's (ascending cell blocks)
-                idx = np.argsort(cat_d, axis=1, kind="stable")[:, :p]
-                best_d = np.take_along_axis(cat_d, idx, axis=1)
-                best_c = np.take_along_axis(cat_c, idx, axis=1)
+            # scoring arithmetic shared with the driver-local trainer
+            # (r12): blocked GEMM + stable (d2, cell) merge
+            _, best_c = _score_assign_block(x, cells_np, cmat, c2, p, block)
             out = {
                 c: np.repeat(pdf[c].to_numpy(), p) for c in keys
             }
@@ -1094,15 +1192,21 @@ def pq_codebooks(
     compresses to m small codes (m bytes at k<=256 vs dim·4 bytes raw,
     32× at the defaults), and query scoring never touches raw vectors.
 
-    All m subspace quantizers train in ONE vectorized Lloyd's chain
-    over the exploded ``(id, sub, v)`` table — every step groups by
-    ``(…, sub)``, so the math is identical to m independent runs (r8:
-    the former per-subspace loop unioned m separate kmeans chains,
-    whose m× distinct plans/codegen dominated the build — pq/ivfpq
-    keys ~2× faster vectorized). Seeds are the k lowest-id vectors'
-    slices (same ids for every sub, labels = seed id as before);
-    per-element means go through DECIMAL so partial-agg order can't
-    drift a centroid (the kmeans_centroids rule).
+    All m subspace quantizers train on the same bounded sample. r12:
+    with the sample under ``DRIVER_TRAIN_BOUND`` (always true at the
+    fixed default k) the m Lloyd's runs execute driver-locally in
+    numpy (:func:`_lloyd_driver` per subspace — two bounded collects
+    replace the per-iteration broadcast-join + min_by + decimal-agg
+    chain). Past the bound, the distributed fallback trains all m
+    subspaces in ONE vectorized chain over the exploded
+    ``(id, sub, v)`` table — every step groups by ``(…, sub)``, so the
+    math is identical to m independent runs (r8: the former
+    per-subspace loop unioned m separate kmeans chains, whose m×
+    distinct plans/codegen dominated the build — pq/ivfpq keys ~2×
+    faster vectorized), with per-element means through DECIMAL so
+    partial-agg order can't drift a centroid. Seeds are the k
+    lowest-id vectors' slices (same ids for every sub, labels = seed
+    id as before); both paths deterministic for a fixed corpus.
     """
     if dim % m != 0:
         raise ValueError(f"m ({m}) must divide dim ({dim})")
@@ -1112,6 +1216,57 @@ def pq_codebooks(
     # (k is fixed here), so PQ training cost stops growing with the
     # corpus; identity below MIN_TRAIN-scale inputs (bit-identical small
     # fixtures). Encoding (pq_encode) still covers the full corpus.
+    # r12 driver-local fast path (the kmeans_centroids recipe): the
+    # sample is CONSTANT-bounded here, so the whole m-subspace Lloyd's
+    # loop runs as numpy on the driver — TWO bounded collects (seeds +
+    # sample) replace the per-iteration broadcast-join + min_by +
+    # decimal-agg chain (measured 5.2-7.4 s of distributed overhead at
+    # sf0.1). Assignment via the shared `_score_assign_block` kernel
+    # (GEMM; exact ties → smaller cell, the min_by struct order);
+    # means are fixed-order float64 sums — deterministic for a fixed
+    # corpus, the contract the rows-only pq/ivfpq consumers pin.
+    target = max(MIN_TRAIN, TRAIN_PER_CELL * k)
+    if iters > 0 and target <= DRIVER_TRAIN_BOUND:
+        seed_vec_rows = (
+            df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        )
+        samp_rows = (
+            _train_sample(df.select(id_col, vec_col), id_col, k, salt=0xB00C)
+            .select(vec_col)
+            .collect()
+        )
+        if seed_vec_rows and samp_rows:
+            cells_np = np.array(
+                [int(r[0]) for r in seed_vec_rows], dtype=np.int64
+            )
+            smat = np.array(
+                [list(r[1]) for r in seed_vec_rows], dtype=np.float64
+            )
+            order = np.argsort(cells_np)
+            cells_np, smat = cells_np[order], smat[order]
+            x = np.stack(
+                [np.asarray(r[0], dtype=np.float64) for r in samp_rows]
+            )
+            out_rows = []
+            for s in range(m):
+                cells_s, cmat_s = _lloyd_driver(
+                    x[:, s * d : (s + 1) * d],
+                    cells_np,
+                    smat[:, s * d : (s + 1) * d].copy(),
+                    iters,
+                )
+                out_rows.extend(
+                    (s, int(c), [float(v) for v in row])
+                    for c, row in zip(cells_s, cmat_s)
+                )
+            schema = StructType(
+                [
+                    StructField("sub", IntegerType()),
+                    StructField("cell", IntegerType()),
+                    StructField("centroid", ArrayType(DoubleType())),
+                ]
+            )
+            return df.sparkSession.createDataFrame(out_rows, schema)
     parts = _pq_subvectors(
         _train_sample(df.select(id_col, vec_col), id_col, k, salt=0xB00C),
         m, d, [id_col], vec_col,

@@ -221,3 +221,42 @@ def test_assign_cells_residual_matches_join_form(spark, emb):
         ).collect()
     }
     assert old == new
+
+
+def test_driver_local_training_agrees_with_distributed(monkeypatch, emb):
+    """r12 driver-local Lloyd's fast path: the distributed fallback
+    (forced via DRIVER_TRAIN_BOUND=0) must stay green, deterministic,
+    and agree with the driver path — same surviving cells and
+    centroids equal to ~1e-8 (the only arithmetic difference is
+    fixed-order float64 means vs decimal-cast distributed sums; an
+    exact-tie Voronoi flip would show as a cell-set mismatch)."""
+    from kafka_streams_clojure_spark.operators.similarity import pq_codebooks
+
+    drv_k = {
+        int(r["cell"]): list(r["centroid"])
+        for r in kmeans_centroids(emb, k=8, iters=2).collect()
+    }
+    drv_pq = {
+        (int(r["sub"]), int(r["cell"])): list(r["centroid"])
+        for r in pq_codebooks(emb, m=8, k=4, iters=2).collect()
+    }
+    monkeypatch.setattr(similarity, "DRIVER_TRAIN_BOUND", 0)
+    dist_k = {
+        int(r["cell"]): list(r["centroid"])
+        for r in kmeans_centroids(emb, k=8, iters=2).collect()
+    }
+    dist_k2 = {
+        int(r["cell"]): list(r["centroid"])
+        for r in kmeans_centroids(emb, k=8, iters=2).collect()
+    }
+    dist_pq = {
+        (int(r["sub"]), int(r["cell"])): list(r["centroid"])
+        for r in pq_codebooks(emb, m=8, k=4, iters=2).collect()
+    }
+    assert dist_k == dist_k2  # distributed fallback stays deterministic
+    assert set(drv_k) == set(dist_k)
+    for c, v in drv_k.items():
+        assert all(abs(a - b) < 1e-8 for a, b in zip(v, dist_k[c]))
+    assert set(drv_pq) == set(dist_pq)
+    for key, v in drv_pq.items():
+        assert all(abs(a - b) < 1e-8 for a, b in zip(v, dist_pq[key]))
