@@ -177,6 +177,15 @@ _PYTHON_OK = {
     # (BENCH_NOTES.md "Cosine hot loop"); oracle keys keep the fold
     "q_llm_cosine_ann",
     "q_llm_ivf_topk",
+    # r12 Arrow einsum cosine PREFILTER ahead of the exact interpreted
+    # fold in the blocked all-pairs chain (OPTIMIZATION_r12.md entry 1):
+    # the fold still decides every emitted pair (bit-identical results,
+    # oracle-gated), the Arrow node just stops it running on pairs the
+    # ≥ t−1e-9 screen rejects. asNondeterministic pins it above the
+    # fold filter.
+    "q_llm_embedding_near_dup",
+    "q_llm_dedup_reconcile",
+    "q_llm_semdedup_threshold_curve",
     # true Python UDTF (§2.10 parity surface) — row-at-a-time by
     # design, input bounded in the key; codegen twin = shingle_sets
     "q_udtf_tokens",
