@@ -223,6 +223,130 @@ def repetition_stats(
     )
 
 
+#: r12: distinct-word bound under which BPE training runs DRIVER-LOCALLY
+#: (the similarity.DRIVER_TRAIN_BOUND recipe, §1.2/§5): the vocabulary
+#: is metadata-scale by construction (distinct [a-z]+ words — the
+#: corpus-sized tokenize+count pass stays distributed and is the ONE
+#: job the local path runs), and every training step is integer counts
+#: + ASCII compares, so the pure-Python loop is EXACTLY the unrolled
+#: CTE arithmetic — bit-equal, oracle-gated. 65536 (w, freq) rows is a
+#: few MB on the driver; past the bound the distributed per-round loop
+#: below is unchanged (web-scale vocabularies are millions of words).
+BPE_DRIVER_VOCAB_BOUND = 65_536
+
+
+def _bpe_train_local(
+    vocab_rows: list[tuple[str, int]], rounds: int
+) -> tuple[
+    list[tuple[int, str, str, int]],
+    list[tuple[str, int, list[str]]],
+    list[tuple[int, int | None, int]],
+]:
+    """Pure-Python BPE training over a collected (word, freq)
+    vocabulary — the driver-local twin of the distributed loop in
+    :func:`bpe_merges`, and the same arithmetic as the tests'
+    independent ``_ref_bpe`` reference: per round, integer
+    frequency-weighted pair counts, winner = (count DESC, lhs, rhs)
+    with Python's code-point string compare (== UTF-8 byte order ==
+    both engines' binary collation), greedy-leftmost non-overlapping
+    merge. Returns ``(merges, words, levels)``: the merge table rows,
+    the final per-word symbol lists, and per-level
+    ``(round, corpus_tokens, vocab_used)`` stats for rounds 0..rounds
+    (corpus_tokens is None for an empty vocabulary — SUM over zero
+    rows is NULL in both engines)."""
+    words = [(w, int(f), list(w)) for w, f in vocab_rows]
+
+    def _level(rnd: int) -> tuple[int, int | None, int]:
+        toks = sum(f * len(syms) for _, f, syms in words) if words else None
+        used = len({s for _, _, syms in words for s in syms})
+        return (rnd, toks, used)
+
+    merges: list[tuple[int, str, str, int]] = []
+    levels = [_level(0)]
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _, f, syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if counts:
+            (lhs, rhs), pc = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rnd, lhs, rhs, pc))
+            for wi, (w, f, syms) in enumerate(words):
+                out: list[str] = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[wi] = (w, f, out)
+        levels.append(_level(rnd))
+    return merges, words, levels
+
+
+def _bpe_merges_driver_local(
+    spark,
+    probe_rows: list,
+    freq_dt,
+    rounds: int,
+    with_vocab: bool,
+    with_level_stats: bool,
+):
+    """Assemble :func:`bpe_merges`' return shape(s) from the local
+    trainer, with schemas matching the distributed path's exactly
+    (round/pos IntegerType like lit()/row_number, counts LongType,
+    freq = the input column's own type)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    merges, toks, levels = _bpe_train_local(
+        [(r[0], r[1]) for r in probe_rows], rounds
+    )
+    merges_schema = StructType(
+        [
+            StructField("round", IntegerType()),
+            StructField("lhs", StringType()),
+            StructField("rhs", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    res = spark.createDataFrame(merges, merges_schema)
+    if with_level_stats:
+        stats_schema = StructType(
+            [
+                StructField("round", IntegerType()),
+                StructField("corpus_tokens", LongType()),
+                StructField("vocab_used", LongType()),
+            ]
+        )
+        return res, spark.createDataFrame(levels, stats_schema)
+    if with_vocab:
+        vocab_schema = StructType(
+            [
+                StructField("w", StringType()),
+                StructField("freq", freq_dt),
+                StructField("pos", IntegerType()),
+                StructField("sym", StringType()),
+            ]
+        )
+        vocab_rows = [
+            (w, f, i + 1, s)
+            for w, f, syms in toks
+            for i, s in enumerate(syms)
+        ]
+        return res, spark.createDataFrame(vocab_rows, vocab_schema)
+    return res
+
+
 def bpe_merges(
     words: DataFrame,
     rounds: int = 6,
@@ -256,7 +380,12 @@ def bpe_merges(
     distinct words — millions of rows at web scale, independent of
     corpus size), one word-keyed window + one map-side-combined pair
     aggregate + one 1-row broadcast winner per round, lineage truncated
-    per round (localCheckpoint, the kcore discipline)."""
+    per round (localCheckpoint, the kcore discipline). r12: under
+    ``BPE_DRIVER_VOCAB_BOUND`` distinct words the whole loop instead
+    runs driver-locally after ONE bounded collect of the vocabulary
+    (:func:`_bpe_train_local` — identical integer/string arithmetic,
+    exact-oracle-gated); past the bound the distributed loop below is
+    unchanged."""
     if with_vocab and with_level_stats:
         # the with_level_stats return path would silently drop the vocab
         # (r9 advice) — no caller needs both; fail loudly instead
@@ -264,6 +393,31 @@ def bpe_merges(
             "bpe_merges: with_vocab and with_level_stats are mutually "
             "exclusive — request one, or call twice"
         )
+    # r12 driver-local fast path (§1.2 — remove the 6 sequential
+    # per-round distributed jobs the vocabulary-sized loop paid; the
+    # kmeans_centroids/pq_codebooks recipe, here ORACLE-GATED exact):
+    # ONE bounded collect of the vocabulary (limit B+1: ≤ B rows back
+    # means we hold the complete vocabulary), then the pure-Python
+    # trainer — integer counts + code-point compares == the unrolled
+    # CTE arithmetic bit-for-bit. Null word/freq rows (no caller
+    # produces them) fall through to the distributed loop.
+    if BPE_DRIVER_VOCAB_BOUND > 0:
+        probe = (
+            words.select(F.col(word_col).alias("w"), F.col(freq_col).alias("freq"))
+            .limit(BPE_DRIVER_VOCAB_BOUND + 1)
+            .collect()
+        )
+        if len(probe) <= BPE_DRIVER_VOCAB_BOUND and all(
+            r[0] is not None and r[1] is not None for r in probe
+        ):
+            return _bpe_merges_driver_local(
+                words.sparkSession,
+                probe,
+                words.schema[freq_col].dataType,
+                rounds,
+                with_vocab,
+                with_level_stats,
+            )
     wo = Window.partitionBy("w").orderBy("pos")
     wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
     # char split via sequence+substring (NOT F.split(w, "(?!^)"), whose

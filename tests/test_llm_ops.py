@@ -1589,6 +1589,36 @@ def test_bpe_merges_matches_reference_property(spark):
         assert got_toks == want_toks, (vocab, got_toks, want_toks)
 
 
+def test_bpe_driver_local_matches_distributed(monkeypatch, spark):
+    """r12 driver-local BPE fast path: the distributed loop (forced via
+    BPE_DRIVER_VOCAB_BOUND=0) must produce BIT-IDENTICAL merges, vocab
+    and level stats — unlike the float k-means twin this family is
+    all-integer/string, so equality is exact, and the oracle sweeps
+    gate the same equality against DuckDB. Covers greedy runs, ties,
+    cascading merge products and early pair exhaustion."""
+    from kafka_streams_clojure_spark.operators import text as text_ops
+
+    vocab = [("aaab", 2), ("ab", 3), ("aaaa", 1), ("xy", 4), ("q", 7)]
+    df = spark.createDataFrame(vocab, "w string, freq long")
+
+    def snap(rounds=4):
+        merges, voc = text_ops.bpe_merges(df, rounds=rounds, with_vocab=True)
+        _, stats = text_ops.bpe_merges(df, rounds=rounds, with_level_stats=True)
+        return (
+            sorted(tuple(r) for r in merges.collect()),
+            sorted(tuple(r) for r in voc.collect()),
+            sorted(tuple(r) for r in stats.collect()),
+            merges.schema.simpleString(),
+            voc.schema.simpleString(),
+            stats.schema.simpleString(),
+        )
+
+    local = snap()
+    monkeypatch.setattr(text_ops, "BPE_DRIVER_VOCAB_BOUND", 0)
+    dist = snap()
+    assert local == dist
+
+
 def test_substring_dedup_hashed_matches_string(spark, sf_dir):
     """The xxhash64-keyed occurrence shuffle (8 bytes/row wire shape)
     must produce output IDENTICAL to the oracle-gated string-keyed twin
