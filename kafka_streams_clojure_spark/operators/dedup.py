@@ -172,8 +172,17 @@ def ngram_jaccard_pairs(
         F.col("n_inter").cast("double")
         / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double")
     )
-    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    # r12: persist the PAIR TABLE too — it is tiny (∝ true near-dups)
+    # but several consumers fan it out repeatedly (q_llm_triplets alone
+    # instantiates the symmetrized chain ~8× across pos/anchors/ash/
+    # abuck branches: 72-Exchange plan, 56 re-reads of the cached sets
+    # with the self-join + pair aggregate re-run each time). The cache
+    # collapses every copy to one InMemoryRelation; single-consumer
+    # keys just store a few hundred rows.
+    return persist_if_uncached(
+        inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
     )
 
 

@@ -3702,7 +3702,12 @@ def _mine_triplets(
         .filter(F.col("rnk") == 1)
         .select("anchor_id", "pos_id")
     )
-    anchors = sym.select("anchor_id").distinct()
+    # r12: anchors feeds BOTH the shingle semi-join (ash) and the
+    # negative-candidate probe (abuck) — persist the tiny distinct so
+    # the union+distinct over the pair table runs once, not per branch
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+    anchors = persist_if_uncached(sym.select("anchor_id").distinct())
     sh = shingle_sets(docs, k=4).select("doc_id", "shingle")
     ash = sh.join(
         anchors.select(F.col("anchor_id").alias("doc_id")), "doc_id"
