@@ -1350,6 +1350,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    passthrough_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Encode every vector as its nearest codebook cell per subspace:
     ``(id, sub, code)`` — the compressed representation PQ search runs
@@ -1364,7 +1365,14 @@ def pq_encode(
     interpreted d-dim folds. Ties still break (distance, cell): per-sub
     cells are column-ordered ascending and argmin returns the first
     minimum. Rows-only consumers (pq / ivfpq); codes are deterministic
-    for a fixed corpus."""
+    for a fixed corpus.
+
+    ``passthrough_cols`` ride through the kernel unchanged, repeated
+    once per subspace and appended after ``code`` (r12: lets the IVF-PQ
+    build attach the coarse cell the assignment kernel already knows,
+    instead of joining the N·m-row code table back to the N-row
+    residual table — at scale that join is a full shuffle of the
+    biggest index table)."""
     d = dim // m
     book_rows = codebooks.select("sub", "cell", "centroid").collect()
     by_sub: dict[int, list] = {}
@@ -1386,8 +1394,10 @@ def pq_encode(
         cmats.append(cm)
         c2s.append(np.einsum("ij,ij->i", cm, cm))
     in_id = df.schema[id_col]
+    pcols = list(passthrough_cols)
     out_schema = StructType(
         [in_id, StructField("sub", IntegerType()), StructField("code", IntegerType())]
+        + [df.schema[c] for c in pcols]
     )
     bc = df.sparkSession.sparkContext.broadcast((cells_by_sub, cmats, c2s))
 
@@ -1416,15 +1426,18 @@ def pq_encode(
                 out_code.append(
                     cells_by_sub[s][np.argmin(dist, axis=1)].astype(np.int32)
                 )
-            yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(out_id),
-                    "sub": np.concatenate(out_sub),
-                    "code": np.concatenate(out_code),
-                }
-            )
+            out = {
+                id_col: np.concatenate(out_id),
+                "sub": np.concatenate(out_sub),
+                "code": np.concatenate(out_code),
+            }
+            for c in pcols:
+                # each sub block repeats the batch's rows in order, so
+                # tiling the column m times aligns with the id tiling
+                out[c] = np.tile(pdf[c].to_numpy(), m)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+    return df.select(id_col, *pcols, vec_col).mapInPandas(encode, schema=out_schema)
 
 
 def pq_topk(
@@ -1951,9 +1964,16 @@ def ivfpq_build(
         pq_codebooks(resid, m=m, k=ks, iters=iters, id_col=id_col,
                      vec_col="__rv", dim=dim)
     )
+    # r12 (§2.4): the coarse cell rides THROUGH the encode kernel as a
+    # passthrough column — the former `codes ⋈ resid` on id re-attached
+    # a value the assignment kernel had already computed, and at scale
+    # that join shuffles the N·m-row code table (the biggest index
+    # table). Same rows, same schema, zero joins.
     codes = pq_encode(
-        resid, books, m=m, id_col=id_col, vec_col="__rv", dim=dim
-    ).join(resid.select(id_col, F.col("cell").alias("__ivf_cell")), id_col)
+        resid.select(id_col, F.col("cell").alias("__ivf_cell"), "__rv"),
+        books, m=m, id_col=id_col, vec_col="__rv", dim=dim,
+        passthrough_cols=["__ivf_cell"],
+    )
     return cents, books, codes
 
 
@@ -1982,17 +2002,17 @@ def ivfpq_append(
     `q_llm_ivfpq_append` invariant (tests/test_llm_ops.py). When to
     retrain instead of append is a DRIFT question: :func:`ivfpq_drift`
     (the q_llm_dim_stats monitor against the train-time snapshot)."""
-    resid = (
-        _assign_cells(
-            new_df.select(id_col, vec_col), cents, vec_col=vec_col,
-            id_cols=[id_col], residual_col="__rv",
-        )
-        .select(id_col, "cell", "__rv")
-        .localCheckpoint(eager=True)  # consumed by encode AND the cell join
-    )
+    # r12 (§2.4): the cell rides through the encode kernel (see
+    # ivfpq_build) — single consumer now, so the delta's checkpoint
+    # goes too: one assignment scan + one encode pass, zero joins.
+    resid = _assign_cells(
+        new_df.select(id_col, vec_col), cents, vec_col=vec_col,
+        id_cols=[id_col], residual_col="__rv",
+    ).select(id_col, F.col("cell").alias("__ivf_cell"), "__rv")
     return pq_encode(
-        resid, books, m=m, id_col=id_col, vec_col="__rv", dim=dim
-    ).join(resid.select(id_col, F.col("cell").alias("__ivf_cell")), id_col)
+        resid, books, m=m, id_col=id_col, vec_col="__rv", dim=dim,
+        passthrough_cols=["__ivf_cell"],
+    )
 
 
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

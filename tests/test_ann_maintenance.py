@@ -187,6 +187,42 @@ def test_assign_cells_nan_guard(spark):
     assert got[2] == 7
 
 
+def test_pq_encode_passthrough_matches_join_form(spark, emb):
+    """r12 optimization guard: the ivfpq codes table built with the
+    coarse cell riding THROUGH the encode kernel (passthrough_cols)
+    must be bit-identical — rows and schema — to the former
+    pq_encode ⋈ resid-on-id join form (the N·m-row shuffle the
+    passthrough removes)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cents = kmeans_centroids(emb)
+    resid = (
+        _assign_cells(
+            emb.select("vec_id", "embedding"), cents,
+            vec_col="embedding", id_cols=["vec_id"], residual_col="__rv",
+        )
+        .select("vec_id", "cell", "__rv")
+        .localCheckpoint(eager=True)
+    )
+    books = pq_codebooks(resid, m=8, k=4, iters=2, id_col="vec_id",
+                         vec_col="__rv")
+    old = pq_encode(
+        resid, books, m=8, id_col="vec_id", vec_col="__rv"
+    ).join(resid.select("vec_id", F.col("cell").alias("__ivf_cell")), "vec_id")
+    new = pq_encode(
+        resid.select("vec_id", F.col("cell").alias("__ivf_cell"), "__rv"),
+        books, m=8, id_col="vec_id", vec_col="__rv",
+        passthrough_cols=["__ivf_cell"],
+    )
+    assert old.schema.simpleString() == new.schema.simpleString()
+    assert {tuple(r) for r in old.collect()} == {tuple(r) for r in new.collect()}
+
+
 def test_assign_cells_residual_matches_join_form(spark, emb):
     """r12 optimization guard: the kernel-emitted residual
     (residual_col=) must be bit-identical to the former
