@@ -263,7 +263,9 @@ def cpu_probe_mt() -> float:
     return time.perf_counter() - t0
 
 
-def _run_gated(qs, spark, names, sf_dir) -> dict[str, float]:
+def _run_gated(
+    qs, spark, names, sf_dir, cold: dict[str, float] | None = None
+) -> dict[str, float]:
     """One gated set, the standing discipline: warm every key once at
     the smallest SF (codegen/parquet/shuffle JIT), then per key
     clearCache (operators that persist intermediates — jaccard/minhash
@@ -271,7 +273,14 @@ def _run_gated(qs, spark, names, sf_dir) -> dict[str, float]:
     are idempotent via persist_if_uncached, so run 2 legitimately
     reuses run 1's warm intermediates) and take the MIN of two
     noop-sink runs (damps one-off JIT/GC noise, measured 4-14 s
-    first-run variance on multi-stage shuffle plans)."""
+    first-run variance on multi-stage shuffle plans).
+
+    r13 (r12 verdict "What's wrong" #2): the FIRST run's time is also
+    recorded (into ``cold`` when given, shipped as ``queries_cold`` in
+    BENCH_DETAIL) — run 2 reuses run 1's materialized persist blocks,
+    so persist-type wins bench warm in the min; the cold column keeps
+    the un-cached cost visible. Additions-only: the gated min and the
+    compact line are unchanged."""
     for name in names:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
@@ -280,11 +289,14 @@ def _run_gated(qs, spark, names, sf_dir) -> dict[str, float]:
     for name in names:
         spark.catalog.clearCache()
         best = float("inf")
-        for _ in range(2):
+        for run in range(2):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            took = time.perf_counter() - t0
+            if run == 0 and cold is not None:
+                cold[name] = round(took, 3)
+            best = min(best, took)
         timings[name] = round(best, 3)
     return timings
 
@@ -318,25 +330,26 @@ def main() -> None:
     # late-run contention — per-group brackets localize it instead of
     # letting a contended tail over-normalize the set-1 headline.
     probe_trace: list[dict[str, float]] = []
-    timings = _run_gated(qs, spark, HEADLINE, sf_dir)
+    cold: dict[str, float] = {}
+    timings = _run_gated(qs, spark, HEADLINE, sf_dir, cold)
     total = round(sum(timings.values()), 3)
     probe_trace.append(_probe_pair())
-    timings2 = _run_gated(qs, spark, HEADLINE2, sf_dir)
+    timings2 = _run_gated(qs, spark, HEADLINE2, sf_dir, cold)
     total2 = round(sum(timings2.values()), 3)
     probe_trace.append(_probe_pair())
-    timings3 = _run_gated(qs, spark, HEADLINE3, sf_dir)
+    timings3 = _run_gated(qs, spark, HEADLINE3, sf_dir, cold)
     total3 = round(sum(timings3.values()), 3)
     probe_trace.append(_probe_pair())
-    timings4 = _run_gated(qs, spark, HEADLINE4, sf_dir)
+    timings4 = _run_gated(qs, spark, HEADLINE4, sf_dir, cold)
     total4 = round(sum(timings4.values()), 3)
     probe_trace.append(_probe_pair())
-    timings5 = _run_gated(qs, spark, HEADLINE5, sf_dir)
+    timings5 = _run_gated(qs, spark, HEADLINE5, sf_dir, cold)
     total5 = round(sum(timings5.values()), 3)
     probe_trace.append(_probe_pair())
-    timings6 = _run_gated(qs, spark, HEADLINE6, sf_dir)
+    timings6 = _run_gated(qs, spark, HEADLINE6, sf_dir, cold)
     total6 = round(sum(timings6.values()), 3)
     probe_trace.append(_probe_pair())
-    timings7 = _run_gated(qs, spark, HEADLINE7, sf_dir)
+    timings7 = _run_gated(qs, spark, HEADLINE7, sf_dir, cold)
     total7 = round(sum(timings7.values()), 3)
 
     extras: dict[str, float] = {}
@@ -421,6 +434,7 @@ def main() -> None:
         "queries7": timings7,
         "probe_trace": probe_trace,
         "probe_normalized_total": norm_total,
+        "queries_cold": cold,
         "extras": extras,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:

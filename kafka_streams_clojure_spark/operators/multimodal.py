@@ -26,6 +26,7 @@ import wave
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,6 +76,20 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int, float]:
 # --- real pure-stdlib decoders -------------------------------------------
 
 
+def _bmp_header(width: int, height: int) -> tuple[bytes, int]:
+    """(54-byte BM+BITMAPINFOHEADER header, per-row pad bytes) for a
+    24-bpp file of the given geometry — the single source of truth the
+    scalar encoder and the vectorized batch kernels both assemble from."""
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    data_len = (row_raw + pad) * height
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_len, 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_len, 0, 0, 14 + 40)
+    return header + dib, pad
+
+
 def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
     """Minimal 24-bit uncompressed BMP encoder (pure ``struct``): packs
     ``width*height*3`` pixel bytes (BGR, top-down input) into a valid
@@ -84,16 +99,13 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
     if len(pixels) != width * height * 3:
         raise ValueError(f"need {width * height * 3} pixel bytes, got {len(pixels)}")
     row_raw = width * 3
-    pad = (4 - row_raw % 4) % 4
+    header, pad = _bmp_header(width, height)
     # BMP rows are stored bottom-up, each padded to a 4-byte boundary
     rows = [
         pixels[y * row_raw : (y + 1) * row_raw] + b"\x00" * pad
         for y in range(height - 1, -1, -1)
     ]
-    data = b"".join(rows)
-    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
-    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
-    return header + dib + data
+    return header + b"".join(rows)
 
 
 def decode_bmp(blob: bytes) -> tuple[int, int, int, float]:
@@ -377,9 +389,11 @@ def sample_frames(
     return slim.mapInPandas(split, schema="doc_id long, frame_idx int, frame binary")
 
 
-def _bmp_pixel_rows(blob: bytes) -> tuple[int, int, list[bytes]]:
-    """24-bpp BMP → (width, height, top-down raw BGR rows) for pixel
-    ops (resize); strict twin of :func:`decode_bmp`'s parser."""
+def _bmp24_geometry(blob: bytes) -> tuple[int, int, int, bool]:
+    """(data_off, width, height, top_down) of a 24-bpp uncompressed
+    BMP, with exactly :func:`_bmp_pixel_rows`' validation domain (same
+    errors on the same malformed inputs) so the vectorized batch
+    kernels accept/reject identically to the scalar path."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP (missing 'BM' magic)")
     data_off = struct.unpack_from("<I", blob, 10)[0]
@@ -389,18 +403,50 @@ def _bmp_pixel_rows(blob: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(f"resize supports 24-bpp BMPs, got {bpp}")
     top_down = height < 0
     height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if height and len(blob) < data_off + (height - 1) * stride + width * 3:
+        raise ValueError("truncated BMP pixel data")
+    return data_off, width, height, top_down
+
+
+def _bmp_pixel_rows(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """24-bpp BMP → (width, height, top-down raw BGR rows) for pixel
+    ops (resize); strict twin of :func:`decode_bmp`'s parser."""
+    data_off, width, height, top_down = _bmp24_geometry(blob)
     row_raw = width * 3
     stride = (row_raw + 3) & ~3
     rows = []
     for y in range(height):
         start = data_off + y * stride
-        row = blob[start : start + row_raw]
-        if len(row) != row_raw:
-            raise ValueError("truncated BMP pixel data")
-        rows.append(row)
+        rows.append(blob[start : start + row_raw])
     if not top_down:
         rows.reverse()  # stored bottom-up -> return top-down
     return width, height, rows
+
+
+def _bmp24_batches(blobs: list[bytes]) -> Iterator[tuple[list[int], np.ndarray, int, int]]:
+    """Group a batch of 24-bpp BMP blobs by geometry and yield
+    ``(batch positions, top-down rasters (n, h, w*3) uint8, w, h)`` —
+    the whole-batch gather the vectorized dHash/resize kernels run on
+    (guide §4.2). Blobs of one fixture family share a geometry, so the
+    per-blob Python work collapses to one header parse + one fancy
+    index."""
+    geo: dict[tuple[int, int, int, bool], list[int]] = {}
+    raw: list[bytes] = []
+    for i, blob in enumerate(blobs):
+        b = bytes(blob)
+        raw.append(b)
+        geo.setdefault(_bmp24_geometry(b), []).append(i)
+    for (off, w, h, td), idxs in geo.items():
+        row_raw = w * 3
+        stride = (row_raw + 3) & ~3
+        ys = np.arange(h)
+        stored = ys if td else (h - 1 - ys)  # top-down order
+        pos = off + stored[:, None] * stride + np.arange(row_raw)[None, :]
+        rasters = np.stack(
+            [np.frombuffer(raw[i], np.uint8)[pos] for i in idxs]
+        ) if idxs else np.zeros((0, h, row_raw), np.uint8)
+        yield idxs, rasters, w, h
 
 
 def resize_bmp(blob: bytes, factor: int) -> bytes:
@@ -432,14 +478,27 @@ def resize_images(
     100 TB-safe shape as the decoders). Returns (id, blob) with every
     blob nearest-neighbor decimated by ``factor``."""
 
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # geometry-grouped whole-batch decimation (r13, guide §4.2):
+        # one strided numpy slice per geometry group instead of a
+        # per-pixel Python loop per blob; output bytes identical to
+        # resize_bmp (same kept pixels, same encode_bmp header/pad).
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["__id"].values,
-                    "blob": [resize_bmp(b, factor) for b in pdf["__blob"]],
-                }
-            )
+            blobs_in = list(pdf["__blob"])
+            out: list[bytes | None] = [None] * len(blobs_in)
+            for idxs, rasters, w, h in _bmp24_batches(blobs_in):
+                n = len(idxs)
+                kept = rasters.reshape(n, h, w, 3)[:, ::factor, ::factor, :]
+                h2, w2 = kept.shape[1], kept.shape[2]
+                hdr, pad = _bmp_header(w2, h2)
+                rows = np.zeros((n, h2, w2 * 3 + pad), np.uint8)
+                rows[:, :, : w2 * 3] = kept.reshape(n, h2, w2 * 3)[:, ::-1, :]
+                for i, raster in zip(idxs, rows):
+                    out[i] = hdr + raster.tobytes()
+            yield pd.DataFrame({"doc_id": pdf["__id"].values, "blob": out})
 
     slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
     return slim.mapInPandas(run, schema="doc_id long, blob binary")
@@ -524,26 +583,31 @@ def gradient_bmp_blobs(
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch numpy broadcast of the integer triangle wave
+        # (r13, guide §4.2): all params are non-negative, so int64
+        # floor-div/mod match Python's exactly; pixel assembly is one
+        # repeat + bottom-up flip per batch instead of a 576-step
+        # per-doc Python loop. Bytes identical to encode_bmp (w*3=108
+        # is already 4-byte aligned: pad 0).
+        hdr, pad = _bmp_header(w, h)
+        assert pad == 0
+        xs = np.arange(w, dtype=np.int64)[None, None, :]
+        ys = np.arange(h, dtype=np.int64)[None, :, None]
         for pdf in batches:
-            ids, blobs = [], []
-            for i, a, b, c, d in zip(
-                pdf["__id"], pdf["__a"], pdf["__b"], pdf["__c"], pdf["__d"]
-            ):
-                a, b, c, d = int(a), int(b), int(c), int(d)
-                px = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        t = (
-                            (a * x) // (w - 1)
-                            + (b * y) // (h - 1)
-                            + (c * x * (y + 5)) // ((w - 1) * (h + 4))
-                            + d
-                        )
-                        v = abs((t % 510) - 255)
-                        px += bytes((v, v, v))
-                ids.append(i)
-                blobs.append(encode_bmp(bytes(px), w, h))
-            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+            a = pdf["__a"].to_numpy(np.int64)[:, None, None]
+            b = pdf["__b"].to_numpy(np.int64)[:, None, None]
+            c = pdf["__c"].to_numpy(np.int64)[:, None, None]
+            d = pdf["__d"].to_numpy(np.int64)[:, None, None]
+            t = (
+                (a * xs) // (w - 1)
+                + (b * ys) // (h - 1)
+                + (c * xs * (ys + 5)) // ((w - 1) * (h + 4))
+                + d
+            )
+            v = np.abs((t % 510) - 255).astype(np.uint8)
+            px = np.repeat(v, 3, axis=2)[:, ::-1, :]  # BGR, bottom-up
+            blobs = [hdr + raster.tobytes() for raster in px]
+            yield pd.DataFrame({"doc_id": pdf["__id"].values, "blob": blobs})
 
     return slim.mapInPandas(encode, schema="doc_id long, blob binary")
 
@@ -580,17 +644,38 @@ def dhash_images(
     id-width table every downstream banding join keys on (raw blobs
     never move past this point)."""
 
+    # bit weight of grid cell (j, i) within its band j//2
+    _wmat = (1 << ((np.arange(8)[:, None] % 2) * 8 + np.arange(8)[None, :])).astype(
+        np.int64
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # geometry-grouped whole-batch dHash (r13, guide §4.2): sample
+        # the 9×8 luma grid with one fancy index per group and pack the
+        # difference bits with a tensor product — no per-pixel Python.
+        # Bit-identical to dhash_bmp (integer comparisons only).
         for pdf in batches:
-            out: dict = {"vid": [], "h0": [], "h1": [], "h2": [], "h3": []}
-            for i, blob in zip(pdf["__id"], pdf["__blob"]):
-                h0, h1, h2, h3 = dhash_bmp(blob)
-                out["vid"].append(i)
-                out["h0"].append(h0)
-                out["h1"].append(h1)
-                out["h2"].append(h2)
-                out["h3"].append(h3)
-            yield pd.DataFrame(out, dtype="int64")
+            blobs_in = list(pdf["__blob"])
+            hs = np.zeros((len(blobs_in), 4), np.int64)
+            for idxs, rasters, w, h in _bmp24_batches(blobs_in):
+                n = len(idxs)
+                rows_j = (np.arange(8) * h) // 8
+                cols_i = (np.arange(9) * w) // 9
+                grid = rasters.reshape(n, h, w, 3)[:, rows_j][:, :, cols_i, :]
+                s = grid.astype(np.int64).sum(-1)  # (n, 8, 9) luma
+                bits = (s[:, :, :8] > s[:, :, 1:]).astype(np.int64)
+                weighted = bits * _wmat[None]  # (n, 8, 8)
+                for k in range(4):
+                    hs[idxs, k] = weighted[:, 2 * k : 2 * k + 2, :].sum((1, 2))
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["__id"].to_numpy(np.int64),
+                    "h0": hs[:, 0],
+                    "h1": hs[:, 1],
+                    "h2": hs[:, 2],
+                    "h3": hs[:, 3],
+                }
+            )
 
     slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
     return slim.mapInPandas(
@@ -741,6 +826,51 @@ EHASH_POINTS = 65
 EHASH_SEG_LEN = 4
 
 
+def _wav_header(n_frames: int, rate: int) -> bytes:
+    """The exact byte prefix the stdlib ``wave`` writer emits before
+    the frame data for a 16-bit mono PCM file of ``n_frames`` at
+    ``rate`` — computed BY that writer (one tiny in-memory file), so
+    vectorized kernels that append raw int16 frames to it produce
+    byte-identical files to the scalar wave-module path."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * n_frames)
+    raw = buf.getvalue()
+    return raw[: len(raw) - 2 * n_frames]
+
+
+def _wav_pcm16_mono_view(blob: bytes) -> tuple[int, int, int]:
+    """(n_frames, rate, data byte offset) of a 16-bit mono PCM WAV via
+    a plain RIFF chunk walk; raises ValueError on anything else (the
+    caller falls back to the stdlib ``wave`` path, which keeps the
+    batch kernels' accept/reject behavior identical to the scalar
+    code on unusual inputs)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        sz = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt " and fmt is None:
+            fmt = (pos + 8, sz)
+        elif cid == b"data":
+            data = (pos + 8, sz)
+            break
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None or fmt[1] < 16:
+        raise ValueError("missing fmt/data chunk")
+    tag, nch, frate, _, _, bits = struct.unpack_from("<HHIIHH", blob, fmt[0])
+    if tag != 1 or nch != 1 or bits != 16:
+        raise ValueError("not 16-bit mono PCM")
+    off, dsz = data
+    if off + dsz > len(blob):
+        raise ValueError("truncated data chunk")
+    return dsz // 2, frate, off
+
+
 def stepped_wav_blobs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", rate: int = 8000
 ) -> DataFrame:
@@ -771,21 +901,20 @@ def stepped_wav_blobs(
     slim = df.select(F.col(id_col).alias("__id"), lv.alias("__lv"))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch numpy sample synthesis (r13, guide §4.2): one
+        # (n, 65) level matrix → repeat ×SEG_LEN → little-endian int16
+        # rows appended to the wave-writer's own header bytes (identical
+        # files: _wav_header IS the stdlib writer's output).
+        hdr = _wav_header(EHASH_POINTS * EHASH_SEG_LEN, rate)
         for pdf in batches:
-            ids, blobs = [], []
-            for i, levels in zip(pdf["__id"], pdf["__lv"]):
-                samples: list[int] = []
-                for l in levels:
-                    samples.extend([(int(l) - 128) * 256] * EHASH_SEG_LEN)
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(rate)
-                    w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
-                ids.append(i)
-                blobs.append(buf.getvalue())
-            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+            if not len(pdf):
+                yield pd.DataFrame({"doc_id": [], "blob": []})
+                continue
+            lv = np.stack([np.asarray(x, np.int64) for x in pdf["__lv"]])
+            samples = np.repeat((lv - 128) * 256, EHASH_SEG_LEN, axis=1)
+            rows = samples.astype("<i2")
+            blobs = [hdr + r.tobytes() for r in rows]
+            yield pd.DataFrame({"doc_id": pdf["__id"].values, "blob": blobs})
 
     return slim.mapInPandas(encode, schema="doc_id long, blob binary")
 
@@ -798,25 +927,43 @@ def decimate_wavs(
     md5 all change; perceptual content doesn't). The audio twin of
     :func:`resize_images`; Arrow-batched decode→stride→re-encode."""
 
+    def _slow(blob: bytes) -> bytes:
+        # stdlib path for blobs the RIFF walker declines — identical to
+        # the pre-r13 scalar loop (and its error behavior)
+        with wave.open(io.BytesIO(blob)) as w:
+            n = w.getnframes()
+            rate = w.getframerate()
+            raw = w.readframes(n)
+        samples = struct.unpack(f"<{n}h", raw)
+        kept = samples[::factor]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+        return buf.getvalue()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized stride + re-encode (r13, guide §4.2): frombuffer →
+        # [::factor] → header bytes from the wave writer itself; headers
+        # cached per (rate, n_out). Byte-identical output.
+        hdrs: dict[tuple[int, int], bytes] = {}
         for pdf in batches:
-            ids, blobs = [], []
-            for i, blob in zip(pdf["__id"], pdf["__blob"]):
-                with wave.open(io.BytesIO(bytes(blob))) as w:
-                    n = w.getnframes()
-                    rate = w.getframerate()
-                    raw = w.readframes(n)
-                samples = struct.unpack(f"<{n}h", raw)
-                kept = samples[::factor]
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(rate)
-                    w.writeframes(struct.pack(f"<{len(kept)}h", *kept))
-                ids.append(i)
-                blobs.append(buf.getvalue())
-            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+            blobs = []
+            for blob in pdf["__blob"]:
+                b = bytes(blob)
+                try:
+                    n, rate, off = _wav_pcm16_mono_view(b)
+                except ValueError:
+                    blobs.append(_slow(b))
+                    continue
+                kept = np.frombuffer(b, "<i2", count=n, offset=off)[::factor]
+                key = (rate, len(kept))
+                if key not in hdrs:
+                    hdrs[key] = _wav_header(len(kept), rate)
+                blobs.append(hdrs[key] + kept.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["__id"].values, "blob": blobs})
 
     slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
     return slim.mapInPandas(run, schema="doc_id long, blob binary")
@@ -849,17 +996,41 @@ def ehash_wavs(
     table the Hamming banding join keys on (blobs never move past
     this point)."""
 
+    _w16 = 1 << np.arange(16, dtype=np.int64)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized grid sample + bit pack (r13, guide §4.2), grouped
+        # by frame count so the 65 grid positions are computed once per
+        # group; unusual blobs fall back to the scalar ehash_wav.
+        # Bit-identical (integer comparisons only).
         for pdf in batches:
-            out: dict = {"vid": [], "h0": [], "h1": [], "h2": [], "h3": []}
-            for i, blob in zip(pdf["__id"], pdf["__blob"]):
-                h0, h1, h2, h3 = ehash_wav(blob)
-                out["vid"].append(i)
-                out["h0"].append(h0)
-                out["h1"].append(h1)
-                out["h2"].append(h2)
-                out["h3"].append(h3)
-            yield pd.DataFrame(out, dtype="int64")
+            blobs_in = [bytes(b) for b in pdf["__blob"]]
+            hs = np.zeros((len(blobs_in), 4), np.int64)
+            groups: dict[int, tuple[list[int], list[np.ndarray]]] = {}
+            for i, b in enumerate(blobs_in):
+                try:
+                    n, _, off = _wav_pcm16_mono_view(b)
+                    samples = np.frombuffer(b, "<i2", count=n, offset=off)
+                except ValueError:
+                    hs[i] = ehash_wav(b)
+                    continue
+                groups.setdefault(n, ([], []))[0].append(i)
+                groups[n][1].append(samples)
+            for n, (idxs, arrs) in groups.items():
+                pos = (np.arange(EHASH_POINTS) * n) // EHASH_POINTS
+                pts = np.stack(arrs).astype(np.int64)[:, pos]
+                bits = (pts[:, :-1] > pts[:, 1:]).astype(np.int64)  # (g, 64)
+                for k in range(4):
+                    hs[idxs, k] = bits[:, 16 * k : 16 * k + 16] @ _w16
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["__id"].to_numpy(np.int64),
+                    "h0": hs[:, 0],
+                    "h1": hs[:, 1],
+                    "h2": hs[:, 2],
+                    "h3": hs[:, 3],
+                }
+            )
 
     slim = df.select(F.col(id_col).alias("__id"), F.col(binary_col).alias("__blob"))
     return slim.mapInPandas(

@@ -31,13 +31,25 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    ByteType,
     DoubleType,
     IntegerType,
+    LongType,
+    ShortType,
     StructField,
     StructType,
 )
 
 from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
+#: declared Spark integral type → the numpy dtype Arrow would hand back
+#: for a null-free column (pq_encode passthrough normalization)
+_NP_INT_DTYPES = {
+    ByteType: np.int8,
+    ShortType: np.int16,
+    IntegerType: np.int32,
+    LongType: np.int64,
+}
 
 
 _BLAS_LIMITED = False
@@ -1400,6 +1412,11 @@ def pq_encode(
         + [df.schema[c] for c in pcols]
     )
     bc = df.sparkSession.sparkContext.broadcast((cells_by_sub, cmats, c2s))
+    # resolved OUTSIDE the kernel closure: the closure must not capture
+    # the DataFrame (SPARK-5063 — it drags SparkContext into the pickle)
+    pcol_np_dtypes = {
+        c: _NP_INT_DTYPES.get(type(df.schema[c].dataType)) for c in pcols
+    }
 
     def encode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         _limit_blas_threads()  # Spark owns the parallelism (see helper)
@@ -1433,8 +1450,22 @@ def pq_encode(
             }
             for c in pcols:
                 # each sub block repeats the batch's rows in order, so
-                # tiling the column m times aligns with the id tiling
-                out[c] = np.tile(pdf[c].to_numpy(), m)
+                # tiling the column m times aligns with the id tiling.
+                # Integral passthroughs are pinned to their declared
+                # numpy dtype (r12 advice): a null would arrive from
+                # Arrow as float64/NaN and silently alter values under
+                # the IntegerType out_schema — fail loudly instead.
+                col = pdf[c]
+                np_t = pcol_np_dtypes[c]
+                if np_t is not None:
+                    if col.isna().any():
+                        raise ValueError(
+                            f"pq_encode: passthrough column {c!r} has "
+                            "nulls — passthrough_cols must be null-free"
+                        )
+                    out[c] = np.tile(col.to_numpy(np_t), m)
+                else:
+                    out[c] = np.tile(col.to_numpy(), m)
             yield pd.DataFrame(out)
 
     return df.select(id_col, *pcols, vec_col).mapInPandas(encode, schema=out_schema)

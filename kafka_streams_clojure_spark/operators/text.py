@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Tiny per-language function-word lists for the n-gram/stopword
 #: language-ID heuristic. Deliberately small and public-knowledge.
@@ -401,7 +402,15 @@ def bpe_merges(
     # trainer — integer counts + code-point compares == the unrolled
     # CTE arithmetic bit-for-bit. Null word/freq rows (no caller
     # produces them) fall through to the distributed loop.
-    if BPE_DRIVER_VOCAB_BOUND > 0:
+    # fast path only for INTEGRAL freq columns (r12 advice): the local
+    # trainer runs int(f) counts, which would TRUNCATE a fractional
+    # Double/Decimal freq and diverge from the distributed weighted
+    # sums — those dtypes take the unchanged distributed loop below.
+    _freq_integral = isinstance(
+        words.schema[freq_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    if BPE_DRIVER_VOCAB_BOUND > 0 and _freq_integral:
         probe = (
             words.select(F.col(word_col).alias("w"), F.col(freq_col).alias("freq"))
             .limit(BPE_DRIVER_VOCAB_BOUND + 1)

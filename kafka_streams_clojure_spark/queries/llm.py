@@ -4059,6 +4059,8 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
     docs = load_table(spark, sf_dir, "documents")
     orig = gradient_bmp_blobs(docs)
     resized = resize_images(orig, "blob", factor=2).withColumn(
@@ -5435,20 +5437,16 @@ def q_llm_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     books_s = spark.read.parquet(os.path.join(root, "books"))
     codes_s = spark.read.parquet(os.path.join(root, "codes"))
 
-    batches = []
-    for lo, hi, tag in [(0, 5, 0), (5, 10, 1), (10, 15, 2)]:
-        probes = emb.filter(
-            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-        )
-        batches.append(
-            ivfpq_search(
-                cents_s, books_s, codes_s, probes, k=5, n_probe=4, m=8
-            ).withColumn("batch", F.lit(tag))
-        )
-    out = batches[0]
-    for b in batches[1:]:
-        out = out.unionByName(b)
-    return out
+    # r13 (guide §2.4 — the band-curve fusion recipe): the three probe
+    # batches [0,5), [5,10), [10,15) are disjoint and every search
+    # computation is per-probe (assignment, ADC table, window all keyed
+    # by probe_id), so ONE search over the union is row-identical to
+    # the per-batch union of three searches — 1/3 the plan and jobs.
+    # The batch tag is recomputed from the id range it encodes.
+    probes = emb.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < 15))
+    return ivfpq_search(
+        cents_s, books_s, codes_s, probes, k=5, n_probe=4, m=8
+    ).withColumn("batch", F.expr("CAST(probe_id div 5 AS INT)"))
 
 
 @query("q_llm_ivfpq_append")  # iterative quantizer training — rows-only
@@ -6005,6 +6003,8 @@ def q_multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_near_dup_pairs,
         stepped_wav_blobs,
     )
+
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
     docs = load_table(spark, sf_dir, "documents")
     orig = stepped_wav_blobs(docs)

@@ -1600,10 +1600,16 @@ def test_bpe_driver_local_matches_distributed(monkeypatch, spark):
 
     vocab = [("aaab", 2), ("ab", 3), ("aaaa", 1), ("xy", 4), ("q", 7)]
     df = spark.createDataFrame(vocab, "w string, freq long")
+    # single-symbol vocabulary: no adjacent pair exists in ANY round, so
+    # both paths hit the exhausted branch immediately (r12 advice: the
+    # 5-word vocab at rounds=4 never exhausts — r4 still merges (aa,ab))
+    df_exhausted = spark.createDataFrame(
+        [("a", 3), ("b", 2)], "w string, freq long"
+    )
 
-    def snap(rounds=4):
-        merges, voc = text_ops.bpe_merges(df, rounds=rounds, with_vocab=True)
-        _, stats = text_ops.bpe_merges(df, rounds=rounds, with_level_stats=True)
+    def snap(words, rounds=4):
+        merges, voc = text_ops.bpe_merges(words, rounds=rounds, with_vocab=True)
+        _, stats = text_ops.bpe_merges(words, rounds=rounds, with_level_stats=True)
         return (
             sorted(tuple(r) for r in merges.collect()),
             sorted(tuple(r) for r in voc.collect()),
@@ -1613,10 +1619,40 @@ def test_bpe_driver_local_matches_distributed(monkeypatch, spark):
             stats.schema.simpleString(),
         )
 
-    local = snap()
+    local = snap(df)
+    local_exhausted = snap(df_exhausted, rounds=2)
     monkeypatch.setattr(text_ops, "BPE_DRIVER_VOCAB_BOUND", 0)
-    dist = snap()
-    assert local == dist
+    assert snap(df) == local
+    assert snap(df_exhausted, rounds=2) == local_exhausted
+
+
+def test_bpe_driver_local_skips_fractional_freq(monkeypatch, spark):
+    """r12 advice: a Double freq column must NOT take the driver-local
+    fast path (int(f) would truncate fractional weights and
+    createDataFrame rejects ints for a Double vocab field) — the dtype
+    gate routes it to the distributed loop, whose weighted counts
+    handle any numeric freq. Pinned by checking the fractional weights
+    actually influence the winner the way only exact double sums can."""
+    from kafka_streams_clojure_spark.operators import text as text_ops
+
+    # (b,c) at 1.9 beats (a,a) at 1.4 only under exact double sums; an
+    # int(f)-truncating trainer sees a 1-1 tie and picks (a,a)
+    dbl = spark.createDataFrame(
+        [("aa", 1.4), ("bc", 1.9)], "w string, freq double"
+    )
+    got = {
+        int(r["round"]): (r.lhs, r.rhs)
+        for r in text_ops.bpe_merges(dbl, rounds=1).collect()
+    }
+    assert got[1] == ("b", "c")
+    # and the gate alone (not the bound) is what routed it: same result
+    # with the fast path force-disabled
+    monkeypatch.setattr(text_ops, "BPE_DRIVER_VOCAB_BOUND", 0)
+    got2 = {
+        int(r["round"]): (r.lhs, r.rhs)
+        for r in text_ops.bpe_merges(dbl, rounds=1).collect()
+    }
+    assert got2 == got
 
 
 def test_substring_dedup_hashed_matches_string(spark, sf_dir):
