@@ -31,6 +31,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Label every vertex of the undirected pair graph with the MIN
     vertex id of its connected component (deterministic fixpoint).
@@ -42,11 +43,27 @@ def connected_components(
     labels would silently split one real cluster into several, so a
     too-small budget must fail loudly, never return wrong keep/drop
     lists.
+
+    r13 (guide §2.4, settled by the x10/x30 graph rehearsal —
+    SCALE.md): the ``distinct`` leaves the edge state hash(a, b)-
+    partitioned, so every propagation round re-exchanged the |E|-row
+    side to hash(b). An EXPLICIT hash(b) repartition before the persist
+    (explicit count — an un-numbered repartition is what the r12 local
+    A/B tried, and AQE coalesced it to 1 partition) lets all
+    ``max_iter`` round joins reuse one exchange; only the |V|-row label
+    side moves per round. Measured at x10 (18M-line co-purchase graph):
+    total shuffle 1.79 → 0.76 GB. ``num_partitions`` defaults to
+    ``defaultParallelism``; pass the cluster-appropriate count at real
+    scale. Labels are partitioning-independent (min-fixpoint), so this
+    cannot change results.
     """
+    if num_partitions is None:
+        num_partitions = edges.sparkSession.sparkContext.defaultParallelism
     und, we_cached = persist_scoped(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition(num_partitions, "b")
     )
     # Each round ends in localCheckpoint(eager): (1) TRUNCATES LINEAGE —
     # without it the analyzed plan nests one join+union+agg deeper per

@@ -2567,8 +2567,14 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rec_days"),
     )
-    d = global_index(r, [F.col("rec_days"), F.col("o_custkey")], idx_col="__ri")
-    d = global_index(d, [F.col("freq").desc(), F.col("o_custkey")], idx_col="__fi")
+    # project each consumed axis out after its ranking (§2.3): the
+    # later range exchanges carry only the surviving columns
+    d = global_index(
+        r, [F.col("rec_days"), F.col("o_custkey")], idx_col="__ri"
+    ).drop("rec_days")
+    d = global_index(
+        d, [F.col("freq").desc(), F.col("o_custkey")], idx_col="__fi"
+    ).drop("freq")
     d = global_index(d, [F.col("mon").desc(), F.col("o_custkey")], idx_col="__mi")
     n = d.agg(F.count("*").alias("__n"))
     s = d.join(F.broadcast(n)).select(

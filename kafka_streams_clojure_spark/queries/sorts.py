@@ -304,11 +304,14 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value"
     )
     nn = ev.agg(F.count("*").alias("n_rows"))
+    # project consumed sort keys out between rankings (§2.3 — the
+    # second/third range exchanges shouldn't carry them): user_id is
+    # only ranking 1's key, value only ranking 2's
     r = global_index(
-        global_index(ev, ["user_id", "event_id"], idx_col="rx"),
+        global_index(ev, ["user_id", "event_id"], idx_col="rx").drop("user_id"),
         ["value", "event_id"],
         idx_col="ry",
-    )
+    ).drop("value")
     b = r.crossJoin(F.broadcast(nn)).select(
         "event_id",
         "rx",

@@ -109,6 +109,11 @@ def main() -> None:
     if "--r11" in sys.argv:
         run_r7_rehearsal(int(args[0]) if args else 1, keys=R11_KEYS)
         return
+    if "--graph" in sys.argv:
+        # r12 verdict #2: the iterative-graph exchange question at
+        # scale. Optional arg = mult (default 30).
+        run_graph_rehearsal(int(args[0]) if args else 30)
+        return
     if "--x30" in sys.argv:
         # r11 verdict #6: the one-off 30× measurements promoted to a
         # standing flag — the ANN family at mult=30 plus the banding
@@ -387,6 +392,174 @@ X30_KEYS = [
     "q_llm_ivfpq_topk",       # sampled-training build + ADC search
     "q_llm_semdedup",         # √N-cell quantizer + grouped verify
 ]
+
+
+def run_graph_rehearsal(mult: int) -> None:
+    """r12 verdict #2 (standing --graph flag): settle the iterative-graph
+    per-round exchange question AT SCALE instead of local[32]/sf0.1 A/Bs.
+    On the x``mult`` orders/lineitem co-purchase graph, measure wall +
+    shuffle read/write for (a) operators/graph.pagerank and
+    (b) connected_components as shipped, and (c/d) pre-partitioned
+    variants that hash-partition the edge state by the per-round join
+    key at an EXPLICIT count (32, matching shuffle.partitions — not the
+    1-partition AQE cliff the r12 local A/B hit) before the loop's
+    checkpoint, so each round's |E|-side join reuses the partitioning
+    and only the |V|-row label/rank side exchanges. The variant bodies
+    are inline copies of the operators' loops (same expressions) — they
+    land in operators/graph.py only if this measures a win."""
+    d = f"/tmp/sf1_r7_x{mult}"
+    if not os.path.exists(f"{d}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        generate_r7(d, mult)
+        print(f"generated x{mult} fixtures in {time.perf_counter()-t0:.1f}s")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_streams_clojure_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("graph-rehearsal")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    ui = spark.sparkContext.uiWebUrl
+    import bench
+
+    report = {
+        "mult": mult,
+        "probe": {
+            "scalar_ratio": round(bench.cpu_probe() / bench.PROBE_REFERENCE_SEC, 2),
+            "mt_ratio": round(bench.cpu_probe_mt() / bench.PROBE_MT_REFERENCE_SEC, 2),
+        },
+    }
+    print("probe", json.dumps(report["probe"]))
+    o = spark.read.parquet(f"{d}/orders.parquet")
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("id_a"),
+        (F.col("l_suppkey") + 1000000).alias("id_b"),
+    )
+
+    def timed(tag, fn):
+        spark.catalog.clearCache()
+        prev = stage_metrics(ui)
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        cur = stage_metrics(ui)
+        row = {"sec": round(dt, 1)}
+        row.update({m: cur[m] - prev[m] for m in cur})
+        report[tag] = row
+        print(tag, json.dumps(row))
+
+    def pagerank_prepart(parts: int):
+        # inline twin of operators/graph.pagerank with und explicitly
+        # hash-partitioned on the per-round join key before the
+        # degree-annotated checkpoint
+        iters, unit, dn, dd = 5, 10**12, 85, 100
+        und = (
+            edges.filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+            .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+            .union(
+                edges.filter(
+                    F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
+                ).select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+            )
+            .distinct()
+            .repartition(parts, "a")
+            .persist()
+        )
+        deg = und.groupBy("a").agg(F.count("*").alias("d"))
+        ed = und.join(deg, "a").localCheckpoint(eager=True)
+        verts = und.select(F.col("a").alias("id")).distinct()
+        n = verts.count()
+        base = ((dd - dn) * unit) // (dd * n)
+        ranks = verts.withColumn("r", F.lit(unit // n).cast("long")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(iters):
+            contrib = ed.join(ranks.withColumnRenamed("id", "a"), "a").select(
+                F.col("b").alias("id"),
+                F.expr(f"({dn} * r) DIV ({dd} * d)").alias("share"),
+            )
+            ranks = (
+                contrib.groupBy("id")
+                .agg((F.lit(base) + F.sum("share")).cast("long").alias("r"))
+                .localCheckpoint(eager=True)
+            )
+        und.unpersist()
+        return ranks.select("id", F.col("r").alias("rank"))
+
+    def cc_prepart(parts: int):
+        und = (
+            edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+            .union(edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+            .distinct()
+            .repartition(parts, "b")
+            .persist()
+        )
+        labels = (
+            und.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(20):
+            nbr = und.join(labels.withColumnRenamed("id", "b"), "b").select(
+                F.col("a").alias("id"), "component"
+            )
+            m = (
+                labels.select("id", "component")
+                .union(nbr)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            new_labels = (
+                m.join(
+                    m.select(
+                        F.col("id").alias("component"),
+                        F.col("component").alias("c2"),
+                    ),
+                    "component",
+                )
+                .select("id", F.col("c2").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        und.unpersist()
+        return labels
+
+    timed("pagerank_shipped", lambda: pagerank(edges))
+    timed("pagerank_prepart32", lambda: pagerank_prepart(32))
+    timed("cc_shipped", lambda: connected_components(edges))
+    timed("cc_prepart32", lambda: cc_prepart(32))
+    # repeat shipped to bracket box drift
+    timed("pagerank_shipped_rep", lambda: pagerank(edges))
+    report["probe_end"] = {
+        "scalar_ratio": round(bench.cpu_probe() / bench.PROBE_REFERENCE_SEC, 2),
+        "mt_ratio": round(bench.cpu_probe_mt() / bench.PROBE_MT_REFERENCE_SEC, 2),
+    }
+    print("GRAPH_REPORT", json.dumps(report))
+    spark.stop()
 
 
 def run_banding_switchpoint(mult: int) -> None:
