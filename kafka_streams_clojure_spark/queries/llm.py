@@ -4062,6 +4062,11 @@ def q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
     docs = load_table(spark, sf_dir, "documents")
+    # orig is consumed twice (union branch + resize input) but is NOT
+    # persisted: after the r13 kernel vectorization the re-render is
+    # cheaper than the blob round-trip through the block store on both
+    # cold and warm walls (x10 cold 4.99 s vs 5.78 s persisted) — and
+    # re-scan is the only feasible choice at 100 TB anyway
     orig = gradient_bmp_blobs(docs)
     resized = resize_images(orig, "blob", factor=2).withColumn(
         "doc_id", F.col("doc_id") + F.lit(10_000_000)
@@ -6006,8 +6011,13 @@ def q_multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
 
+    from kafka_streams_clojure_spark.operators._cache import persist_if_uncached
+
     docs = load_table(spark, sf_dir, "documents")
-    orig = stepped_wav_blobs(docs)
+    # consumed twice (union branch + decimate input): persist so the
+    # 65-md5/row level computation + render run once (cold-wall
+    # measured, r13 — see OPTIMIZATION_r13.md)
+    orig = persist_if_uncached(stepped_wav_blobs(docs))
     transcoded = decimate_wavs(orig, "blob", factor=2).withColumn(
         "doc_id", F.col("doc_id") + F.lit(10_000_000)
     )
